@@ -1,0 +1,222 @@
+"""The extraction pipeline: documents -> (subj, pred, obj) triples.
+
+Spark shape (SURVEY.md §3.1):
+
+    spark.read(... documents ...)                      # url, text pruned scan
+      .filter(kind != 'other')                         # pushable url prefixes
+      .mapInPandas(batch_extract, TRIPLE_SCHEMA)       # Arrow batches, one
+                                                       #   pass: prep -> all
+                                                       #   extractors -> melt
+                                                       #   -> valuable filter
+      ... dropDuplicates / dict view / linking downstream
+
+Design notes for 100 TB scale:
+* the valuable filter (facts/core.py:121-123) is computed *inside* the batch
+  — all triples of a doc are produced together, so the filter needs NO
+  shuffle (the declarative window variant exists in engine/valuable.py for
+  the oracle checks);
+* side tables ride along as Spark broadcast variables (driver-fetched,
+  executor-local joins — the reference fetched them per doc over HTTP);
+* ``html`` is never read: the pipeline selects only (url, text), letting
+  Parquet/Iceberg column pruning skip the heavy binary column.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from literature_to_facts_spark.extractors.arxiv import ARXIV_BATCH_EXTRACTORS, prepare_arxiv
+from literature_to_facts_spark.extractors.atel import ATEL_BATCH_EXTRACTORS, prepare_atel
+from literature_to_facts_spark.extractors.base import DYNAMIC, Sides
+from literature_to_facts_spark.extractors.gcn import (
+    GCN_BATCH_EXTRACTORS,
+    prepare_amon_side,
+    prepare_gcn,
+)
+from literature_to_facts_spark.engine.kinds import (
+    ARXIV_URL_PREFIX,
+    ATEL_URL_PREFIX,
+    GCN_URL_PREFIX,
+    KIND_ARXIV,
+    KIND_ATEL,
+    KIND_GCN,
+    kind_column,
+)
+from literature_to_facts_spark.functions.literals import (
+    lexical_and_dtype,
+    n3_from_lexical,
+)
+
+TRIPLE_SCHEMA = (
+    "url string, subj string, pred string, obj string, dtype string, obj_n3 string"
+)
+TRIPLE_COLS = ["url", "subj", "pred", "obj", "dtype", "obj_n3"]
+
+_KIND_TABLES = {
+    KIND_GCN: (prepare_gcn, GCN_BATCH_EXTRACTORS),
+    KIND_ATEL: (prepare_atel, ATEL_BATCH_EXTRACTORS),
+    KIND_ARXIV: (prepare_arxiv, ARXIV_BATCH_EXTRACTORS),
+}
+
+
+def _is_null(v) -> bool:
+    if v is None:
+        return True
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        return False
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _pyval(v):
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def _emit(rows: list, url: str, subj: str, pred: str, value) -> None:
+    """One fact (k, v): list values fan out (facts/core.py:96-101)."""
+    vs = value if isinstance(value, (list, tuple, np.ndarray)) else [value]
+    for _v in vs:
+        _v = _pyval(_v)
+        lexical, dtype = lexical_and_dtype(_v)
+        rows.append((url, subj, pred, lexical, dtype, n3_from_lexical(lexical, dtype)))
+
+
+def extract_kind_batch(
+    kind: str, docs: pd.DataFrame, sides: Sides
+) -> tuple[pd.DataFrame, int]:
+    """Run the full extractor battery for one kind over one batch.
+
+    Returns (long-format triples incl. non-valuable, n_identity_failures);
+    the valuable filter is applied by the caller per document.
+    """
+    prepare, extractors = _KIND_TABLES[kind]
+    prep, n_bad = prepare(docs)
+    rows: list = []
+    if len(prep) == 0:
+        return pd.DataFrame(columns=TRIPLE_COLS), n_bad
+
+    urls = prep["url_page"] if "url_page" in prep.columns else prep["url"]
+    subjs = prep["subj"]
+
+    for spec in extractors:
+        out = spec.fn(prep, sides)
+        if not out:
+            continue
+        dynamic = out.pop(DYNAMIC, None)
+        for pred, series in out.items():
+            vals = series.to_numpy(dtype=object)
+            u = urls.to_numpy(dtype=object)
+            s = subjs.to_numpy(dtype=object)
+            for i in range(len(vals)):
+                v = vals[i]
+                if _is_null(v):
+                    continue
+                _emit(rows, u[i], s[i], pred, v)
+        if dynamic is not None:
+            u = urls.to_numpy(dtype=object)
+            s = subjs.to_numpy(dtype=object)
+            dvals = dynamic.to_numpy(dtype=object)
+            for i in range(len(dvals)):
+                d = dvals[i]
+                if not isinstance(d, dict):
+                    continue
+                for pred, v in d.items():
+                    if _is_null(v):
+                        continue
+                    _emit(rows, u[i], s[i], pred, v)
+
+    return pd.DataFrame(rows, columns=TRIPLE_COLS), n_bad
+
+
+def apply_valuable_filter(triples: pd.DataFrame) -> pd.DataFrame:
+    """facts/core.py:121-123: keep a doc's facts only if 'mentions' occurs in
+    any joined triple line.  Local per batch — subjects never span batches
+    because all triples of a doc are emitted together."""
+    if len(triples) == 0:
+        return triples
+    has = triples["pred"].str.contains("mentions", regex=False) | triples[
+        "obj_n3"
+    ].str.contains("mentions", regex=False)
+    valuable_subjs = set(triples.loc[has, "subj"])
+    return triples[triples["subj"].isin(valuable_subjs)]
+
+
+def extract_batch(docs: pd.DataFrame, sides: Sides) -> pd.DataFrame:
+    """documents batch (url, text, kind) -> valuable triples batch."""
+    parts = []
+    for kind in (KIND_GCN, KIND_ATEL, KIND_ARXIV):
+        sub = docs[docs["kind"] == kind]
+        if len(sub) == 0:
+            continue
+        triples, _ = extract_kind_batch(kind, sub, sides)
+        parts.append(apply_valuable_filter(triples))
+    if not parts:
+        return pd.DataFrame(columns=TRIPLE_COLS)
+    return pd.concat(parts, ignore_index=True)
+
+
+def make_sides(
+    balrog: Optional[pd.DataFrame] = None,
+    amon_notices: Optional[pd.DataFrame] = None,
+    ads_authors: Optional[pd.DataFrame] = None,
+) -> Sides:
+    """Pre-parse raw side tables into executor-ready form (AMON notices are
+    parsed ONCE here, not per document as the reference does)."""
+    return Sides(
+        balrog=balrog if balrog is not None else pd.DataFrame(columns=["url_json"]),
+        amon=prepare_amon_side(amon_notices)
+        if amon_notices is not None and len(amon_notices)
+        else pd.DataFrame(columns=["url", "fields", "isot", "invalid"]),
+        ads=ads_authors if ads_authors is not None else pd.DataFrame(columns=["subject"]),
+    )
+
+
+def relevant_docs(docs: DataFrame) -> DataFrame:
+    """Prune to extractable kinds with pushable url-prefix predicates and
+    prune columns to (url, text) — never reads ``html``."""
+    return (
+        docs.where(
+            F.col("url").startswith(GCN_URL_PREFIX)
+            | F.col("url").startswith(ATEL_URL_PREFIX)
+            | F.col("url").startswith(ARXIV_URL_PREFIX)
+        )
+        .select("url", "text")
+        .withColumn("kind", kind_column(F.col("url")))
+    )
+
+
+def extract_triples(
+    spark: SparkSession,
+    docs: DataFrame,
+    sides: Optional[Sides] = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """documents DataFrame -> triples DataFrame (the KG-construction core).
+
+    ``dedup=True`` adds the rdflib-Graph set semantics
+    (facts/core.py:197-219) via ``dropDuplicates`` — the only shuffle in the
+    extraction phase; AQE handles skew/coalescing.
+    """
+    sides = sides or make_sides()
+    bc = spark.sparkContext.broadcast(sides)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local_sides = bc.value
+        for pdf in batches:
+            out = extract_batch(pdf, local_sides)
+            if len(out):
+                yield out
+
+    triples = relevant_docs(docs).mapInPandas(run, schema=TRIPLE_SCHEMA)
+    if dedup:
+        triples = triples.dropDuplicates(["subj", "pred", "obj_n3"])
+    return triples

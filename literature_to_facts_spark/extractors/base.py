@@ -1,0 +1,49 @@
+"""Vectorized extractor framework.
+
+The reference registers row-at-a-time ``@workflow`` functions in a global
+list and dispatches on input type (facts/core.py:29-39,79-84).  Here each
+extractor is a *batch* function over a prepared pandas DataFrame (one Arrow
+batch of documents of a single kind), returning ``{predicate: pd.Series}``:
+
+* a Series element may be None/NaN (no fact), a scalar (one triple), or a
+  list (one triple per element — facts/core.py:96-101);
+* the special key ``DYNAMIC`` maps to a Series of dicts for extractors whose
+  predicate names are data-dependent (the AMON notice fields,
+  facts/gcn.py:373).
+
+Everything heavy (regex scans, date parsing) runs through pandas ``.str``
+ops / ``to_datetime`` over the whole batch — no per-row Python in the scan
+path, per BASELINE.json ``input_hint``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+
+DYNAMIC = "__dynamic__"
+
+
+@dataclass
+class Sides:
+    """Pre-fetched side tables (pandas), broadcast to executors.
+
+    Replaces the reference's in-extractor HTTP calls with broadcast joins
+    (SURVEY.md §2.1 "network side-lookups").
+    """
+
+    balrog: pd.DataFrame = field(default_factory=pd.DataFrame)
+    amon: pd.DataFrame = field(default_factory=pd.DataFrame)  # pre-parsed
+    ads: pd.DataFrame = field(default_factory=pd.DataFrame)
+
+
+@dataclass
+class ExtractorSpec:
+    name: str
+    fn: Callable[[pd.DataFrame, Sides], dict]
+
+
+def empty_obj(index) -> pd.Series:
+    return pd.Series([None] * len(index), index=index, dtype=object)
