@@ -1,0 +1,85 @@
+"""Graph materialization: partitioned triples table + N3 export.
+
+The reference accumulates every fact into one in-memory ``rdflib.Graph`` via
+per-fact SPARQL INSERT (facts/core.py:197-226) and serializes N3; the sink is
+a single file (facts/learn.py:70).  At 10^12-doc scale the graph is a
+partitioned table:
+
+* storage layout partitioned by ``pred`` — the predicate vocabulary is small
+  and bounded (~60 local names), queries like `contemplate` filter on
+  predicate, so partition pruning skips everything else;
+* graph set-semantics = ``dropDuplicates(subj, pred, obj_n3)`` (already
+  applied by the extraction pipeline);
+* N3 export is N-Triples-style lines (a subset of N3; the reference's rdflib
+  pretty-printing with ``;``/``,`` shorthand is a formatting, not semantic,
+  difference) written distributed via ``write.text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from literature_to_facts_spark.functions.literals import PAPER_NS
+
+N3_PREFIX_HEADER = f"@prefix paper: <{PAPER_NS}#> .\n"
+
+
+def write_triples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Materialize the graph table, partitioned by predicate local name."""
+    triples.write.mode(mode).partitionBy("pred").parquet(path)
+
+
+def read_triples(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def n3_lines(triples: DataFrame) -> DataFrame:
+    """One N-Triples-style line per triple (``learn`` output form,
+    facts/core.py:125-126 joins the token triple with spaces)."""
+    subj_tok = F.concat(F.lit("<"), F.col("subj"), F.lit(">"))
+    pred_tok = F.concat(
+        F.lit("<" + PAPER_NS + "#"), F.col("pred"), F.lit(">")
+    )
+    return triples.select(
+        F.concat_ws(" ", subj_tok, pred_tok, F.col("obj_n3"), F.lit(".")).alias("line")
+    )
+
+
+def export_n3(triples: DataFrame, path: str | None = None) -> str | None:
+    """Small-graph driver-side export (tests / knowledge.n3 parity); for the
+    large-scale path use ``n3_lines(t).write.text(path)``."""
+    lines = [r["line"] for r in n3_lines(triples).collect()]
+    text = N3_PREFIX_HEADER + "\n".join(sorted(lines)) + "\n"
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+        return None
+    return text
+
+
+def publish_batches(triples: DataFrame, chunk_size: int = 1000):
+    """The reference publishes facts to a SPARQL store in chunks of 1000
+    (facts/learn.py:83-91).  Distributed equivalent: ``foreachPartition``
+    with partition-local chunking; the sink callback is injectable (no
+    network in this sandbox).
+
+    Returns a function  run(sink_fn)  where sink_fn(list_of_lines) is called
+    per chunk on executors.
+    """
+    lines_df = n3_lines(triples)
+
+    def run(sink_fn):
+        def per_partition(rows):
+            buf = []
+            for r in rows:
+                buf.append(r["line"])
+                if len(buf) >= chunk_size:
+                    sink_fn(buf)
+                    buf = []
+            if buf:
+                sink_fn(buf)
+
+        lines_df.foreachPartition(per_partition)
+
+    return run

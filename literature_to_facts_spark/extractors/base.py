@@ -23,6 +23,12 @@ from typing import Callable
 
 import pandas as pd
 
+# Parity-critical: without this, ``fillna`` chains over all-NaN extract
+# results silently downcast object -> float64 and break ``.str`` accessors
+# in sparsely-matching batches (small Arrow batches routinely contain no
+# match for a given extractor).
+pd.set_option("future.no_silent_downcasting", True)
+
 DYNAMIC = "__dynamic__"
 
 

@@ -451,7 +451,7 @@ def x_gcn_icecube_circular(p: pd.DataFrame, side: Sides) -> dict:
         joined = has_url & m["fields"].notna()
         amon_fields = m["fields"].where(joined, None)
         amon_isot = m["isot"].where(joined, None)
-        amon_invalid = (has_url & (~joined)) | m["invalid"].fillna(False)
+        amon_invalid = (has_url & (~joined)) | m["invalid"].fillna(False).astype(bool)
     else:
         amon_invalid = has_url  # fetch would fail
 

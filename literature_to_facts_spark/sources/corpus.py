@@ -192,8 +192,8 @@ _add_gcn(
     "21/11/12 15:00:00 GMT",
     "At 14:34:22 UT on 12 Nov 2021, the Fermi Gamma-ray Burst Monitor (GBM) triggered\n"
     "and located GRB 211112A.\n"
-    "The on-ground calculated location, using the Fermi GBM trigger data,\n"
-    "is RA = 138.4, Dec = -2.5 (J2000 degrees), with a statistical\n"
+    "The on-ground calculated location, using the Fermi GBM trigger data, "
+    "is RA = 138.4, Dec = -2.5 (J2000 degrees), with a statistical "
     "uncertainty of 3.0 degrees.",
 )
 
@@ -500,8 +500,8 @@ def _random_gcn(rng: random.Random, num: int, hot: bool) -> str:
         body = (
             f"At {hh:02d}:{mm:02d}:{ss:02d} UT on 15 Mar 2021, the Fermi Gamma-ray Burst Monitor (GBM) triggered\n"
             f"and located {name}.\n"
-            "The on-ground calculated location, using the Fermi GBM trigger data,\n"
-            f"is RA = {rng.randrange(3600)/10.0}, Dec = {rng.randrange(-890, 890)/10.0} (J2000 degrees), with a statistical\n"
+            "The on-ground calculated location, using the Fermi GBM trigger data, "
+            f"is RA = {rng.randrange(3600)/10.0}, Dec = {rng.randrange(-890, 890)/10.0} (J2000 degrees), with a statistical "
             f"uncertainty of {rng.randrange(10, 60)/10.0} degrees."
         )
         return gcn_text(num, f"{name}: Fermi GBM detection", _gcn_date(rng), body)

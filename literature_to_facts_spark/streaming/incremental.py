@@ -1,0 +1,104 @@
+"""Resumable incremental extraction over a bucketed document table.
+
+The reference's "streaming" is a daily poll loop (facts/tools.py:17-53) that
+re-fetches and re-learns.  At 10^12-doc scale the equivalent is incremental
+batch over table snapshots (Iceberg ``Trigger.AvailableNow`` semantics): the
+input keyspace is split into deterministic url-hash buckets; each bucket is
+extracted and committed independently, and a ledger records completed buckets
+with their lineage metrics.  A re-run (after a crash or with new data) skips
+completed buckets — resumability from checkpoint per the north rule.
+
+Layout under ``output_dir``:
+    triples/bucket=<b>/...parquet     per-bucket triple output
+    ledger/...parquet                 one row per completed bucket
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from literature_to_facts_spark.extractors.base import Sides
+from literature_to_facts_spark.engine.lineage import (
+    extract_triples_with_lineage,
+    split_lineage,
+)
+
+LEDGER_SCHEMA = (
+    "bucket int, run_id string, committed_at double, n_triples long, "
+    "docs_in long, identity_failures long, metrics_json string"
+)
+
+
+def bucket_of(url_col, n_buckets: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(spark: SparkSession, output_dir: str) -> set[int]:
+    ledger_path = os.path.join(output_dir, "ledger")
+    try:
+        ledger = spark.read.parquet(ledger_path)
+    except Exception:
+        return set()
+    return {r["bucket"] for r in ledger.select("bucket").distinct().collect()}
+
+
+def run_incremental(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str,
+    sides: Optional[Sides] = None,
+    n_buckets: int = 8,
+    run_id: str = "incremental",
+) -> dict:
+    """Extract bucket-by-bucket with a commit ledger; returns a summary dict.
+
+    Each bucket is one atomic unit: triples land under ``bucket=<b>`` and the
+    ledger row is appended only after the triple write succeeds, so a crash
+    mid-bucket re-processes just that bucket (idempotent overwrite).
+    """
+    done = completed_buckets(spark, output_dir)
+    triples_root = os.path.join(output_dir, "triples")
+    ledger_path = os.path.join(output_dir, "ledger")
+    docs_b = docs.withColumn("_bucket", bucket_of(F.col("url"), n_buckets))
+
+    n_done_now = 0
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        chunk = docs_b.where(F.col("_bucket") == b).drop("_bucket")
+        combined = extract_triples_with_lineage(
+            spark, chunk, sides, run_id=f"{run_id}/b{b}"
+        )
+        triples, lineage = split_lineage(combined)
+        triples = triples.cache()
+        n_triples = triples.count()
+        triples.write.mode("overwrite").parquet(
+            os.path.join(triples_root, f"bucket={b}")
+        )
+        lrows = lineage.collect()
+        docs_in = sum(r["docs_in"] or 0 for r in lrows)
+        id_fail = sum(r["identity_failures"] or 0 for r in lrows)
+        metrics_json = json.dumps([r["metrics_json"] for r in lrows])
+        triples.unpersist()
+        ledger_row = spark.createDataFrame(
+            [(b, run_id, time.time(), n_triples, docs_in, id_fail, metrics_json)],
+            schema=LEDGER_SCHEMA,
+        )
+        ledger_row.write.mode("append").parquet(ledger_path)
+        n_done_now += 1
+
+    return {
+        "buckets_total": n_buckets,
+        "buckets_skipped": len(done),
+        "buckets_processed": n_done_now,
+    }
+
+
+def read_all_triples(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, "triples", "bucket=*"))
