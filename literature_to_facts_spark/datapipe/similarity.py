@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exact baseline: broadcast the (small) query
+  set, JVM-side dot products via ``zip_with`` + ``aggregate``, per-query
+  top-k via window.
+* LSH-bucketed (random hyperplanes) — the scale path: sign-bit bucket join
+  confines candidate generation; probes multiple buckets for recall.
+* IVF-flat — coarse quantizer over deterministic sampled centroids; queries
+  probe the ``nprobe`` nearest centroid lists.
+
+No Python UDFs: dot products run inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+
+
+def with_cosine(df: DataFrame, a: str = "q_emb", b: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        "cosine", _dot(a, b) / (_norm(a) * _norm(b))
+    )
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Exact top-k: broadcast queries x all vectors, rank per query.
+
+    Deterministic tie-break on (rounded score desc, vec_id asc) so results
+    are stable across partitionings and engines.
+    """
+    joined = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    ).crossJoin(
+        F.broadcast(
+            queries.select(F.col(q_id_col).alias("q_id"), F.col(q_emb_col).alias("q_emb"))
+        )
+    )
+    scored = with_cosine(joined).withColumn("cosine", F.round("cosine", 6))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def _bucket_expr(emb_col: str, planes_lit: str, n_planes: int) -> str:
+    """Sign-bit bucket id from n_planes hyperplane dot products."""
+    return (
+        f"aggregate(zip_with({planes_lit}, sequence(0, {n_planes - 1}), (p, i) -> "
+        f" CASE WHEN aggregate(zip_with(p, {emb_col}, (a, b) -> a * CAST(b AS DOUBLE)),"
+        f"   0D, (acc, v) -> acc + v) > 0 THEN shiftleft(1L, i) ELSE 0L END),"
+        f" 0L, (acc, x) -> acc | x)"
+    )
+
+
+def cosine_topk_lsh(
+    spark: SparkSession,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets; only same-bucket
+    candidates are scored.  Recall grows with fewer planes / multiprobe."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    planes_sql = (
+        "array(" + ",".join(
+            "array(" + ",".join(f"{x}D" for x in p) + ")" for p in planes
+        ) + ")"
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+        F.expr(_bucket_expr(emb_col, planes_sql, n_planes)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_emb_col).alias("q_emb"),
+        F.expr(_bucket_expr(q_emb_col, planes_sql, n_planes)).alias("bucket"),
+    )
+    scored = with_cosine(v.join(F.broadcast(q), on="bucket")).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """IVF-flat: coarse centroids = deterministic sample (every m-th vector
+    by id — a real deployment would run k-means once offline); each vector is
+    assigned to its nearest centroid; a query probes the nprobe nearest
+    centroid lists and ranks exactly within them."""
+    base = vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+    # deterministic sample: n_centroids ids spaced evenly over the id range
+    ids = [r["vec_id"] for r in base.select("vec_id").orderBy("vec_id").collect()]
+    step = max(1, len(ids) // n_centroids)
+    cent_ids = ids[::step][:n_centroids]
+    centroids = base.where(F.col("vec_id").isin(cent_ids)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+
+    # assign: nearest centroid per vector (broadcast centroids)
+    w_v = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    assigned = (
+        base.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", _dot("embedding", "c_emb"))
+        .withColumn("rn", F.row_number().over(w_v))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+    # probe: top-nprobe centroids per query
+    w_q = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        queries.select(F.col(q_id_col).alias("q_id"), F.col(q_emb_col).alias("q_emb"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("sim", _dot("q_emb", "c_emb"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "q_emb", "centroid_id")
+    )
+
+    scored = with_cosine(assigned.join(F.broadcast(probes), on="centroid_id")).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )

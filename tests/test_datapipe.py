@@ -1,0 +1,191 @@
+"""Training-data pipeline operators on the driver testdata (sf0.001)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_duplicate_clusters(spark, documents):
+    from literature_to_facts_spark.datapipe.dedup import exact_duplicate_clusters
+
+    # inject known duplicates
+    dup = documents.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000)
+    docs = documents.unionByName(dup)
+    clusters = exact_duplicate_clusters(docs).collect()
+    assert len(clusters) >= 5
+    for c in clusters:
+        assert c["cluster_size"] >= 2
+        assert c["canonical_id"] == min(c["members"])
+
+
+def test_minhash_lsh_finds_near_dups(spark, documents):
+    from literature_to_facts_spark.datapipe.dedup import minhash_lsh_pairs
+
+    # exact copies must be found with jaccard 1.0
+    dup = documents.limit(8).withColumn("doc_id", F.col("doc_id") + 1000000)
+    docs = documents.unionByName(dup)
+    pairs = minhash_lsh_pairs(docs, threshold=0.9).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    for i in range(8):
+        assert (i, i + 1000000) in found
+    assert all(p["jaccard"] >= 0.9 for p in pairs)
+
+
+def test_ngram_jaccard_matches_python_oracle(spark, documents):
+    from literature_to_facts_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    sample = documents.limit(40)
+    got = {
+        (p["id_a"], p["id_b"]): p["jaccard"]
+        for p in ngram_jaccard_pairs(sample, n_gram=3, threshold=0.2).collect()
+    }
+
+    rows = sample.select("doc_id", "text").collect()
+    def sh(t):
+        toks = t.lower().split(" ")
+        if len(toks) < 3:
+            return {t.lower()}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    exp = {}
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            sa, sb = sh(a["text"]), sh(b["text"])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.2:
+                key = (min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"]))
+                exp[key] = round(j, 6)
+    assert got == exp
+
+
+def test_simhash_deterministic_and_near_dup(spark, documents):
+    from literature_to_facts_spark.datapipe.dedup import simhash_near_dups, with_simhash
+
+    s1 = {r["doc_id"]: r["simhash"] for r in with_simhash(documents).collect()}
+    s2 = {r["doc_id"]: r["simhash"] for r in with_simhash(documents).collect()}
+    assert s1 == s2
+    dup = documents.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000)
+    pairs = simhash_near_dups(documents.unionByName(dup), max_hamming=0).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert {(i, i + 1000000) for i in range(5)} <= found
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    from literature_to_facts_spark.datapipe.similarity import cosine_topk_bruteforce
+
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    got = cosine_topk_bruteforce(embeddings, queries, k=5).collect()
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in embeddings.collect()}
+    for q_id in [r["q_id"] for r in queries.collect()]:
+        q = vecs[q_id]
+        sims = sorted(
+            (
+                (round(float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v))), 6), vid)
+                for vid, v in vecs.items()
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        expected = [(vid, s) for s, vid in sims]
+        actual = [
+            (r["vec_id"], r["cosine"])
+            for r in sorted((x for x in got if x["q_id"] == q_id), key=lambda r: r["rank"])
+        ]
+        assert [a[0] for a in actual] == [e[0] for e in expected]
+        for a, e in zip(actual, expected):
+            assert abs(a[1] - e[1]) < 1e-5
+
+
+def test_lsh_and_ivf_recall(spark, embeddings):
+    from literature_to_facts_spark.datapipe.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = cosine_topk_bruteforce(embeddings, queries, k=10).collect()
+    approx_lsh = cosine_topk_lsh(spark, embeddings, queries, k=10, n_planes=4).collect()
+    approx_ivf = cosine_topk_ivf(embeddings, queries, k=10, n_centroids=8, nprobe=4).collect()
+
+    def recall(approx):
+        tot, hit = 0, 0
+        for q in {r["q_id"] for r in exact}:
+            e = {r["vec_id"] for r in exact if r["q_id"] == q}
+            a = {r["vec_id"] for r in approx if r["q_id"] == q}
+            tot += len(e)
+            hit += len(e & a)
+        return hit / tot
+
+    # the query vector itself must always be found (cosine 1.0 bucket-safe)
+    for r in exact:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["q_id"]
+    # testdata embeddings are pure noise (no cluster structure), so LSH
+    # recall is bounded by bucket collision probability; the invariant under
+    # test is the plumbing + that identical vectors always collide.
+    assert recall(approx_lsh) > 0.1
+    assert recall(approx_ivf) > 0.4   # nprobe=4 of 8 centroid lists
+
+
+def test_textstats(spark, documents):
+    from literature_to_facts_spark.datapipe.textstats import (
+        with_fingerprint,
+        with_lang_id,
+        with_quality,
+        with_token_counts,
+    )
+
+    out = with_token_counts(documents).collect()
+    for r in out[:50]:
+        assert r["n_ws_tokens"] == len([t for t in r["text"].split(" ") if t])
+    langs = with_lang_id(documents).select("lang_guess").distinct().collect()
+    assert {r["lang_guess"] for r in langs} <= {"en", "de", "fr", "es", "und"}
+    q = with_quality(documents).collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in q)
+    assert any(r["quality_score"] > 0.5 for r in q)
+    fp = with_fingerprint(documents).collect()
+    # same text -> same fingerprints; fingerprints deterministic across runs
+    fp2 = with_fingerprint(documents).collect()
+    assert {(r["doc_id"], r["fp_md5"], r["fp_rolling"]) for r in fp} == {
+        (r["doc_id"], r["fp_md5"], r["fp_rolling"]) for r in fp2
+    }
+
+
+def test_multimodal_plumbing(spark, docs_df):
+    from literature_to_facts_spark.datapipe.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        extract_media_features,
+        media_table_from_documents,
+    )
+
+    media = media_table_from_documents(docs_df.limit(50))
+    feats = extract_media_features(media, fake=True).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+        assert r["decoder"] == "fake"
+    # the real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image", fake=False)
+    # deterministic features
+    f1 = decode_media(b"payload", "image", fake=True)
+    f2 = decode_media(b"payload", "image", fake=True)
+    assert np.allclose(f1, f2)
