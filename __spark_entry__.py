@@ -1,38 +1,728 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-construction query on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 (+ the training-data-pipeline extras), each Spark query paired
+with an ANSI-SQL oracle that DuckDB runs on the same parquet views.
+
+Engine-portability conventions used throughout (so value hashes match):
+* money aggregates in integer cents via FLOOR(x*100 + 0.5) (per-row double
+  ops are IEEE-deterministic; FLOOR semantics agree across engines, unlike
+  double->int casts or SUM(double) orderings);
+* floats rounded AFTER exact integer/decimal aggregation;
+* arrays rendered as comma-joined sorted strings;
+* timestamps compared as epoch microseconds.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _us(col: str) -> F.Column:
+    """Epoch microseconds from a (naive) parquet timestamp; the session TZ is
+    pinned UTC so TIMESTAMP_NTZ -> TIMESTAMP preserves the wall-clock epoch,
+    matching DuckDB's epoch_us."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: KG melt -> mention detection -> valuable filter -> dict view
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: treat `documents` as web
+    pages, melt typed fields to (subj, pred, obj) triples, run keyword
+    mention detection, keep only mention-bearing docs (valuable filter), and
+    aggregate the dict view — the reference pipeline's shape end-to-end."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+
+    mentions = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("(spark|window|merge|batch)"), F.lit(1))
+        ).alias("kw"),
+    )
+    triples = (
+        docs.selectExpr(
+            "doc_id",
+            "stack(3, 'source', source, 'lang', lang, 'n_chars', CAST(n_chars AS STRING)) AS (pred, obj)",
+        )
+        .unionByName(
+            mentions.groupBy("doc_id", "kw")
+            .count()
+            .select(
+                "doc_id",
+                F.concat(F.lit("mentions_"), F.col("kw")).alias("pred"),
+                F.col("count").cast("string").alias("obj"),
+            )
+        )
+    )
+    valuable = triples.join(
+        triples.where(F.col("pred").startswith("mentions_")).select("doc_id").distinct(),
+        on="doc_id",
+        how="left_semi",
+    )
+    return (
+        valuable.groupBy("doc_id", "pred")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("obj"))).alias("values"))
+        .orderBy("doc_id", "pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_DISC_PCT = "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"
+_TAX_PCT = "CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)"
+
+
+def q_kg_triples_melt(spark, sf_dir):
+    """Fact explode: wide row -> long (subj, pred, obj) — facts/core.py:96-112."""
+    return _t(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS BIGINT) AS subj",
+        "stack(3, 'source', source, 'lang', lang, 'n_chars', CAST(n_chars AS STRING)) AS (pred, obj)",
+    )
+
+
+def q_kg_dict_view(spark, sf_dir):
+    """Dict-view aggregation: sorted-distinct value list per key
+    (facts/core.py:128-133)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("event_types"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def q_kg_valuable_filter(spark, sf_dir):
+    """Valuable semi-join: keep docs whose text mentions a keyword
+    (facts/core.py:121-123 shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    triples = docs.selectExpr(
+        "CAST(doc_id AS BIGINT) AS subj",
+        "stack(2, 'text', text, 'lang', lang) AS (pred, obj)",
+    )
+    flagged = triples.where(
+        (F.col("pred") == "text") & F.col("obj").contains("spark")
+    ).select("subj").distinct()
+    return (
+        triples.join(flagged, on="subj", how="left_semi")
+        .groupBy("subj")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triples"))
+    )
+
+
+def q_kg_mention_detection(spark, sf_dir):
+    """Batched mention detection: regexp findall + explode + count."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit("(spark|window|merge|batch)"), F.lit(1)
+                )
+            ).alias("mention"),
+        )
+        .groupBy("doc_id", "mention")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_times"))
+    )
+
+
+def q_kg_entity_link(spark, sf_dir):
+    """Entity linking: mentions joined to a broadcast gazetteer."""
+    docs = _t(spark, sf_dir, "documents")
+    gaz = spark.createDataFrame(
+        [
+            ("spark", "entity:engine/spark", "engine"),
+            ("window", "entity:op/window", "operator"),
+            ("merge", "entity:op/merge", "operator"),
+        ],
+        "mention string, canonical_uri string, entity_type string",
+    )
+    mentions = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("(spark|window|merge)"), F.lit(1))
+        ).alias("mention"),
+    ).distinct()
+    return mentions.join(F.broadcast(gaz), on="mention").select(
+        "doc_id", "mention", "canonical_uri", "entity_type"
+    )
+
+
+def q_kg_canonicalize_salted(spark, sf_dir):
+    """Two-phase salted canonicalization == plain GROUP BY (oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    mentions = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("(spark|window|merge|batch)"), F.lit(1))
+        ).alias("mention"),
+    )
+    salted = mentions.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(16)))
+    partial = salted.groupBy("mention", "salt").agg(
+        F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("docs_partial")
+    )
+    return partial.groupBy("mention").agg(
+        F.sum("cnt").cast("bigint").alias("n_mentions"),
+        F.sum("docs_partial").cast("bigint").alias("n_docs"),
+    )
+
+
+def q_kg_counterpart_join(spark, sf_dir):
+    """Counterpart-match shape (facts/learn.py:105-125): event-reporting rows
+    joined to counterpart rows on the shared key with a difference filter."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("user_id"), F.col("ts").alias("err_ts")
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"), F.col("ts").alias("clk_ts")
+    )
+    return (
+        err.join(clk, on="user_id")
+        .where(F.col("err_ts") < F.col("clk_ts"))
+        .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+def q_kg_reaction_pivot(spark, sf_dir):
+    """GRB-reaction shape (facts/learn.py:142-156): same-subject multi-
+    predicate pivot with a t0 != date filter."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("first_error"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+    )
+    return agg.where(
+        F.col("first_error").isNotNull()
+        & F.col("first_click").isNotNull()
+        & (F.col("first_error") != F.col("first_click"))
+    ).select(
+        "user_id",
+        _us("first_error").alias("first_error_us"),
+        _us("first_click").alias("first_click_us"),
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON side-payload navigation (facts/gcn.py:167-172 shape)."""
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+def q_sessionize_window(spark, sf_dir):
+    """Window functions: per-user session counting via lag gaps > 5 min."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | ((_us("ts") - _us("prev_ts")) > 300_000_000)
+        ).cast("int"),
+    )
+    return gaps.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    li = li.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "CAST(l_quantity AS BIGINT) AS qty",
+        f"{_CENTS} AS cents",
+        f"{_DISC_PCT} AS dpct",
+        f"{_TAX_PCT} AS tpct",
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+            F.sum("cents").cast("bigint").alias("sum_base_cents"),
+            F.sum(F.col("cents") * (100 - F.col("dpct"))).cast("bigint").alias("sum_disc_c4"),
+            F.sum(F.col("cents") * (100 - F.col("dpct")) * (100 + F.col("tpct")))
+            .cast("bigint")
+            .alias("sum_charge_c6"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3_shipping(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1997-01-01"))
+    li = li.selectExpr("l_orderkey", f"{_CENTS} AS cents", f"{_DISC_PCT} AS dpct")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        )
+        .agg(F.sum(F.col("cents") * (100 - F.col("dpct"))).cast("bigint").alias("revenue_c4"))
+    )
+    return j.orderBy(F.desc("revenue_c4"), F.asc("l_orderkey")).limit(10)
+
+
+def q_tpch_q5_local_supplier(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey", "l_suppkey", f"{_CENTS} AS cents", f"{_DISC_PCT} AS dpct"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    j = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy(F.col("n_name").alias("n_name")).agg(
+        F.sum(F.col("cents") * (100 - F.col("dpct"))).cast("bigint").alias("revenue_c4")
+    )
+
+
+def q_top_parts_by_qty(spark, sf_dir):
+    """Sort/limit/top-k with joins (broadcast dim)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            F.col("p_name"),
+            F.col("total_qty"),
+        )
+    )
+    return top.orderBy(F.desc("total_qty"), F.asc("p_partkey")).limit(10)
+
+
+def q_set_ops_union_distinct(spark, sf_dir):
+    """Set operators: union + distinct over key spaces."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = orders.select(F.col("o_custkey").cast("bigint").alias("key"))
+    b = cust.select(F.col("c_custkey").cast("bigint").alias("key"))
+    return a.union(b).distinct().groupBy((F.col("key") % 10).alias("key_mod")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from literature_to_facts_spark.datapipe.dedup import exact_duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = (
+        docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+        )
+    )
+    _ = exact_duplicate_clusters  # same operator, >=2 filter variant in datapipe
+    return clusters
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from literature_to_facts_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    pairs = ngram_jaccard_pairs(docs, n_gram=2, threshold=0.08)
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (no SQL oracle: hash-family specific;
+    driver records the rows-only check; correctness is pytest-oracled)."""
+    from literature_to_facts_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (no SQL oracle: bit-vote family; rows-only)."""
+    from literature_to_facts_spark.datapipe.dedup import with_simhash
+
+    return with_simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    from literature_to_facts_spark.datapipe.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cosine", 4).cast("double").alias("cosine_r4"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_emb_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (no SQL oracle: hyperplane family; rows-only)."""
+    from literature_to_facts_spark.datapipe.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return cosine_topk_lsh(spark, emb, queries, k=5, n_planes=6)
+
+
+def q_text_token_counts(spark, sf_dir):
+    from literature_to_facts_spark.datapipe.textstats import with_token_counts
+
+    return with_token_counts(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
+        F.col("n_bpeish_tokens").cast("bigint").alias("n_bpeish_tokens"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from literature_to_facts_spark.datapipe.textstats import with_quality
+
+    return with_quality(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round("mean_word_len", 6).cast("double").alias("mean_word_len"),
+        F.round("stopword_ratio", 6).cast("double").alias("stopword_ratio"),
+        F.col("quality_score").cast("double").alias("quality_score"),
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    from literature_to_facts_spark.datapipe.textstats import with_lang_id
+
+    return with_lang_id(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("lang_guess")
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from literature_to_facts_spark.datapipe.textstats import with_fingerprint
+
+    return with_fingerprint(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("fp_md5")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_triples_melt": q_kg_triples_melt,
+        "kg_dict_view": q_kg_dict_view,
+        "kg_valuable_filter": q_kg_valuable_filter,
+        "kg_mention_detection": q_kg_mention_detection,
+        "kg_entity_link": q_kg_entity_link,
+        "kg_canonicalize_salted": q_kg_canonicalize_salted,
+        "kg_counterpart_join": q_kg_counterpart_join,
+        "kg_reaction_pivot": q_kg_reaction_pivot,
+        "json_extract": q_json_extract,
+        "sessionize_window": q_sessionize_window,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "top_parts_by_qty": q_top_parts_by_qty,
+        "set_ops_union_distinct": q_set_ops_union_distinct,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cents = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    dpct = "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"
+    tpct = "CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)"
+    toks = "string_split(lower(text), ' ')"
+    return {
+        "kg_triples_melt": """
+            SELECT CAST(doc_id AS BIGINT) AS subj, 'source' AS pred, source AS obj FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), 'lang', lang FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT), 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        """,
+        "kg_dict_view": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "kg_valuable_filter": """
+            WITH triples AS (
+              SELECT CAST(doc_id AS BIGINT) AS subj, 'text' AS pred, text AS obj FROM documents
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT), 'lang', lang FROM documents
+            )
+            SELECT subj, CAST(COUNT(*) AS BIGINT) AS n_triples
+            FROM triples t
+            WHERE EXISTS (
+              SELECT 1 FROM triples f
+              WHERE f.subj = t.subj AND f.pred = 'text' AND f.obj LIKE '%spark%'
+            )
+            GROUP BY subj
+        """,
+        "kg_mention_detection": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, mention,
+                   CAST(COUNT(*) AS BIGINT) AS n_times
+            FROM (
+              SELECT doc_id, unnest(regexp_extract_all(text, '(spark|window|merge|batch)', 1)) AS mention
+              FROM documents
+            ) GROUP BY doc_id, mention
+        """,
+        "kg_entity_link": """
+            WITH gaz(mention, canonical_uri, entity_type) AS (VALUES
+              ('spark', 'entity:engine/spark', 'engine'),
+              ('window', 'entity:op/window', 'operator'),
+              ('merge', 'entity:op/merge', 'operator')),
+            m AS (
+              SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest(regexp_extract_all(text, '(spark|window|merge)', 1)) AS mention
+              FROM documents
+            )
+            SELECT m.doc_id, m.mention, g.canonical_uri, g.entity_type
+            FROM m JOIN gaz g USING (mention)
+        """,
+        "kg_canonicalize_salted": """
+            SELECT mention, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest(regexp_extract_all(text, '(spark|window|merge|batch)', 1)) AS mention
+              FROM documents
+            ) GROUP BY mention
+        """,
+        "kg_counterpart_join": """
+            SELECT CAST(e.user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM events e JOIN events c
+              ON e.user_id = c.user_id
+             AND e.event_type = 'error' AND c.event_type = 'click'
+             AND e.ts < c.ts
+            GROUP BY e.user_id
+        """,
+        "kg_reaction_pivot": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   epoch_us(first_error) AS first_error_us,
+                   epoch_us(first_click) AS first_click_us
+            FROM (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'error' THEN ts END) AS first_error,
+                     MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+              FROM events GROUP BY user_id
+            )
+            WHERE first_error IS NOT NULL AND first_click IS NOT NULL
+              AND first_error != first_click
+        """,
+        "json_extract": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events
+        """,
+        "sessionize_window": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 300000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM (
+                SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+              )
+            ) GROUP BY user_id
+        """,
+        "tpch_q1_pricing": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM({cents}) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM({cents} * (100 - {dpct})) AS BIGINT) AS sum_disc_c4,
+                   CAST(SUM({cents} * (100 - {dpct}) * (100 + {tpct})) AS BIGINT) AS sum_charge_c6,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_shipping": f"""
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   CAST(SUM({cents} * (100 - {dpct})) AS BIGINT) AS revenue_c4
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < '1997-01-01' AND l_shipdate > '1997-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_c4 DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5_local_supplier": f"""
+            SELECT n_name,
+                   CAST(SUM({cents} * (100 - {dpct})) AS BIGINT) AS revenue_c4
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+            GROUP BY n_name
+        """,
+        "top_parts_by_qty": """
+            SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_name,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_partkey, p.p_name
+            ORDER BY total_qty DESC, p_partkey ASC
+            LIMIT 10
+        """,
+        "set_ops_union_distinct": """
+            SELECT key % 10 AS key_mod, CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM (
+              SELECT DISTINCT key FROM (
+                SELECT CAST(o_custkey AS BIGINT) AS key FROM orders
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT) FROM customer
+              )
+            ) GROUP BY key % 10
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                   CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest(list_distinct(
+                       CASE WHEN len({toks}) >= 2 THEN
+                         list_transform(range(1, len({toks})),
+                                        i -> array_to_string({toks}[i:i+1], ' '))
+                       ELSE [lower(text)] END)) AS sh
+              FROM documents WHERE doc_id < 60
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+              GROUP BY l.doc_id, r.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes a ON a.doc_id = id_a
+            JOIN sizes b ON b.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) >= 0.08
+        """,
+        "emb_cosine_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.q_id, v.vec_id,
+                     ROUND(ROUND(list_dot_product(q.q_emb, v.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                        sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 6), 4) AS cosine_r4,
+                     ROUND(list_dot_product(q.q_emb, v.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                        sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))), 6) AS c6
+              FROM embeddings v, q
+            )
+            SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+                   cosine_r4, CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 5
+        """,
+        "text_token_counts": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '), t -> t != '')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens
+            FROM documents
+        """,
+        "text_lang_id": """
+            WITH scored AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(lower(text), ' '),
+                         t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                       / greatest(len(list_filter(string_split(lower(text), ' '), t -> t != '')), 1) AS s_en,
+                     len(list_filter(string_split(lower(text), ' '),
+                         t -> list_contains(['der','die','das','und','ist','ein','zu'], t)))
+                       / greatest(len(list_filter(string_split(lower(text), ' '), t -> t != '')), 1) AS s_de,
+                     len(list_filter(string_split(lower(text), ' '),
+                         t -> list_contains(['le','la','les','et','est','un','une'], t)))
+                       / greatest(len(list_filter(string_split(lower(text), ' '), t -> t != '')), 1) AS s_fr,
+                     len(list_filter(string_split(lower(text), ' '),
+                         t -> list_contains(['el','la','los','y','es','un','una'], t)))
+                       / greatest(len(list_filter(string_split(lower(text), ' '), t -> t != '')), 1) AS s_es
+              FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE
+                     WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                     WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                     WHEN s_es > 0 THEN 'es'
+                     ELSE 'und'
+                   END AS lang_guess
+            FROM scored
+        """,
+        "text_fingerprint": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+            FROM documents
+        """,
+        # dedup_minhash_lsh, dedup_simhash, emb_ann_lsh: hash-family-specific
+        # (xxhash64 / hyperplane seeds) — intentionally no SQL oracle; the
+        # driver records rows-only checks and pytest oracles cover semantics.
+        # text_quality: blended score kept Spark-side (weights under test in
+        # tests/test_datapipe.py); token/lang components are oracled above.
+    }
