@@ -581,7 +581,45 @@ def _random_arxiv(rng: random.Random, k: int, hot: bool) -> tuple[str, str]:
     return arxiv_id, arxiv_text(arxiv_id, title, summary, updated)
 
 
-def build_corpus(n_docs: int = 400, seed: int = 42, include_golden: bool = True) -> Corpus:
+def build_bench_documents(
+    n_docs: int, seed: int = 42, base_size: int = 10000
+) -> pd.DataFrame:
+    """Large extraction-dense documents table for throughput benchmarks.
+
+    Generates a dense base corpus (no filler — filler is pruned before
+    extraction by the url-prefix scan filter, so it only pads scan time) and
+    replicates it with vectorized id-uniquification (distinct NUMBER/ATEL
+    ids per copy so subjects stay unique and dedup doesn't collapse work).
+    The html/text ascii invariant is NOT maintained for replicas (bench-only
+    table; the pipeline reads url+text).
+    """
+    base = build_corpus(
+        n_docs=min(n_docs, base_size), seed=seed, include_golden=True, dense=True
+    ).documents
+    copies = max(1, -(-n_docs // len(base)))
+    frames = [base]
+    for k in range(1, copies):
+        d = base[["url", "warc_ts", "text", "lang"]].copy()
+        d["url"] = d["url"] + f"&copy={k}"
+        d["text"] = (
+            d["text"]
+            .str.replace("NUMBER:  ", f"NUMBER:  {k}", regex=False)
+            .str.replace("ATEL #", f"ATEL #{k}", regex=False)
+            .str.replace('"id": "http://arxiv.org/abs/', f'"id": "http://arxiv.org/abs/{k}x', regex=False)
+        )
+        d["html"] = d["text"].str.encode("utf-8")
+        frames.append(d[["url", "warc_ts", "html", "text", "lang"]])
+    out = pd.concat(frames, ignore_index=True).iloc[:n_docs].copy()
+    out["warc_ts"] = out["warc_ts"].astype("datetime64[us]")
+    return out
+
+
+def build_corpus(
+    n_docs: int = 400,
+    seed: int = 42,
+    include_golden: bool = True,
+    dense: bool = False,
+) -> Corpus:
     rng = random.Random(seed)
     rows: list[dict] = []
     base_ts = datetime(2024, 1, 1)
@@ -612,7 +650,9 @@ def build_corpus(n_docs: int = 400, seed: int = 42, include_golden: bool = True)
 
     gcn_num, atel_num = 40000, 16000
     for i in range(n_docs):
-        slot = i % 20
+        # default mix: ~10% GCN / 5% ATel / 5% arXiv / 80% filler pages;
+        # dense mode (benchmarks): 50% GCN / 25% ATel / 25% arXiv, no filler
+        slot = (i % 4) if dense else (i % 20)
         hot = rng.random() < 0.25
         if slot in (0, 1):
             gcn_num += 1
