@@ -290,8 +290,8 @@ def x_gcn_integral_countepart_search(p: pd.DataFrame, side: Sides) -> dict:
         r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:[\d\.]+?) UTC, hereafter T0", expand=False
     )
     hit = ev.notna() & t0.notna()
-    has_acs = p["text"].str.contains(r"SUBJECT:(.*?):.*ACS.*", flags=re.I).fillna(False)
-    has_ibis = p["text"].str.contains(r"SUBJECT:(.*?):.*IBIS.*", flags=re.I).fillna(False)
+    has_acs = p["text"].str.contains(r"SUBJECT:(?:.*?):.*ACS.*", flags=re.I).fillna(False)
+    has_ibis = p["text"].str.contains(r"SUBJECT:(?:.*?):.*IBIS.*", flags=re.I).fillna(False)
     arr = np.column_stack([has_acs.to_numpy(), has_ibis.to_numpy(), hit.to_numpy()])
     instruments = [
         (["acs"] if row[0] else []) + (["ibis"] if row[1] else []) if row[2] else None
@@ -315,7 +315,7 @@ def x_gcn_lvc_circular(p: pd.DataFrame, side: Sides) -> dict:
 def x_gcn_lvc_integral_counterpart(p: pd.DataFrame, side: Sides) -> dict:
     """facts/gcn.py:510-518."""
     hit = p["text"].str.contains(
-        r"SUBJECT:.*?(LIGO/Virgo .*?):.*INTEGRAL", flags=re.I
+        r"SUBJECT:.*?(?:LIGO/Virgo .*?):.*INTEGRAL", flags=re.I
     ).fillna(False)
     return {
         "lvc_counterpart_by": pd.Series(
