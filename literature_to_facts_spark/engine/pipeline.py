@@ -139,15 +139,19 @@ def extract_kind_batch(
 
 def apply_valuable_filter(triples: pd.DataFrame) -> pd.DataFrame:
     """facts/core.py:121-123: keep a doc's facts only if 'mentions' occurs in
-    any joined triple line.  Local per batch — subjects never span batches
-    because all triples of a doc are emitted together."""
+    any joined triple line.
+
+    Grouped by ``url`` (the reference's filtering unit is the *document*,
+    not the subject: two crawl-duplicate pages sharing a NUMBER are each
+    filtered independently — caught by the hypothesis fuzzer).  Local per
+    batch — all triples of a doc are emitted together."""
     if len(triples) == 0:
         return triples
     has = triples["pred"].str.contains("mentions", regex=False) | triples[
         "obj_n3"
     ].str.contains("mentions", regex=False)
-    valuable_subjs = set(triples.loc[has, "subj"])
-    return triples[triples["subj"].isin(valuable_subjs)]
+    valuable_urls = set(triples.loc[has, "url"])
+    return triples[triples["url"].isin(valuable_urls)]
 
 
 def extract_batch(docs: pd.DataFrame, sides: Sides) -> pd.DataFrame:

@@ -21,7 +21,9 @@ def _flag():
 
 
 def valuable_filter_window(triples: DataFrame) -> DataFrame:
-    w = Window.partitionBy("subj")
+    """Grouped by url: the reference filters per *document*, and two crawl
+    duplicates sharing a subject must be filtered independently."""
+    w = Window.partitionBy("url")
     return (
         triples.withColumn("_valuable", F.max(_flag().cast("int")).over(w))
         .where(F.col("_valuable") == 1)
@@ -30,5 +32,5 @@ def valuable_filter_window(triples: DataFrame) -> DataFrame:
 
 
 def valuable_filter_semijoin(triples: DataFrame) -> DataFrame:
-    flagged = triples.where(_flag()).select("subj").distinct()
-    return triples.join(flagged, on="subj", how="left_semi")
+    flagged = triples.where(_flag()).select("url").distinct()
+    return triples.join(flagged, on="url", how="left_semi")
