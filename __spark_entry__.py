@@ -720,9 +720,38 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
             FROM documents
         """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x != '') AS toks,
+                     text
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     END AS mean_word_len,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS alpha_ratio,
+                     CAST(len(list_filter(toks, x ->
+                       list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+                       / greatest(len(toks), 1) AS stopword_ratio
+              FROM t
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   ROUND(mean_word_len, 6) AS mean_word_len,
+                   ROUND(stopword_ratio, 6) AS stopword_ratio,
+                   ROUND(
+                     least(n_words / 50.0, 1.0) * 0.3
+                     + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.3 ELSE 0.0 END
+                     + alpha_ratio * 0.2
+                     + least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
+            FROM m
+        """,
         # dedup_minhash_lsh, dedup_simhash, emb_ann_lsh: hash-family-specific
         # (xxhash64 / hyperplane seeds) — intentionally no SQL oracle; the
         # driver records rows-only checks and pytest oracles cover semantics.
-        # text_quality: blended score kept Spark-side (weights under test in
-        # tests/test_datapipe.py); token/lang components are oracled above.
     }

@@ -136,8 +136,11 @@ def run_scaling(corpus_dir: str) -> dict:
             cwd=REPO,
             timeout=1200,
         )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        out[f"local[{cpus}]"] = json.loads(line)
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            out[f"local[{cpus}]"] = {"error": r.stderr[-500:]}
+            return out
+        out[f"local[{cpus}]"] = json.loads(lines[-1])
     lo = out[f"local[{LO_CPUS}]"]
     hi = out[f"local[{HI_CPUS}]"]
     ratio = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (HI_CPUS / LO_CPUS)
@@ -156,8 +159,12 @@ def run_headline() -> tuple[dict, float, float]:
     total = 0.0
     for name in HEADLINE:
         t0 = time.time()
-        df = qmap[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = qmap[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # a broken query must not kill the bench line
+            timings[name] = f"error: {type(e).__name__}"
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -180,7 +187,7 @@ def write_baseline_md(result: dict) -> None:
         "|---|---|---|---|---|",
     ]
     for key in (f"local[{LO_CPUS}]", f"local[{HI_CPUS}]"):
-        if key in kg:
+        if key in kg and "docs" in kg[key]:
             r = kg[key]
             lines.append(
                 f"| {key} | {r['docs']} | {r['triples']} | {r['wall_sec']} | {r['triples_per_sec']} |"
@@ -245,8 +252,11 @@ def main() -> None:
 
     kg = {}
     if not SKIP_SCALING:
-        corpus_dir = build_bench_corpus("/tmp/l2f_bench_corpus")
-        kg = run_scaling(corpus_dir)
+        try:
+            corpus_dir = build_bench_corpus("/tmp/l2f_bench_corpus")
+            kg = run_scaling(corpus_dir)
+        except Exception as e:
+            kg = {"error": f"{type(e).__name__}: {e}"}
 
     result = {
         "metric": "headline query wall + KG pipeline triples/sec at 2 parallelism levels",

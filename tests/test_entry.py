@@ -59,7 +59,7 @@ def test_oracle_keys_subset():
     # most queries must be oracled; only hash-family ops may be rows-only
     unoracled = set(q) - set(o)
     assert unoracled <= {
-        "dedup_minhash_lsh", "dedup_simhash", "emb_ann_lsh", "text_quality",
+        "dedup_minhash_lsh", "dedup_simhash", "emb_ann_lsh",
     }
 
 
