@@ -32,6 +32,7 @@ from literature_to_facts_spark.engine.pipeline import (
     extract_kind_batch,
     make_sides,
     relevant_docs,
+    snapshot_batteries,
 )
 
 LINEAGE_PRED = "__lineage__"
@@ -46,6 +47,7 @@ def extract_triples_with_lineage(
 ) -> DataFrame:
     sides = sides or make_sides()
     bc = spark.sparkContext.broadcast(sides)
+    batteries = snapshot_batteries()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local_sides = bc.value
@@ -64,7 +66,9 @@ def extract_triples_with_lineage(
                 if len(sub) == 0:
                     continue
                 m["docs_by_kind"][kind] = m["docs_by_kind"].get(kind, 0) + len(sub)
-                triples, n_bad = extract_kind_batch(kind, sub, local_sides)
+                triples, n_bad = extract_kind_batch(
+                    kind, sub, local_sides, batteries.get(kind)
+                )
                 m["identity_failures"] += n_bad
                 parts.append(apply_valuable_filter(triples))
             if parts:

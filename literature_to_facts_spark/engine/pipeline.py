@@ -57,11 +57,26 @@ TRIPLE_SCHEMA = (
 )
 TRIPLE_COLS = ["url", "subj", "pred", "obj", "dtype", "obj_n3"]
 
-_KIND_TABLES = {
-    KIND_GCN: (prepare_gcn, GCN_BATCH_EXTRACTORS),
-    KIND_ATEL: (prepare_atel, ATEL_BATCH_EXTRACTORS),
-    KIND_ARXIV: (prepare_arxiv, ARXIV_BATCH_EXTRACTORS),
+_PREPARERS = {
+    KIND_GCN: prepare_gcn,
+    KIND_ATEL: prepare_atel,
+    KIND_ARXIV: prepare_arxiv,
 }
+
+_DEFAULT_BATTERIES = {
+    KIND_GCN: GCN_BATCH_EXTRACTORS,
+    KIND_ATEL: ATEL_BATCH_EXTRACTORS,
+    KIND_ARXIV: ARXIV_BATCH_EXTRACTORS,
+}
+
+
+def snapshot_batteries() -> dict:
+    """Plan-time snapshot of the (possibly plugin-extended) batteries.
+
+    Executors run separate Python processes that re-import the modules, so
+    driver-side registry mutations (extractors/registry.py) must travel with
+    the job — the snapshot is cloudpickled into the mapInPandas closure."""
+    return {k: list(v) for k, v in _DEFAULT_BATTERIES.items()}
 
 
 def _is_null(v) -> bool:
@@ -91,14 +106,16 @@ def _emit(rows: list, url: str, subj: str, pred: str, value) -> None:
 
 
 def extract_kind_batch(
-    kind: str, docs: pd.DataFrame, sides: Sides
+    kind: str, docs: pd.DataFrame, sides: Sides, extractors: Optional[list] = None
 ) -> tuple[pd.DataFrame, int]:
     """Run the full extractor battery for one kind over one batch.
 
     Returns (long-format triples incl. non-valuable, n_identity_failures);
     the valuable filter is applied by the caller per document.
     """
-    prepare, extractors = _KIND_TABLES[kind]
+    prepare = _PREPARERS[kind]
+    if extractors is None:
+        extractors = _DEFAULT_BATTERIES[kind]
     prep, n_bad = prepare(docs)
     rows: list = []
     if len(prep) == 0:
@@ -154,18 +171,35 @@ def apply_valuable_filter(triples: pd.DataFrame) -> pd.DataFrame:
     return triples[triples["url"].isin(valuable_urls)]
 
 
-def extract_batch(docs: pd.DataFrame, sides: Sides) -> pd.DataFrame:
-    """documents batch (url, text, kind) -> valuable triples batch."""
+def extract_batch(
+    docs: pd.DataFrame,
+    sides: Sides,
+    local_dedup: bool = False,
+    batteries: Optional[dict] = None,
+) -> pd.DataFrame:
+    """documents batch (url, text, kind) -> valuable triples batch.
+
+    ``local_dedup=True`` drops duplicate (subj, pred, obj) rows inside the
+    batch before they reach the shuffle — all intra-document duplicates (the
+    common case: two extractors emitting the same fact) die map-side, so the
+    global dedup exchange only carries cross-document collisions.  Keep it
+    OFF when pre-dedup multiplicities matter (the dict view's scalar-vs-list
+    rule needs raw counts).
+    """
     parts = []
     for kind in (KIND_GCN, KIND_ATEL, KIND_ARXIV):
         sub = docs[docs["kind"] == kind]
         if len(sub) == 0:
             continue
-        triples, _ = extract_kind_batch(kind, sub, sides)
+        extractors = batteries.get(kind) if batteries else None
+        triples, _ = extract_kind_batch(kind, sub, sides, extractors)
         parts.append(apply_valuable_filter(triples))
     if not parts:
         return pd.DataFrame(columns=TRIPLE_COLS)
-    return pd.concat(parts, ignore_index=True)
+    out = pd.concat(parts, ignore_index=True)
+    if local_dedup:
+        out = out.drop_duplicates(subset=["subj", "pred", "obj_n3"], keep="first")
+    return out
 
 
 def make_sides(
@@ -212,11 +246,15 @@ def extract_triples(
     """
     sides = sides or make_sides()
     bc = spark.sparkContext.broadcast(sides)
+    local_dedup = dedup  # map-side combine for the dedup shuffle
+    batteries = snapshot_batteries()  # carries driver-registered plugins
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local_sides = bc.value
         for pdf in batches:
-            out = extract_batch(pdf, local_sides)
+            out = extract_batch(
+                pdf, local_sides, local_dedup=local_dedup, batteries=batteries
+            )
             if len(out):
                 yield out
 
