@@ -58,6 +58,21 @@ def export_n3(triples: DataFrame, path: str | None = None) -> str | None:
     return text
 
 
+def compact_graph(spark: SparkSession, bucketed_triples_glob: str, out_path: str) -> int:
+    """Graph-table maintenance: merge incremental bucket outputs
+    (streaming/incremental.py layout) into one globally-deduplicated,
+    pred-partitioned table.  Returns the compacted triple count.
+
+    Cross-bucket duplicates exist when the same fact is re-derived from
+    crawl duplicates landing in different buckets; this is the periodic
+    compaction a production deployment schedules (Iceberg rewrite_data_files
+    + the dedup in one pass here)."""
+    all_triples = spark.read.parquet(bucketed_triples_glob)
+    deduped = all_triples.dropDuplicates(["subj", "pred", "obj_n3"])
+    write_triples(deduped, out_path)
+    return spark.read.parquet(out_path).count()
+
+
 def publish_batches(triples: DataFrame, chunk_size: int = 1000):
     """The reference publishes facts to a SPARQL store in chunks of 1000
     (facts/learn.py:83-91).  Distributed equivalent: ``foreachPartition``

@@ -72,7 +72,7 @@ def extract_triples_with_lineage(
                 m["identity_failures"] += n_bad
                 parts.append(apply_valuable_filter(triples))
             if parts:
-                out = pd.concat(parts, ignore_index=True)
+                out = pd.concat(parts, ignore_index=True)[TRIPLE_COLS]
                 m["docs_valuable"] += out["subj"].nunique()
                 m["triples_out"] += len(out)
                 if len(out):

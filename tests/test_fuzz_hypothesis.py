@@ -136,6 +136,46 @@ ATEL_FIELDS = st.fixed_dictionaries(
 )
 
 
+ARXIV_FIELDS = st.fixed_dictionaries(
+    {
+        "aid": st.integers(1, 99999),
+        "title": st.sampled_from(
+            ["GRB jets and GW170817", "magnetar SGR flares", "nothing notable", "FRB GRB FRB"]
+        ),
+        "summary": st.sampled_from(
+            ["GRB GRB models with INTEGRAL data", "SGR and GW190425", "plain summary"]
+        ),
+        "updated": st.sampled_from(
+            ["2022-01-05T10:00:00Z", "2021-13-45T99:00:00Z", "garbage"]
+        ),
+    }
+)
+
+
+@given(st.lists(ARXIV_FIELDS, min_size=1, max_size=4))
+@settings(max_examples=60, deadline=None)
+def test_arxiv_fuzz_parity(entries):
+    from literature_to_facts_spark.sources.corpus import arxiv_text
+
+    texts = [
+        arxiv_text(f"2201.{e['aid']:05d}v1", e["title"], e["summary"], e["updated"])
+        for e in entries
+    ]
+    docs = pd.DataFrame(
+        {
+            "url": [f"http://arxiv.org/abs/2201.{e['aid']:05d}v1" for e in entries],
+            "text": texts,
+            "kind": ["arxiv"] * len(texts),
+        }
+    )
+    golden = set()
+    for t in texts:
+        golden |= _shim_triples("arxiv", t)
+    out = pl.extract_batch(docs, SIDES_V)
+    got = set(zip(out["subj"], out["pred"], out["obj_n3"]))
+    assert got == golden, (sorted(got - golden)[:4], sorted(golden - got)[:4])
+
+
 @given(st.lists(ATEL_FIELDS, min_size=1, max_size=4))
 @settings(max_examples=60, deadline=None)
 def test_atel_fuzz_parity(entries):

@@ -117,6 +117,21 @@ def test_graph_write_partitioned_and_pruned(spark, triples_df, tmp_path):
     assert "PartitionFilters" in plan and "pred" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_compact_graph(spark, docs_df, sides, tmp_path):
+    from literature_to_facts_spark.engine.graph import compact_graph
+    from literature_to_facts_spark.engine.pipeline import extract_triples
+    from literature_to_facts_spark.streaming.incremental import run_incremental
+
+    out = str(tmp_path / "inc2")
+    run_incremental(spark, docs_df, out, sides, n_buckets=3, run_id="c1")
+    n = compact_graph(spark, f"{out}/triples/bucket=*", str(tmp_path / "compact"))
+    direct = extract_triples(spark, docs_df, sides).count()
+    assert n == direct
+    # compacted table stays pred-partitioned (pruning works)
+    back = spark.read.parquet(str(tmp_path / "compact"))
+    assert back.where("pred = 'integral_ul'").count() > 0
+
+
 def test_n3_export_round_trip(spark, triples_df):
     from literature_to_facts_spark.engine.graph import export_n3
     from literature_to_facts_spark.functions.literals import from_n3

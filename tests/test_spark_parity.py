@@ -109,7 +109,7 @@ def test_valuable_filter_variants_agree(spark, docs_df, sides):
                 t, _ = pl.extract_kind_batch(kind, sub, bc.value)
                 parts.append(t)
             if parts:
-                out = pd.concat(parts, ignore_index=True)
+                out = pd.concat(parts, ignore_index=True)[pl.TRIPLE_COLS]
                 if len(out):
                     yield out
 
