@@ -55,11 +55,28 @@ from literature_to_facts_spark.streaming.stream import (  # noqa: F401
 )
 
 
-def parse_document(kind: str, text: str, sides: Optional[_shim.SideTables] = None) -> dict:
-    """Point query: one document -> the reference's dict view
-    (``workflows_for_input(..., output='dict')``, the shape the reference's
-    own tests consume — tests/test_gcn.py:10-21).  Runs driver-side through
-    the parity oracle; for bulk use go through :func:`extract_triples`."""
+def parse_document(
+    kind: str,
+    text: str,
+    sides: Optional[_shim.SideTables] = None,
+    output: str = "dict",
+):
+    """Point query: one document through the reference's
+    ``workflows_for_input(..., output=...)`` surface (facts/core.py:70-143).
+
+    * ``output='dict'`` -> predicate dict (scalar / sorted set, the shape the
+      reference's own tests consume — tests/test_gcn.py:10-21);
+    * ``output='list'`` -> the space-joined triple lines (facts/core.py:126);
+    * ``output='n3'``   -> N-Triples-style serialization of the doc's facts.
+
+    Runs driver-side through the parity oracle; for bulk use go through
+    :func:`extract_triples`."""
     doc = _shim.decode_doc(kind, text)
     _, triples = _shim.extract_doc_facts(kind, doc, sides or _shim.SideTables())
-    return _shim.dict_view_of_facts(triples)
+    if output == "dict":
+        return _shim.dict_view_of_facts(triples)
+    if output == "list":
+        return [" ".join(t) for t in triples]
+    if output == "n3":
+        return "\n".join(sorted(f"{s} {p} {o} ." for s, p, o in triples)) + "\n"
+    raise ValueError(f"unknown output {output!r}")  # facts/core.py:143
