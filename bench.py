@@ -213,7 +213,7 @@ def run_scaling(corpus_dir: str) -> dict:
         lo, hi = best[f"local[{LO_CPUS}]"], best[f"local[{HI_CPUS}]"]
         eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (HI_CPUS / LO_CPUS)
         best["scaling_efficiency"] = round(eff, 3)
-        if eff >= 0.8 and i >= 0:
+        if eff >= 0.8:
             break
     best["criterion"] = f"throughput scaling efficiency N({LO_CPUS})->4N({HI_CPUS}) cores"
     best["attempt_efficiencies"] = history

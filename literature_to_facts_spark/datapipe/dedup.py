@@ -91,7 +91,10 @@ def minhash_lsh_pairs(
     verification join is by doc_id (hash join on ids, AQE-skew-safe).
     """
     rows_per_band = n_hashes // bands
-    sigs = with_minhash_signature(docs, id_col, text_col, n_gram, n_hashes).cache()
+    # no .cache(): the signature projection is scan+project (no shuffle), so
+    # recomputation for the verify join is cheaper than pinning the whole
+    # signatures table in executor storage for the session's lifetime
+    sigs = with_minhash_signature(docs, id_col, text_col, n_gram, n_hashes)
 
     banded = sigs.select(
         "doc_id",
@@ -168,7 +171,7 @@ def simhash_near_dups(
     max_hamming < 4); for larger budgets this is a recall-traded heuristic,
     which is the standard scale approach.
     """
-    sims = with_simhash(docs, id_col, text_col).cache()
+    sims = with_simhash(docs, id_col, text_col)
     banded = sims.select(
         "doc_id",
         "simhash",

@@ -107,6 +107,27 @@ def _emit(rows: list, url: str, subj: str, pred: str, value, rowid) -> None:
         )
 
 
+def _rowwise_fallback(spec, prep: pd.DataFrame, sides: Sides) -> dict:
+    """Per-row re-run of a batch extractor that raised: each failing row
+    contributes nothing (reference semantics), surviving rows keep their
+    facts.  Results are re-assembled into the normal {pred: Series} shape."""
+    collected: dict[str, dict] = {}
+    for i in prep.index:
+        try:
+            row_out = spec.fn(prep.loc[[i]], sides)
+        except Exception:
+            continue
+        for pred, series in row_out.items():
+            v = series.iloc[0] if hasattr(series, "iloc") else series
+            if _is_null(v):
+                continue
+            collected.setdefault(pred, {})[i] = v
+    return {
+        pred: pd.Series(vals, index=prep.index, dtype=object).reindex(prep.index)
+        for pred, vals in collected.items()
+    }
+
+
 def extract_kind_batch(
     kind: str, docs: pd.DataFrame, sides: Sides, extractors: Optional[list] = None
 ) -> tuple[pd.DataFrame, int]:
@@ -130,7 +151,16 @@ def extract_kind_batch(
     rowids = prep.index.to_numpy()  # per-input-row identity for the filter
 
     for spec in extractors:
-        out = spec.fn(prep, sides)
+        try:
+            out = spec.fn(prep, sides)
+        except Exception:
+            # The reference swallows per-DOCUMENT extractor exceptions
+            # (facts/core.py:114-115).  A vectorized extractor can only fail
+            # for the whole batch, so isolate the offender: re-run row by
+            # row, keeping the rows that succeed.  Slow, but only on the
+            # failure path — and one poisoned document must never kill a
+            # whole task at 100 TB scale.
+            out = _rowwise_fallback(spec, prep, sides)
         if not out:
             continue
         dynamic = out.pop(DYNAMIC, None)

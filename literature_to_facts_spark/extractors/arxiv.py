@@ -16,6 +16,7 @@ from literature_to_facts_spark.functions.literals import PAPER_NS
 from literature_to_facts_spark.shim.reference_shim import ARXIV_KEYWORDS
 
 _EPOCH = pd.Timestamp("1970-01-01")
+_EPOCH_UTC = pd.Timestamp("1970-01-01", tz="UTC")
 
 
 def prepare_arxiv(docs: pd.DataFrame) -> tuple[pd.DataFrame, int]:
@@ -57,11 +58,14 @@ def x_basic_meta(p: pd.DataFrame, side: Sides) -> dict:
 
 def x_basic_time_meta(p: pd.DataFrame, side: Sides) -> dict:
     """facts/arxiv.py:95-102 (fromisoformat after Z-strip; naive .timestamp()
-    under pinned UTC)."""
+    under pinned UTC).  ``utc=True`` handles tz-offset values the way the
+    reference does (aware datetime -> correct epoch) and treats naive values
+    as UTC, matching the pinned-TZ semantics; without it a mixed batch of
+    aware/naive values raises instead of parsing."""
     parsed = pd.to_datetime(
-        p["updated"].str.replace("Z", "", regex=False), errors="coerce"
+        p["updated"].str.replace("Z", "", regex=False), errors="coerce", utc=True
     )
-    ts = ((parsed - _EPOCH) / pd.Timedelta(seconds=1)).where(parsed.notna(), None).astype(object)
+    ts = ((parsed - _EPOCH_UTC) / pd.Timedelta(seconds=1)).where(parsed.notna(), None).astype(object)
     return {
         "updated_isot": p["updated"].where(parsed.notna(), None).astype(object),
         "updated_ts": ts,

@@ -521,7 +521,12 @@ def x_gcn_icecube_circular(p: pd.DataFrame, side: Sides) -> dict:
 # --- HAWC ---------------------------------------------------------------------
 
 def x_gcn_hawc(p: pd.DataFrame, side: Sides) -> dict:
-    """facts/gcn.py:521-565 (ra/dec are floats here, unlike icecube)."""
+    """facts/gcn.py:521-565 (ra/dec are floats here, unlike icecube).
+
+    Any mid-extractor exception in the reference — strptime on a matched
+    date, float() on a matched-but-unparsable RA/Dec — discards the WHOLE
+    dict including the subject fields, so matched-but-failed parses mask
+    every output here."""
     ev = p["text"].str.extract(
         r"SUBJECT:.*?\b(HAWC[\- ]?[0-9]+?[A-Z]?)\b", flags=re.I, expand=False
     )
@@ -533,26 +538,27 @@ def x_gcn_hawc(p: pd.DataFrame, side: Sides) -> dict:
         dt_g.str.strip(), format="%m %d, %Y, at %H:%M:%S.%f", errors="coerce"
     )
     isot = _strf(parsed, "%Y-%m-%dT%H:%M:%S.%f")
-    ra = pd.to_numeric(
-        p["text"].str.extract(r"RA.*?: (?P<ra>[\d\.\-\+]*?) ", expand=False),
-        errors="coerce",
+    ra_raw = p["text"].str.extract(r"RA.*?: (?P<ra>[\d\.\-\+]*?) ", expand=False)
+    dec_raw = p["text"].str.extract(r"Dec.*?: (?P<dec>[\d\.\-\+]*?) ", expand=False)
+    ra = pd.to_numeric(ra_raw, errors="coerce")
+    dec = pd.to_numeric(dec_raw, errors="coerce")
+    failed = (
+        (dt_g.notna() & parsed.isna())
+        | (ra_raw.notna() & ra.isna())
+        | (dec_raw.notna() & dec.isna())
     )
-    dec = pd.to_numeric(
-        p["text"].str.extract(r"Dec.*?: (?P<dec>[\d\.\-\+]*?) ", expand=False),
-        errors="coerce",
-    )
-    # float() failure raises in the reference -> drops everything after subject
+    keep = hit & ~failed
     ra_o = pd.Series([float(v) if not pd.isna(v) else None for v in ra], index=p.index, dtype=object)
     dec_o = pd.Series([float(v) if not pd.isna(v) else None for v in dec], index=p.index, dtype=object)
     return {
-        "reports_hawc_event": ev.str.strip().where(hit, None).astype(object),
-        "reports_event": ev.str.strip().where(hit, None).astype(object),
-        "grb_isot": isot.where(hit, None),
-        "event_isot": isot.where(hit, None),
-        "hawc_ra": ra_o.where(hit, None),
-        "event_ra": ra_o.where(hit, None),
-        "hawc_dec": dec_o.where(hit, None),
-        "event_dec": dec_o.where(hit, None),
+        "reports_hawc_event": ev.str.strip().where(keep, None).astype(object),
+        "reports_event": ev.str.strip().where(keep, None).astype(object),
+        "grb_isot": isot.where(keep, None),
+        "event_isot": isot.where(keep, None),
+        "hawc_ra": ra_o.where(keep, None),
+        "event_ra": ra_o.where(keep, None),
+        "hawc_dec": dec_o.where(keep, None),
+        "event_dec": dec_o.where(keep, None),
     }
 
 

@@ -39,13 +39,28 @@ def bucket_of(url_col, n_buckets: int):
     return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
 
 
-def completed_buckets(spark: SparkSession, output_dir: str) -> set[int]:
+def completed_buckets(spark: SparkSession, output_dir: str, run_id: str) -> set[int]:
+    """Buckets already committed FOR THIS RUN.
+
+    The ledger is scoped per run_id: resuming a crashed run (same run_id)
+    skips its committed buckets, while a NEW run_id (a fresh snapshot /
+    daily tick) reprocesses everything — otherwise a second tick over a
+    grown table would skip all buckets forever.  For new-files-only
+    incremental ingestion use streaming/stream.py (checkpointed
+    AvailableNow), which tracks progress at file granularity.
+    """
     ledger_path = os.path.join(output_dir, "ledger")
     try:
         ledger = spark.read.parquet(ledger_path)
     except Exception:
         return set()
-    return {r["bucket"] for r in ledger.select("bucket").distinct().collect()}
+    return {
+        r["bucket"]
+        for r in ledger.where(F.col("run_id") == run_id)
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
 
 
 def run_incremental(
@@ -60,9 +75,11 @@ def run_incremental(
 
     Each bucket is one atomic unit: triples land under ``bucket=<b>`` and the
     ledger row is appended only after the triple write succeeds, so a crash
-    mid-bucket re-processes just that bucket (idempotent overwrite).
+    mid-bucket re-processes just that bucket (idempotent overwrite).  The
+    resume scope is ``run_id``: rerunning with the same run_id skips its
+    completed buckets; a new run_id reprocesses the (new) snapshot.
     """
-    done = completed_buckets(spark, output_dir)
+    done = completed_buckets(spark, output_dir, run_id)
     triples_root = os.path.join(output_dir, "triples")
     ledger_path = os.path.join(output_dir, "ledger")
     docs_b = docs.withColumn("_bucket", bucket_of(F.col("url"), n_buckets))

@@ -171,9 +171,13 @@ def test_incremental_resume(spark, docs_df, sides, tmp_path):
     r1 = run_incremental(spark, docs_df, out, sides, n_buckets=4, run_id="r1")
     assert r1["buckets_processed"] == 4 and r1["buckets_skipped"] == 0
     n1 = read_all_triples(spark, out).count()
-    # resume: everything already committed -> nothing re-processed
-    r2 = run_incremental(spark, docs_df, out, sides, n_buckets=4, run_id="r2")
+    # resume: same run_id -> committed buckets are skipped
+    r2 = run_incremental(spark, docs_df, out, sides, n_buckets=4, run_id="r1")
     assert r2["buckets_processed"] == 0 and r2["buckets_skipped"] == 4
+    assert read_all_triples(spark, out).count() == n1
+    # a NEW run_id (fresh snapshot / daily tick) reprocesses, idempotently
+    r3 = run_incremental(spark, docs_df, out, sides, n_buckets=4, run_id="r3")
+    assert r3["buckets_processed"] == 4 and r3["buckets_skipped"] == 0
     assert read_all_triples(spark, out).count() == n1
     # and the union of buckets equals the one-shot pipeline
     from literature_to_facts_spark.engine.pipeline import extract_triples
