@@ -62,8 +62,13 @@ def x_basic_time_meta(p: pd.DataFrame, side: Sides) -> dict:
     reference does (aware datetime -> correct epoch) and treats naive values
     as UTC, matching the pinned-TZ semantics; without it a mixed batch of
     aware/naive values raises instead of parsing."""
+    # format="mixed": without it pandas locks onto the first row's format and
+    # NaT's every differently-shaped (e.g. tz-offset) value in the batch
     parsed = pd.to_datetime(
-        p["updated"].str.replace("Z", "", regex=False), errors="coerce", utc=True
+        p["updated"].str.replace("Z", "", regex=False),
+        errors="coerce",
+        utc=True,
+        format="mixed",
     )
     ts = ((parsed - _EPOCH_UTC) / pd.Timedelta(seconds=1)).where(parsed.notna(), None).astype(object)
     return {

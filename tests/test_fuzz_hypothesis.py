@@ -52,6 +52,10 @@ BODY_LINES = [
     "Dec: 0.15 (J2000)",
     "RA: +-..3 (garbage coords)",
     "On 11 23, 2021, at 03:52:23.50 UTC, HAWC detected",
+    "SUBJECT: HAWC-211123A: detection",
+    "RA(J2000): 1.2.3 (unparsable floats, reference drop-all)",
+    "Dec(J2000): -.-. (worse)",
+    "On 99 99, 2021, at 99:99:99.99 UTC, HAWC detected",
     "upper limit on the 75-2000 keV fluence of 4.6x10^-7 erg/cm^2",
     "upper limit of about 1.2e-7 erg/cm^2 for a 1 s duration",
     "We find a limiting fluence of 2.3e-7 erg/cm",
@@ -146,7 +150,8 @@ ARXIV_FIELDS = st.fixed_dictionaries(
             ["GRB GRB models with INTEGRAL data", "SGR and GW190425", "plain summary"]
         ),
         "updated": st.sampled_from(
-            ["2022-01-05T10:00:00Z", "2021-13-45T99:00:00Z", "garbage"]
+            ["2022-01-05T10:00:00Z", "2021-13-45T99:00:00Z", "garbage",
+             "2022-01-05T10:00:00+02:00", "2022-01-05 10:00:00"]
         ),
     }
 )
