@@ -327,6 +327,70 @@ def q_top_parts_by_qty(spark, sf_dir):
     return top.orderBy(F.desc("total_qty"), F.asc("p_partkey")).limit(10)
 
 
+def q_tpch_q6_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: single-table filtered aggregate, integer-cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).selectExpr(f"{_CENTS} AS cents", f"{_DISC_PCT} AS dpct")
+    return f.agg(
+        F.sum(F.col("cents") * F.col("dpct")).cast("bigint").alias("revenue_c4"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    """Grouping sets: ROLLUP(status, priority) with subtotal rows."""
+    orders = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderstatus",
+        "o_orderpriority",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+def q_anti_join_inactive_customers(spark, sf_dir):
+    """Anti join: customers with no orders, counted per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey"))
+    inactive = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inactive")
+    )
+
+
+def q_topk_orders_per_priority(spark, sf_dir):
+    """Window top-k per group (row_number with deterministic tie-break)."""
+    orders = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cents"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "cents",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 def q_set_ops_union_distinct(spark, sf_dir):
     """Set operators: union + distinct over key spaces."""
     orders = _t(spark, sf_dir, "orders")
@@ -460,6 +524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "sessionize_window": q_sessionize_window,
         "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "rollup_orders": q_rollup_orders,
+        "anti_join_inactive_customers": q_anti_join_inactive_customers,
+        "topk_orders_per_priority": q_topk_orders_per_priority,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "top_parts_by_qty": q_top_parts_by_qty,
@@ -592,6 +660,39 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q6_forecast": f"""
+            SELECT CAST(SUM({cents} * {dpct}) AS BIGINT) AS revenue_c4,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "anti_join_inactive_customers": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_inactive
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "topk_orders_per_priority": """
+            SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   cents, CAST(rnk AS BIGINT) AS rnk
+            FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                                                 o_orderkey ASC) AS rnk
+              FROM orders
+            ) WHERE rnk <= 3
         """,
         "tpch_q3_shipping": f"""
             SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
