@@ -391,6 +391,17 @@ def q_topk_orders_per_priority(spark, sf_dir):
     )
 
 
+def q_percentiles_by_flag(spark, sf_dir):
+    """Exact percentiles (linear interpolation — Spark percentile() and
+    DuckDB quantile_cont agree bit-exactly on the same doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_p50"),
+    )
+
+
 def q_set_ops_union_distinct(spark, sf_dir):
     """Set operators: union + distinct over key spaces."""
     orders = _t(spark, sf_dir, "orders")
@@ -532,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "top_parts_by_qty": q_top_parts_by_qty,
         "set_ops_union_distinct": q_set_ops_union_distinct,
+        "percentiles_by_flag": q_percentiles_by_flag,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -724,6 +736,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.p_partkey, p.p_name
             ORDER BY total_qty DESC, p_partkey ASC
             LIMIT 10
+        """,
+        "percentiles_by_flag": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50
+            FROM lineitem GROUP BY l_returnflag
         """,
         "set_ops_union_distinct": """
             SELECT key % 10 AS key_mod, CAST(COUNT(*) AS BIGINT) AS n_keys
