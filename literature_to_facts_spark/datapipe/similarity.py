@@ -137,17 +137,30 @@ def cosine_topk_ivf(
     q_id_col: str = "q_id",
     q_emb_col: str = "q_emb",
 ) -> DataFrame:
-    """IVF-flat: coarse centroids = deterministic sample (every m-th vector
-    by id — a real deployment would run k-means once offline); each vector is
-    assigned to its nearest centroid; a query probes the nprobe nearest
-    centroid lists and ranks exactly within them."""
+    """IVF-flat: coarse centroids = deterministic hash sample (a real
+    deployment would run k-means once offline); each vector is assigned to
+    its nearest centroid; a query probes the nprobe nearest centroid lists
+    and ranks exactly within them.
+
+    Centroid selection never materializes ids on the driver (the round-1
+    ``collect()`` here was an O(N)-driver-memory scale-killer): vectors whose
+    portable md5-derived hash falls in the lowest 1/sample_mod slice are
+    candidates, and the n_centroids smallest ids among them win via an
+    in-plan global sort of that (tiny) sampled subset.  The selection is a
+    pure function of the data, so an independent SQL oracle can replicate it.
+    """
     base = vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
-    # deterministic sample: n_centroids ids spaced evenly over the id range
-    ids = [r["vec_id"] for r in base.select("vec_id").orderBy("vec_id").collect()]
-    step = max(1, len(ids) // n_centroids)
-    cent_ids = ids[::step][:n_centroids]
-    centroids = base.where(F.col("vec_id").isin(cent_ids)).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    sample_mod = 8  # ~N/8 candidates; deterministic, engine-portable
+    centroids = (
+        base.where(
+            F.expr(
+                "pmod(cast(conv(substr(md5(cast(vec_id as string)), 1, 13), 16, 10)"
+                f" as bigint), {sample_mod}) = 0"
+            )
+        )
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
     )
 
     # assign: nearest centroid per vector (broadcast centroids)

@@ -96,15 +96,83 @@ def _pyval(v):
     return v
 
 
-def _emit(rows: list, url: str, subj: str, pred: str, value, rowid) -> None:
-    """One fact (k, v): list values fan out (facts/core.py:96-101)."""
-    vs = value if isinstance(value, (list, tuple, np.ndarray)) else [value]
-    for _v in vs:
-        _v = _pyval(_v)
-        lexical, dtype = lexical_and_dtype(_v)
-        rows.append(
-            (url, subj, pred, lexical, dtype, n3_from_lexical(lexical, dtype), rowid)
-        )
+_NEEDS_ESCAPE = __import__("re").compile(r'[\\\n"\r]')
+
+
+def _flatten_values(idx: np.ndarray, kept: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """List values fan out (facts/core.py:96-101): (row positions, flat values).
+
+    Scalars pass through; list/tuple/ndarray values repeat their row position
+    once per element (an empty list therefore emits nothing).
+    """
+    n = len(kept)
+    islist = np.fromiter(
+        (isinstance(v, (list, tuple, np.ndarray)) for v in kept), bool, n
+    )
+    if not islist.any():
+        return idx, kept
+    lens = np.ones(n, np.int64)
+    lens[islist] = [len(v) for v in kept[islist]]
+    out: list = []
+    for v, l in zip(kept, islist):
+        if l:
+            out.extend(v)
+        else:
+            out.append(v)
+    flat = np.empty(len(out), dtype=object)
+    flat[:] = out
+    return np.repeat(idx, lens), flat
+
+
+def _render_values(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (lexical, dtype, n3) rendering of an object value array.
+
+    Semantics are exactly ``lexical_and_dtype`` + ``n3_from_lexical`` applied
+    per value (pinned by tests/test_literals.py + the parity/fuzz suites);
+    this columnar form replaces the per-fact Python call chain that was the
+    hottest loop in the extraction batch (~45% of batch CPU profiled).
+    """
+    n = len(vals)
+    gen = np.fromiter((isinstance(x, np.generic) for x in vals), bool, n)
+    if gen.any():  # np scalar -> python scalar first (mirrors _pyval)
+        vals = vals.copy()
+        vals[gen] = [x.item() for x in vals[gen]]
+    is_b = np.fromiter((isinstance(x, bool) for x in vals), bool, n)
+    is_i = np.fromiter((isinstance(x, int) for x in vals), bool, n) & ~is_b
+    is_f = np.fromiter((isinstance(x, float) for x in vals), bool, n)
+    lex = np.empty(n, dtype=object)
+    lex[:] = [str(x) for x in vals]
+    if is_b.any():
+        lex[is_b] = [s.lower() for s in lex[is_b]]
+    from literature_to_facts_spark.functions.literals import (
+        DTYPE_BOOLEAN,
+        DTYPE_DOUBLE,
+        DTYPE_INTEGER,
+        DTYPE_STRING,
+        XSD_BOOLEAN,
+        XSD_DOUBLE,
+        XSD_INTEGER,
+        quote_encode,
+    )
+
+    dtypes = np.full(n, DTYPE_STRING, dtype=object)
+    dtypes[is_b] = DTYPE_BOOLEAN
+    dtypes[is_i] = DTYPE_INTEGER
+    dtypes[is_f] = DTYPE_DOUBLE
+    n3 = np.empty(n, dtype=object)
+    for mask, xsd in ((is_b, XSD_BOOLEAN), (is_i, XSD_INTEGER), (is_f, XSD_DOUBLE)):
+        if mask.any():
+            n3[mask] = '"' + lex[mask] + '"^^<' + xsd + ">"
+    is_s = ~(is_b | is_i | is_f)
+    if is_s.any():
+        search = _NEEDS_ESCAPE.search
+        s_idx = np.flatnonzero(is_s)
+        dirty = np.fromiter((search(lex[i]) is not None for i in s_idx), bool, len(s_idx))
+        clean_idx = s_idx[~dirty]
+        n3[clean_idx] = '"' + lex[clean_idx] + '"'
+        for i in s_idx[dirty]:
+            n3[i] = quote_encode(lex[i])
+    return lex, dtypes, n3
 
 
 def _rowwise_fallback(spec, prep: pd.DataFrame, sides: Sides) -> dict:
@@ -140,7 +208,6 @@ def extract_kind_batch(
     if extractors is None:
         extractors = _DEFAULT_BATTERIES[kind]
     prep, n_bad = prepare(docs)
-    rows: list = []
     if len(prep) == 0:
         return pd.DataFrame(columns=TRIPLE_COLS), n_bad
 
@@ -149,6 +216,14 @@ def extract_kind_batch(
     u = urls.to_numpy(dtype=object)
     s = subjs.to_numpy(dtype=object)
     rowids = prep.index.to_numpy()  # per-input-row identity for the filter
+
+    # columnar accumulation: (row positions, pred array, flat values) chunks,
+    # rendered in ONE vectorized pass at the end — emission order (extractor,
+    # then pred, then row, then list element) matches the previous per-fact
+    # loop exactly, which local_dedup's keep="first" relies on.
+    chunk_pos: list = []
+    chunk_pred: list = []
+    chunk_val: list = []
 
     for spec in extractors:
         try:
@@ -166,13 +241,21 @@ def extract_kind_batch(
         dynamic = out.pop(DYNAMIC, None)
         for pred, series in out.items():
             vals = series.to_numpy(dtype=object)
-            for i in range(len(vals)):
-                v = vals[i]
-                if _is_null(v):
-                    continue
-                _emit(rows, u[i], s[i], pred, v, rowids[i])
+            keep = ~pd.isna(vals)  # lists/dicts/arrays are "present"
+            idx = np.flatnonzero(keep)
+            if len(idx) == 0:
+                continue
+            pos, flat = _flatten_values(idx, vals[idx])
+            if len(pos) == 0:
+                continue
+            chunk_pos.append(pos)
+            chunk_pred.append(np.full(len(pos), pred, dtype=object))
+            chunk_val.append(flat)
         if dynamic is not None:
             dvals = dynamic.to_numpy(dtype=object)
+            d_pos: list = []
+            d_pred: list = []
+            d_val: list = []
             for i in range(len(dvals)):
                 d = dvals[i]
                 if not isinstance(d, dict):
@@ -180,9 +263,38 @@ def extract_kind_batch(
                 for pred, v in d.items():
                     if _is_null(v):
                         continue
-                    _emit(rows, u[i], s[i], pred, v, rowids[i])
+                    vs = v if isinstance(v, (list, tuple, np.ndarray)) else [v]
+                    for _v in vs:
+                        d_pos.append(i)
+                        d_pred.append(pred)
+                        d_val.append(_v)
+            if d_pos:
+                chunk_pos.append(np.asarray(d_pos, dtype=np.int64))
+                p_arr = np.empty(len(d_pred), dtype=object)
+                p_arr[:] = d_pred
+                v_arr = np.empty(len(d_val), dtype=object)
+                v_arr[:] = d_val
+                chunk_pred.append(p_arr)
+                chunk_val.append(v_arr)
 
-    return pd.DataFrame(rows, columns=TRIPLE_COLS + ["_rowid"]), n_bad
+    if not chunk_pos:
+        return pd.DataFrame(columns=TRIPLE_COLS + ["_rowid"]), n_bad
+    pos = np.concatenate(chunk_pos)
+    preds = np.concatenate(chunk_pred)
+    vals = np.concatenate(chunk_val)
+    lex, dtypes, n3 = _render_values(vals)
+    triples = pd.DataFrame(
+        {
+            "url": u[pos],
+            "subj": s[pos],
+            "pred": preds,
+            "obj": lex,
+            "dtype": dtypes,
+            "obj_n3": n3,
+            "_rowid": rowids[pos],
+        }
+    )
+    return triples, n_bad
 
 
 def apply_valuable_filter(triples: pd.DataFrame) -> pd.DataFrame:
