@@ -26,6 +26,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a local fixture scan across cores.
+
+    The driver-generated test parquet files are single-row-group, so Spark
+    reads each as ONE task no matter what maxPartitionBytes says — fine for
+    cheap scans, serial death for compute-heavy operators (hashing, n-gram
+    explosion, dot products).  Production tables have row-group-sized splits
+    and parallelize at scan time; this repartition exists only to give the
+    local fixtures the same property.  Semantics-neutral (row order never
+    reaches results: every query aggregates, ranks, or sorts)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _us(col: str) -> F.Column:
     """Epoch microseconds from a (naive) parquet timestamp; the session TZ is
     pinned UTC so TIMESTAMP_NTZ -> TIMESTAMP preserves the wall-clock epoch,
@@ -430,10 +443,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over the FULL table (the round-1 doc_id<60 fence
+    is gone — the hot-shingle df_cap now bounds the shared-shingle join)."""
     from literature_to_facts_spark.datapipe.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
-    pairs = ngram_jaccard_pairs(docs, n_gram=2, threshold=0.08)
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(docs, n_gram=2, threshold=0.08, df_cap=100)
     return pairs.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -442,19 +457,41 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs (no SQL oracle: hash-family specific;
-    driver records the rows-only check; correctness is pytest-oracled)."""
+    """MinHash-LSH near-dup pairs.  Full SQL oracle: the md5-derived hash
+    family is computed identically by DuckDB, so candidate generation,
+    banding, the oversize fallback and Jaccard verification are all checked
+    end-to-end (rows+schema+hash), not just 'ran'."""
     from literature_to_facts_spark.datapipe.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.5)
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash fingerprints (no SQL oracle: bit-vote family; rows-only)."""
+    """SimHash fingerprints (md5 bit votes — full SQL oracle)."""
     from literature_to_facts_spark.datapipe.dedup import with_simhash
 
-    return with_simhash(_t(spark, sf_dir, "documents"))
+    return with_simhash(_spread(_t(spark, sf_dir, "documents"))).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("simhash").cast("bigint").alias("simhash"),
+    )
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Banded SimHash near-dup pairs (full SQL oracle)."""
+    from literature_to_facts_spark.datapipe.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(_spread(_t(spark, sf_dir, "documents")), max_hamming=8)
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
 
 
 def q_emb_cosine_topk(spark, sf_dir):
@@ -474,14 +511,40 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 
 def q_emb_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (no SQL oracle: hyperplane family; rows-only)."""
+    """LSH-bucketed ANN.  Full SQL oracle: the hyperplane constants are
+    inlined into the generated oracle SQL, so bucketing + scoring + ranking
+    are checked end-to-end."""
     from literature_to_facts_spark.datapipe.similarity import cosine_topk_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    return cosine_topk_lsh(spark, emb, queries, k=5, n_planes=6)
+    out = cosine_topk_lsh(spark, emb, queries, k=5, n_planes=6)
+    return out.select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cosine", 4).cast("double").alias("cosine_r4"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_emb_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN with deterministic hash-sampled centroids (full SQL
+    oracle — centroid choice, assignment, probing and ranking all mirrored)."""
+    from literature_to_facts_spark.datapipe.similarity import cosine_topk_ivf
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = cosine_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=3)
+    return out.select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cosine", 4).cast("double").alias("cosine_r4"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 def q_text_token_counts(spark, sf_dir):
@@ -548,13 +611,257 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_ivf": q_emb_ann_ivf,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
     }
+
+
+# ---------------------------------------------------------------------------
+# generated oracles for the hash/LSH family (portable md5-derived hashes:
+# DuckDB computes the identical fingerprints, so candidate generation is
+# checked end-to-end, not just the verified tail)
+# ---------------------------------------------------------------------------
+
+_H1 = "CAST('0x' || substr(md5({x}), 1, 13) AS BIGINT)"
+_H2 = "CAST('0x' || substr(md5({x}), 14, 7) AS BIGINT)"
+_H52B = "CAST('0x' || substr(md5({x}), 14, 13) AS BIGINT)"
+
+
+def _duck_shingles(n: int) -> str:
+    """DuckDB expression for the distinct word n-gram shingle list (mirrors
+    datapipe.dedup._shingles: split on single space, lowercase, whole text
+    as the only shingle when shorter than n tokens)."""
+    toks = "string_split(lower(text), ' ')"
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        f"ELSE [lower(text)] END)"
+    )
+
+
+def _minhash_oracle(
+    n_gram: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> str:
+    rpb = n_hashes // bands
+    mins = ",\n                   ".join(
+        f"MIN(h1 + {s} * h2) AS m{s}" for s in range(n_hashes)
+    )
+    banded = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"m{b * rpb + i}" for i in range(rpb))
+        + ") AS key FROM sig"
+        for b in range(bands)
+    )
+    h1 = _H1.format(x="sh")
+    h2 = _H2.format(x="sh")
+    return f"""
+            WITH sh AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest({_duck_shingles(n_gram)}) AS sh
+              FROM documents
+            ),
+            h AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh),
+            sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+            banded AS ({banded}),
+            bsize AS (SELECT band, key, COUNT(DISTINCT doc_id) AS n
+                      FROM banded GROUP BY band, key),
+            cand_small AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l
+              JOIN banded r ON l.band = r.band AND l.key = r.key
+                           AND l.doc_id < r.doc_id
+              JOIN bsize s ON s.band = l.band AND s.key = l.key
+              WHERE s.n BETWEEN 2 AND {max_bucket}
+            ),
+            over_members AS (
+              SELECT DISTINCT b.doc_id
+              FROM banded b JOIN bsize s ON s.band = b.band AND s.key = b.key
+              WHERE s.n > {max_bucket}
+            ),
+            cand_over AS (
+              SELECT mn AS id_a, doc_id AS id_b FROM (
+                SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                       MIN(CAST(d.doc_id AS BIGINT)) OVER (PARTITION BY md5(d.text)) AS mn
+                FROM documents d
+                JOIN over_members o ON CAST(d.doc_id AS BIGINT) = o.doc_id
+              ) WHERE doc_id > mn
+            ),
+            cands AS (
+              SELECT DISTINCT id_a, id_b FROM (
+                SELECT id_a, id_b FROM cand_small
+                UNION ALL SELECT id_a, id_b FROM cand_over)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT i.id_a, i.id_b,
+                   ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+        """
+
+
+def _simhash_core_sql() -> str:
+    """WITH-clause body computing agg(doc_id, n, c0..c63) bit-vote counts."""
+    hlo = _H1.format(x="tk")
+    hhi = _H52B.format(x="tk")
+    sums = []
+    for b in range(64):
+        src, off = ("hlo", b) if b < 52 else ("hhi", b - 52)
+        sums.append(f"SUM(({src} >> {off}) & 1) AS c{b}")
+    sums_sql = ",\n                     ".join(sums)
+    return f"""
+            t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         unnest(string_split(lower(text), ' ')) AS tk
+                  FROM documents),
+            h AS (SELECT doc_id, {hlo} AS hlo, {hhi} AS hhi FROM t),
+            agg AS (SELECT doc_id, COUNT(*) AS n,
+                     {sums_sql}
+                    FROM h GROUP BY doc_id)
+    """
+
+
+def _simhash_fp_terms(flag: str) -> str:
+    """Fingerprint as pure arithmetic over 0/1 flag expressions: bit 63 is
+    the (negative) long min so the sum never overflows a signed 64-bit int.
+    ``flag`` is a format string producing the flag expression for bit {b}."""
+    terms = [f"({flag.format(b=b)} * {1 << b})" for b in range(63)]
+    terms.append(f"({flag.format(b=63)} * (-9223372036854775807 - 1))")
+    return " + ".join(terms)
+
+
+def _simhash_oracle() -> str:
+    flag = "(CASE WHEN 2 * c{b} > n THEN 1 ELSE 0 END)"
+    return f"""
+            WITH {_simhash_core_sql()}
+            SELECT doc_id, CAST({_simhash_fp_terms(flag)} AS BIGINT) AS simhash
+            FROM agg
+        """
+
+
+def _simhash_pairs_oracle(max_hamming: int = 8, max_bucket: int = 1000) -> str:
+    flags = ", ".join(
+        f"CASE WHEN 2 * c{b} > n THEN 1 ELSE 0 END AS f{b}" for b in range(64)
+    )
+    keys = ", ".join(
+        " + ".join(f"(f{16 * j + i} * {1 << i})" for i in range(16)) + f" AS k{j}"
+        for j in range(4)
+    )
+    banded = "\n              UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band, k{j} AS key FROM sims" for j in range(4)
+    )
+    return f"""
+            WITH {_simhash_core_sql()},
+            flags AS (SELECT doc_id, n, {flags} FROM agg),
+            sims AS (SELECT doc_id,
+                            CAST({_simhash_fp_terms("f{b}")} AS BIGINT) AS simhash,
+                            {keys}
+                     FROM flags),
+            banded AS ({banded}),
+            bsize AS (SELECT band, key, COUNT(DISTINCT doc_id) AS n
+                      FROM banded GROUP BY band, key)
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+            FROM banded l
+            JOIN banded r ON l.band = r.band AND l.key = r.key
+                         AND l.doc_id < r.doc_id
+            JOIN bsize s ON s.band = l.band AND s.key = l.key
+            WHERE s.n BETWEEN 2 AND {max_bucket}
+              AND bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+        """
+
+
+def _ann_lsh_oracle(k: int = 5, n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    from literature_to_facts_spark.datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def bucket(col: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(str(x) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({lit}::DOUBLE[], {col}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+            WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                              embedding::DOUBLE[] AS e,
+                              {bucket("embedding::DOUBLE[]")} AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM v WHERE vec_id < 3),
+            scored AS (
+              SELECT q.q_id, v.vec_id,
+                     ROUND(list_dot_product(q.qe, v.e) /
+                       (sqrt(list_dot_product(q.qe, q.qe)) *
+                        sqrt(list_dot_product(v.e, v.e))), 6) AS c6
+              FROM v JOIN q USING (bucket)
+            )
+            SELECT q_id, vec_id, ROUND(c6, 4) AS cosine_r4, CAST(rnk AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                               ORDER BY c6 DESC, vec_id ASC) AS rnk
+                  FROM scored)
+            WHERE rnk <= {k}
+        """
+
+
+def _ann_ivf_oracle(
+    k: int = 5, n_centroids: int = 8, nprobe: int = 3, sample_mod: int = 8
+) -> str:
+    h = _H1.format(x="CAST(vec_id AS VARCHAR)")
+    return f"""
+            WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                              embedding::DOUBLE[] AS e
+                       FROM embeddings),
+            cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+                     WHERE {h} % {sample_mod} = 0
+                     ORDER BY vec_id LIMIT {n_centroids}),
+            assign AS (
+              SELECT vec_id, e, centroid_id FROM (
+                SELECT v.vec_id, v.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY list_dot_product(v.e, c.ce) DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, cent c) WHERE rn = 1),
+            probes AS (
+              SELECT q_id, qe, centroid_id FROM (
+                SELECT q.vec_id AS q_id, q.e AS qe, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_dot_product(q.e, c.ce) DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v q, cent c WHERE q.vec_id < 3) WHERE rn <= {nprobe}),
+            scored AS (
+              SELECT p.q_id, a.vec_id,
+                     ROUND(list_dot_product(p.qe, a.e) /
+                       (sqrt(list_dot_product(p.qe, p.qe)) *
+                        sqrt(list_dot_product(a.e, a.e))), 6) AS c6
+              FROM probes p JOIN assign a USING (centroid_id))
+            SELECT q_id, vec_id, ROUND(c6, 4) AS cosine_r4, CAST(rnk AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                               ORDER BY c6 DESC, vec_id ASC) AS rnk
+                  FROM scored)
+            WHERE rnk <= {k}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -761,15 +1068,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_ngram_jaccard": f"""
-            WITH sh AS (
+            WITH sh0 AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,
                      unnest(list_distinct(
                        CASE WHEN len({toks}) >= 2 THEN
                          list_transform(range(1, len({toks})),
                                         i -> array_to_string({toks}[i:i+1], ' '))
                        ELSE [lower(text)] END)) AS sh
-              FROM documents WHERE doc_id < 60
+              FROM documents
             ),
+            hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > 100),
+            sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
             sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
             inter AS (
               SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_inter
@@ -871,7 +1180,12 @@ def oracle_sql() -> dict[str, str]:
                      + least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
             FROM m
         """,
-        # dedup_minhash_lsh, dedup_simhash, emb_ann_lsh: hash-family-specific
-        # (xxhash64 / hyperplane seeds) — intentionally no SQL oracle; the
-        # driver records rows-only checks and pytest oracles cover semantics.
+        # generated oracles: md5-derived hash family + inlined hyperplane
+        # constants make the full LSH/ANN pipelines engine-portable (round 1
+        # recorded these as no_oracle)
+        "dedup_minhash_lsh": _minhash_oracle(n_gram=3, threshold=0.5),
+        "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=8),
+        "emb_ann_lsh": _ann_lsh_oracle(k=5, n_planes=6),
+        "emb_ann_ivf": _ann_ivf_oracle(k=5, n_centroids=8, nprobe=3),
     }

@@ -56,11 +56,9 @@ def test_oracle_keys_subset():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    # most queries must be oracled; only hash-family ops may be rows-only
-    unoracled = set(q) - set(o)
-    assert unoracled <= {
-        "dedup_minhash_lsh", "dedup_simhash", "emb_ann_lsh",
-    }
+    # every query has a full DuckDB oracle (the md5-derived hash family and
+    # inlined hyperplane constants made the LSH/ANN pipelines portable)
+    assert set(q) == set(o)
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
