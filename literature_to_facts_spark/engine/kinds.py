@@ -21,6 +21,22 @@ ATEL_URL_PREFIX = "https://www.astronomerstelegram.org/?read="
 ARXIV_URL_PREFIX = "http://arxiv.org/abs/"
 
 
+# Plugin document kinds (the reference lets plugin modules introduce new
+# input *types*; here a plugin kind is a url prefix + a type name used by the
+# problematic-identity fallback, facts/core.py:54).  Keyed by kind name.
+PLUGIN_KINDS: dict[str, dict] = {}
+
+
+def register_plugin_kind(kind: str, url_prefix: str, type_name: str) -> None:
+    if kind in (KIND_GCN, KIND_ATEL, KIND_ARXIV, KIND_OTHER):
+        raise ValueError(f"{kind!r} is a built-in kind")
+    PLUGIN_KINDS[kind] = {"prefix": url_prefix, "type_name": type_name}
+
+
+def unregister_plugin_kind(kind: str) -> None:
+    PLUGIN_KINDS.pop(kind, None)
+
+
 def classify_url(url: str) -> str:
     """Plain-Python classifier (shim / corpus side)."""
     if url.startswith(GCN_URL_PREFIX):
@@ -29,17 +45,26 @@ def classify_url(url: str) -> str:
         return KIND_ATEL
     if url.startswith(ARXIV_URL_PREFIX):
         return KIND_ARXIV
+    for kind, meta in PLUGIN_KINDS.items():
+        if url.startswith(meta["prefix"]):
+            return kind
     return KIND_OTHER
 
 
 def kind_column(url: Column) -> Column:
-    """Spark-native kind classifier (whole-stage-codegen friendly)."""
-    return (
+    """Spark-native kind classifier (whole-stage-codegen friendly).
+
+    Built dynamically so driver-registered plugin kinds participate; the
+    when-chain is evaluated at plan time, so the snapshot travels with the
+    plan like any literal."""
+    col = (
         F.when(url.startswith(GCN_URL_PREFIX), F.lit(KIND_GCN))
         .when(url.startswith(ATEL_URL_PREFIX), F.lit(KIND_ATEL))
         .when(url.startswith(ARXIV_URL_PREFIX), F.lit(KIND_ARXIV))
-        .otherwise(F.lit(KIND_OTHER))
     )
+    for kind, meta in PLUGIN_KINDS.items():
+        col = col.when(url.startswith(meta["prefix"]), F.lit(kind))
+    return col.otherwise(F.lit(KIND_OTHER))
 
 
 def with_kind(docs: DataFrame) -> DataFrame:

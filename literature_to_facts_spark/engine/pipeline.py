@@ -35,6 +35,7 @@ from literature_to_facts_spark.extractors.atel import ATEL_BATCH_EXTRACTORS, pre
 from literature_to_facts_spark.extractors.base import DYNAMIC, Sides
 from literature_to_facts_spark.extractors.gcn import (
     GCN_BATCH_EXTRACTORS,
+    prepare_ads_side,
     prepare_amon_side,
     prepare_gcn,
 )
@@ -75,8 +76,25 @@ def snapshot_batteries() -> dict:
 
     Executors run separate Python processes that re-import the modules, so
     driver-side registry mutations (extractors/registry.py) must travel with
-    the job — the snapshot is cloudpickled into the mapInPandas closure."""
-    return {k: list(v) for k, v in _DEFAULT_BATTERIES.items()}
+    the job — the snapshot is cloudpickled into the mapInPandas closure.
+    Includes plugin kinds registered via registry.register_kind."""
+    from literature_to_facts_spark.extractors import registry
+
+    out = {k: list(v) for k, v in _DEFAULT_BATTERIES.items()}
+    for kind in registry._BATTERIES:
+        if kind not in out:
+            out[kind] = registry.battery(kind)
+    return out
+
+
+def snapshot_preparers() -> dict:
+    """Plan-time snapshot of preparers: built-in module preparers + plugin
+    preparers (incl. the problematic-identity fallback closures)."""
+    from literature_to_facts_spark.extractors import registry
+
+    out = dict(_PREPARERS)
+    out.update(registry.plugin_preparers())
+    return out
 
 
 def _is_null(v) -> bool:
@@ -197,14 +215,18 @@ def _rowwise_fallback(spec, prep: pd.DataFrame, sides: Sides) -> dict:
 
 
 def extract_kind_batch(
-    kind: str, docs: pd.DataFrame, sides: Sides, extractors: Optional[list] = None
+    kind: str,
+    docs: pd.DataFrame,
+    sides: Sides,
+    extractors: Optional[list] = None,
+    preparer=None,
 ) -> tuple[pd.DataFrame, int]:
     """Run the full extractor battery for one kind over one batch.
 
     Returns (long-format triples incl. non-valuable, n_identity_failures);
     the valuable filter is applied by the caller per document.
     """
-    prepare = _PREPARERS[kind]
+    prepare = preparer if preparer is not None else _PREPARERS[kind]
     if extractors is None:
         extractors = _DEFAULT_BATTERIES[kind]
     prep, n_bad = prepare(docs)
@@ -319,6 +341,7 @@ def extract_batch(
     sides: Sides,
     local_dedup: bool = False,
     batteries: Optional[dict] = None,
+    preparers: Optional[dict] = None,
 ) -> pd.DataFrame:
     """documents batch (url, text, kind) -> valuable triples batch.
 
@@ -330,12 +353,16 @@ def extract_batch(
     rule needs raw counts).
     """
     parts = []
-    for kind in (KIND_GCN, KIND_ATEL, KIND_ARXIV):
+    kinds = [KIND_GCN, KIND_ATEL, KIND_ARXIV]
+    if batteries:  # plugin kinds after the built-ins, registration order
+        kinds += [k for k in batteries if k not in kinds]
+    for kind in kinds:
         sub = docs[docs["kind"] == kind]
         if len(sub) == 0:
             continue
         extractors = batteries.get(kind) if batteries else None
-        triples, _ = extract_kind_batch(kind, sub, sides, extractors)
+        preparer = preparers.get(kind) if preparers else None
+        triples, _ = extract_kind_batch(kind, sub, sides, extractors, preparer)
         parts.append(apply_valuable_filter(triples))
     if not parts:
         return pd.DataFrame(columns=TRIPLE_COLS)
@@ -357,19 +384,25 @@ def make_sides(
         amon=prepare_amon_side(amon_notices)
         if amon_notices is not None and len(amon_notices)
         else pd.DataFrame(columns=["url", "fields", "isot", "invalid"]),
-        ads=ads_authors if ads_authors is not None else pd.DataFrame(columns=["subject"]),
+        ads=prepare_ads_side(ads_authors),
     )
 
 
 def relevant_docs(docs: DataFrame) -> DataFrame:
     """Prune to extractable kinds with pushable url-prefix predicates and
-    prune columns to (url, text) — never reads ``html``."""
+    prune columns to (url, text) — never reads ``html``.  Plugin-kind
+    prefixes participate (snapshotted at plan time)."""
+    from literature_to_facts_spark.engine.kinds import PLUGIN_KINDS
+
+    cond = (
+        F.col("url").startswith(GCN_URL_PREFIX)
+        | F.col("url").startswith(ATEL_URL_PREFIX)
+        | F.col("url").startswith(ARXIV_URL_PREFIX)
+    )
+    for meta in PLUGIN_KINDS.values():
+        cond = cond | F.col("url").startswith(meta["prefix"])
     return (
-        docs.where(
-            F.col("url").startswith(GCN_URL_PREFIX)
-            | F.col("url").startswith(ATEL_URL_PREFIX)
-            | F.col("url").startswith(ARXIV_URL_PREFIX)
-        )
+        docs.where(cond)
         .select("url", "text")
         .withColumn("kind", kind_column(F.col("url")))
     )
@@ -398,12 +431,17 @@ def extract_triples(
     bc = spark.sparkContext.broadcast(sides)
     local_dedup = dedup and map_side_dedup
     batteries = snapshot_batteries()  # carries driver-registered plugins
+    preparers = snapshot_preparers()  # incl. problematic-identity fallbacks
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local_sides = bc.value
         for pdf in batches:
             out = extract_batch(
-                pdf, local_sides, local_dedup=local_dedup, batteries=batteries
+                pdf,
+                local_sides,
+                local_dedup=local_dedup,
+                batteries=batteries,
+                preparers=preparers,
             )
             if len(out):
                 yield out

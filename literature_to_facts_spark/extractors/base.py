@@ -53,3 +53,30 @@ class ExtractorSpec:
 
 def empty_obj(index) -> pd.Series:
     return pd.Series([None] * len(index), index=index, dtype=object)
+
+
+def make_problematic_preparer(type_name: str) -> Callable:
+    """Preparer for a plugin kind with NO identity extractor.
+
+    The reference mints ``paper#problematic<TypeName><sha224(repr(v))[:8]>``
+    as the subject when no identity workflow exists for an input type
+    (facts/core.py:54 ``workflow_id`` default); built-in kinds never hit it
+    (their identities are registered and re-raise on failure), but plugin
+    kinds without identity must keep emitting facts under the problematic
+    subject rather than being dropped.
+    """
+    import hashlib
+
+    ns = "http://odahub.io/ontology/paper#problematic"
+
+    def prepare(docs: pd.DataFrame) -> tuple[pd.DataFrame, int]:
+        prep = pd.DataFrame(index=docs.index)
+        prep["url"] = docs["url"]
+        prep["text"] = docs["text"]
+        prep["subj"] = [
+            ns + type_name + hashlib.sha224(repr(t).encode()).hexdigest()[:8]
+            for t in docs["text"]
+        ]
+        return prep, 0
+
+    return prepare

@@ -393,6 +393,18 @@ def x_afterglow(p: pd.DataFrame, side: Sides) -> dict:
     }
 
 
+def prepare_ads_side(ads: pd.DataFrame) -> pd.DataFrame:
+    """ADS strictness (adsabs.py:31 ``assert len(docs) == 1``): the raw side
+    table holds one row per ADS response doc; only subjects with EXACTLY one
+    doc yield authors — an ambiguous answer makes the reference's assert
+    raise, so the workflow contributes no facts for that subject.  Filtering
+    here (driver side, once) keeps the executor join a plain key lookup."""
+    if ads is None or not len(ads):
+        return pd.DataFrame(columns=["subject", "gcn_authors"])
+    n = ads.groupby("subject")["subject"].transform("size")
+    return ads[n == 1].copy()
+
+
 # --- IceCube -----------------------------------------------------------------
 
 def prepare_amon_side(amon: pd.DataFrame) -> pd.DataFrame:

@@ -57,3 +57,45 @@ def unregister_extractor(kind: str, name: str) -> bool:
     before = len(lst)
     lst[:] = [s for s in lst if s.name != name]
     return len(lst) < before
+
+
+# Preparers for plugin kinds (built-in kinds keep their module preparers in
+# engine/pipeline._PREPARERS).  Snapshot together with the batteries so the
+# mapInPandas closure carries them to executors.
+_PLUGIN_PREPARERS: dict[str, Callable] = {}
+
+
+def register_kind(
+    kind: str,
+    url_prefix: str,
+    type_name: Optional[str] = None,
+    identity: Optional[Callable] = None,
+) -> None:
+    """Introduce a whole new document kind (the reference's plugin-module
+    input-type pattern, facts/learn.py:42-44).
+
+    ``identity``: optional preparer ``docs -> (prep, n_bad)`` establishing
+    per-doc subjects.  When omitted, the reference's problematic-identity
+    fallback applies: facts are emitted under
+    ``paper#problematic<TypeName><sha224(repr(text))[:8]>``
+    (facts/core.py:54) instead of the kind being dropped.
+    """
+    from literature_to_facts_spark.engine import kinds as kinds_mod
+    from literature_to_facts_spark.extractors.base import make_problematic_preparer
+
+    tname = type_name or (kind.capitalize() + "Text")
+    kinds_mod.register_plugin_kind(kind, url_prefix, tname)
+    _BATTERIES.setdefault(kind, [])
+    _PLUGIN_PREPARERS[kind] = identity or make_problematic_preparer(tname)
+
+
+def unregister_kind(kind: str) -> None:
+    from literature_to_facts_spark.engine import kinds as kinds_mod
+
+    kinds_mod.unregister_plugin_kind(kind)
+    _BATTERIES.pop(kind, None)
+    _PLUGIN_PREPARERS.pop(kind, None)
+
+
+def plugin_preparers() -> dict[str, Callable]:
+    return dict(_PLUGIN_PREPARERS)

@@ -48,6 +48,19 @@ def quote_encode(s: str) -> str:
     )
 
 
+def quote_encode_column(col):
+    """Spark Column version of :func:`quote_encode` (same escape set and
+    order: backslash, newline, quote, carriage return) — literal ``replace``,
+    no regex, so backslashes need no double-escaping."""
+    from pyspark.sql import functions as F
+
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.concat(F.lit('"'), out, F.lit('"'))
+
+
 def quote_decode(s: str) -> str:
     """Inverse of :func:`quote_encode` for a quoted body (without quotes)."""
     out = []

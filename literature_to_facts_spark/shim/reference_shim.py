@@ -560,11 +560,19 @@ def x_authors(text: str, side: SideTables) -> dict:
 def x_gcn_ads_data(text: str, side: SideTables) -> dict:
     """adsabs.py:14-38 plugin — ADS query replaced by a side table keyed on
     the (stripped) SUBJECT from gcn_meta; only subjects containing the
-    case-sensitive substring "INTEGRAL" are looked up (adsabs.py:19)."""
+    case-sensitive substring "INTEGRAL" are looked up (adsabs.py:19).
+
+    Side values may be a list (one entry per ADS response doc): the
+    reference asserts exactly one doc (adsabs.py:31), so an ambiguous
+    response raises — the extractor contributes no facts.  A plain string
+    means one doc (back-compat fixture shape)."""
     m = gcn_meta_fields(text)
     if "INTEGRAL" in m["SUBJECT"]:
-        authors = side.ads_authors[m["SUBJECT"]]  # KeyError == lookup failure
-        return dict(gcn_authors=authors)
+        docs = side.ads_authors[m["SUBJECT"]]  # KeyError == lookup failure
+        if isinstance(docs, str):
+            docs = [docs]
+        assert len(docs) == 1  # adsabs.py:31 — ambiguous ADS answer -> raise
+        return dict(gcn_authors=docs[0])
     return {}
 
 
@@ -763,6 +771,34 @@ KIND_TABLES = {
     "arxiv": (arxiv_identity, ARXIV_EXTRACTORS),
 }
 
+# plugin kinds: kind -> (identity_fn_or_None, extractors, type_name).
+# identity None models an input type with NO identity workflow: the
+# reference's workflow_id default then mints the problematic subject
+# (facts/core.py:54) instead of failing.
+PLUGIN_KIND_TABLES: dict[str, tuple] = {}
+
+
+def register_shim_kind(
+    kind: str, extractors: list, type_name: str, identity_fn: Optional[Callable] = None
+) -> None:
+    PLUGIN_KIND_TABLES[kind] = (identity_fn, extractors, type_name)
+
+
+def unregister_shim_kind(kind: str) -> None:
+    PLUGIN_KIND_TABLES.pop(kind, None)
+
+
+def problematic_id(type_name: str, doc) -> str:
+    """facts/core.py:54: ``paper#problematic<TypeName><sha224(repr(v))[:8]>``."""
+    import hashlib
+
+    return (
+        PAPER_NS
+        + "#problematic"
+        + type_name
+        + hashlib.sha224(repr(doc).encode()).hexdigest()[:8]
+    )
+
 
 def gcn_extractors():
     return GCN_EXTRACTORS
@@ -788,8 +824,15 @@ def extract_doc_facts(kind: str, doc, side: Optional[SideTables] = None) -> tupl
       ``mentions`` appears in any joined triple line (facts/core.py:121-123).
     """
     side = side or SideTables()
-    identity_fn, extractors = KIND_TABLES[kind]
-    subj_uri = identity_fn(doc)
+    if kind in KIND_TABLES:
+        identity_fn, extractors = KIND_TABLES[kind]
+        subj_uri = identity_fn(doc)  # raises -> doc unprocessable
+    else:
+        identity_fn, extractors, type_name = PLUGIN_KIND_TABLES[kind]
+        if identity_fn is not None:
+            subj_uri = identity_fn(doc)  # reference re-raises identity errors
+        else:
+            subj_uri = problematic_id(type_name, doc)  # facts/core.py:54
     ns, cid = subj_uri.split("#")
     subj = f"<{ns}#{cid}>"
 

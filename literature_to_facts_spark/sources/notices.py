@@ -77,13 +77,18 @@ def notices_to_triples(spark: SparkSession, entries: pd.DataFrame) -> DataFrame:
 def notices_turtle(triples: DataFrame) -> str:
     """Turtle text: prefix header + one statement per triple (semantically
     the reference's rdflib Turtle serialization; formatting is N-Triples
-    style, a Turtle subset)."""
+    style, a Turtle subset).  Object literals use the full rdflib escape set
+    (backslash, newline, quote, carriage return — functions/literals
+    quote_encode), so cell values with embedded backslashes/newlines still
+    serialize to valid Turtle."""
+    from literature_to_facts_spark.functions.literals import quote_encode_column
+
     rows = triples.select(
         F.concat_ws(
             " ",
             F.concat(F.lit("<"), F.col("subj"), F.lit(">")),
             F.concat(F.lit("<" + NOTICE_NS), F.col("pred"), F.lit(">")),
-            F.concat(F.lit('"'), F.regexp_replace("obj", '"', '\\\\"'), F.lit('"')),
+            quote_encode_column(F.col("obj")),
             F.lit("."),
         ).alias("line")
     ).collect()

@@ -226,3 +226,40 @@ def test_corpus_text_invariant():
         assert row["text"] == row["html"].decode("ascii", "replace")
     # at least one doc actually exercises the replacement character
     assert any("�" in t for t in docs["text"])
+
+
+def test_ads_strictness_ambiguous_response():
+    """adsabs.py:31 ``assert len(docs) == 1``: an ADS answer with two docs
+    for the SUBJECT yields NO gcn_authors fact (the reference raises inside
+    the workflow); exactly one doc yields it.  Covers shim and the Spark
+    side-table prep."""
+    import pandas as pd
+
+    from literature_to_facts_spark.extractors.gcn import prepare_ads_side
+
+    subj = "GRB 220101A: INTEGRAL SPI-ACS observation of a burst"
+    text = cp.gcn_text(
+        77001, subj, "Sat, 01 Jan 22 12:00:00 GMT",
+        "INTEGRAL mentions GRB 220101A in this burst report.",
+    )
+
+    # shim: one doc -> fact; two docs -> assert -> extractor swallowed
+    side_one = rs.SideTables(ads_authors={subj: ["X. One; Y. Two"]})
+    side_two = rs.SideTables(ads_authors={subj: ["X. One", "Z. Other"]})
+    _, t1 = rs.extract_doc_facts("gcn", text, side_one)
+    _, t2 = rs.extract_doc_facts("gcn", text, side_two)
+    # the header `authors` extractor also emits gcn_authors, so assert on the
+    # ADS-injected VALUES specifically
+    assert any("X. One; Y. Two" in o for _s, _p, o in t1)
+    assert not any(("X. One" in o or "Z. Other" in o) for _s, _p, o in t2)
+
+    # Spark side-table prep: ambiguous subjects are filtered out up front
+    raw = pd.DataFrame(
+        [
+            {"subject": subj, "gcn_authors": "X. One"},
+            {"subject": subj, "gcn_authors": "Z. Other"},
+            {"subject": "other INTEGRAL subject", "gcn_authors": "U. Unique"},
+        ]
+    )
+    prepped = prepare_ads_side(raw)
+    assert list(prepped["subject"]) == ["other INTEGRAL subject"]

@@ -155,3 +155,22 @@ def test_fuzz_parity_other_seeds(seed, ):
         sorted(golden - got)[:5],
     )
     assert len(golden) > 500
+
+
+def test_notices_turtle_escapes_fully(spark):
+    """Backslash/newline/CR in a cell value must serialize to valid Turtle
+    with the full rdflib escape set (quote-only escaping produced invalid
+    output for such values)."""
+    from literature_to_facts_spark.functions.literals import quote_encode
+
+    nasty = 'path\\to "x"\nline2\rtail'
+    df = spark.createDataFrame(
+        [("http://odahub.io/ontology/paper#swift_notice_trigger_1", "swift_trig", nasty)],
+        "subj string, pred string, obj string",
+    )
+    from literature_to_facts_spark.sources.notices import notices_turtle
+
+    ttl = notices_turtle(df)
+    line = [l for l in ttl.splitlines() if l.startswith("<")][0]
+    assert quote_encode(nasty) in line
+    assert "\n" not in line and "\r" not in line  # one statement per line
