@@ -684,23 +684,17 @@ def _minhash_oracle(
               JOIN bsize s ON s.band = l.band AND s.key = l.key
               WHERE s.n BETWEEN 2 AND {max_bucket}
             ),
-            over_members AS (
-              SELECT DISTINCT b.doc_id
-              FROM banded b JOIN bsize s ON s.band = b.band AND s.key = b.key
-              WHERE s.n > {max_bucket}
-            ),
-            cand_over AS (
+            cand_exact AS (
               SELECT mn AS id_a, doc_id AS id_b FROM (
                 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                        MIN(CAST(d.doc_id AS BIGINT)) OVER (PARTITION BY md5(d.text)) AS mn
                 FROM documents d
-                JOIN over_members o ON CAST(d.doc_id AS BIGINT) = o.doc_id
               ) WHERE doc_id > mn
             ),
             cands AS (
               SELECT DISTINCT id_a, id_b FROM (
                 SELECT id_a, id_b FROM cand_small
-                UNION ALL SELECT id_a, id_b FROM cand_over)
+                UNION ALL SELECT id_a, id_b FROM cand_exact)
             ),
             sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
             inter AS (

@@ -163,12 +163,16 @@ def minhash_lsh_pairs(
     verification join is by doc_id (hash join on ids, AQE-skew-safe).
 
     Oversized buckets (> max_bucket members — boilerplate/spam clusters,
-    exactly the content dedup exists for) are NOT dropped: they fall back to
-    exact-text clustering, emitting canonical-star pairs (min id -> member)
-    per byte-identical group — linear in the cluster size instead of
-    quadratic.  Near-but-not-exact duplicates inside an oversized bucket are
-    the only recall loss; :func:`lsh_bucket_stats` reports how much content
-    took the fallback path.
+    exactly the content dedup exists for) are NOT silently dropped: a global
+    exact-text star-pair pass (md5 groupBy: one cheap scan, linear in
+    cluster size) runs alongside the LSH path, so byte-identical spam
+    clusters of ANY size always produce pairs.  Near-but-not-exact
+    duplicates inside an oversized bucket are the only recall loss;
+    :func:`lsh_bucket_stats` reports how much content hit the cap.  (The
+    exact pass is global rather than restricted to oversized-bucket members
+    so the expensive signature subtree has exactly ONE consumer — a
+    members-of-oversized-buckets filter would re-execute signature
+    computation, which Spark does not exchange-reuse across the union.)
     """
     sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
     banded = _banded(sigs, n_hashes, bands)
@@ -188,26 +192,16 @@ def minhash_lsh_pairs(
         ).alias("p")
     ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
 
-    # oversized buckets -> exact-text star pairs (cheap, linear)
-    over_members = (
-        buckets.where(F.size("ids") > max_bucket)
-        .select(F.explode("ids").alias("doc_id"))
-        .distinct()
-    )
-    cand_over = (
-        over_members.join(
-            docs.select(
-                F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("th")
-            ),
-            on="doc_id",
-        )
+    # global exact-text star pairs (covers oversized-bucket clusters)
+    cand_exact = (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("th"))
         .groupBy("th")
         .agg(F.min("doc_id").alias("id_a"), F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .select("id_a", F.explode("ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
     )
 
-    candidates = cand_small.unionByName(cand_over).distinct()
+    candidates = cand_small.unionByName(cand_exact).distinct()
 
     # verify with exact shingle Jaccard (exact-text pairs verify at 1.0)
     sh = docs.select(
