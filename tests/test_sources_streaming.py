@@ -174,3 +174,92 @@ def test_notices_turtle_escapes_fully(spark):
     line = [l for l in ttl.splitlines() if l.startswith("<")][0]
     assert quote_encode(nasty) in line
     assert "\n" not in line and "\r" not in line  # one statement per line
+
+
+def test_stateful_stream_dedup_across_runs(spark, tmp_path):
+    """applyInPandasWithState dedup: first occurrence per text hash passes;
+    duplicates are dropped within a batch, across batches, and across
+    RESTARTS (state lives in the checkpoint)."""
+    import pandas as pd
+
+    from literature_to_facts_spark.streaming.stateful import (
+        DEDUP_OUTPUT_SCHEMA,
+        dedup_stream_first_seen,
+    )
+
+    src = tmp_path / "docs"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+        pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).astype("datetime64[us]")
+        pdf.to_parquet(src / f"{name}.parquet")
+
+    def run_once():
+        docs = spark.readStream.schema(
+            "url string, warc_ts timestamp, text string"
+        ).parquet(str(src))
+        q = (
+            dedup_stream_first_seen(docs)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1", [
+        ("u1", "2026-01-01 00:00:00", "alpha text"),
+        ("u2", "2026-01-01 00:01:00", "alpha text"),   # in-batch dup
+        ("u3", "2026-01-01 00:02:00", "beta text"),
+    ])
+    run_once()
+    write_batch("b2", [
+        ("u4", "2026-01-01 01:00:00", "alpha text"),   # cross-run dup
+        ("u5", "2026-01-01 01:01:00", "gamma text"),   # new
+    ])
+    run_once()  # restart: state must come back from the checkpoint
+
+    got = spark.read.schema(DEDUP_OUTPUT_SCHEMA).parquet(str(out))
+    rows = {r["text"]: r["url"] for r in got.collect()}
+    assert got.count() == 3  # one per distinct text, ever
+    assert set(rows) == {"alpha text", "beta text", "gamma text"}
+    assert rows["gamma text"] == "u5"
+    assert rows["alpha text"] in {"u1", "u2"}  # from run 1, not u4
+
+
+def test_windowed_doc_counts_watermark(spark):
+    """Event-time windowed counts: batch-mode equality against a plain
+    groupBy oracle (same column shape the streaming query produces)."""
+    import pandas as pd
+
+    from literature_to_facts_spark.streaming.stateful import windowed_doc_counts
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(6)],
+            "warc_ts": pd.to_datetime(
+                [
+                    "2026-01-01 00:10:00",
+                    "2026-01-01 00:50:00",
+                    "2026-01-01 01:10:00",
+                    "2026-01-01 01:20:00",
+                    "2026-01-01 01:20:00",
+                    "2026-01-01 02:05:00",
+                ]
+            ).astype("datetime64[us]"),
+            "lang": ["en", "en", "en", "de", "en", "en"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {
+        (str(r["win_start"]), r["lang"]): r["n_docs"]
+        for r in windowed_doc_counts(docs).collect()
+    }
+    assert got[("2026-01-01 00:00:00", "en")] == 2
+    assert got[("2026-01-01 01:00:00", "en")] == 2
+    assert got[("2026-01-01 01:00:00", "de")] == 1
+    assert got[("2026-01-01 02:00:00", "en")] == 1
