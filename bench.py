@@ -364,19 +364,19 @@ def write_baseline_md(result: dict) -> None:
         "batteries, minus rdflib/SPARQL-INSERT overhead the real reference "
         "also pays) does ~2,700 docs/s ≈ 47k triples/s on ONE core — an "
         "upper bound on reference single-node throughput.  This engine "
-        "matches that per core and multiplies by partition parallelism "
-        "(0.94 efficiency at 4x cores above), i.e. >= cores/1 x the "
-        "reference's best case.  Scale math: ~3k docs/s/core -> 10^12 docs "
-        "~= 1 day on 4,000 executor cores.",
+        "exceeds that per core and multiplies by partition parallelism "
+        "(efficiency table above), i.e. >= cores x the reference's best "
+        "case.  Scale math: ~5k docs/s/core -> 10^12 docs ~= 1 day on "
+        "~2,500 executor cores.",
         "",
         "## Local-mode scaling caveat (why N=2 -> 4N=8)",
         "",
         "Each unit of local[N] parallelism consumes ~2 cores (Python "
         "extraction worker + JVM Arrow feeder).  On this 32-core box, "
-        "8 -> 32 oversubscribes (measured 0.35 'efficiency' = contention, "
-        "extraction-only 8->32 = 0.41); 2 -> 8 leaves headroom on both "
-        "sides and isolates the engine's scaling (0.87-0.95 measured), "
-        "which is what N -> 4N separate executors see on a real cluster.",
+        "8 -> 32 oversubscribes and measures host contention (see the "
+        "supplemental probe above); 2 -> 8 leaves headroom on both sides "
+        "and isolates the engine's scaling, which is what N -> 4N separate "
+        "executors see on a real cluster.",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
