@@ -41,7 +41,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # cluster gives every executor its own cores, which 2->8-with-headroom models.
 LO_CPUS = int(os.environ.get("SPARK_GRAFT_LO_CPUS", "2"))
 HI_CPUS = int(os.environ.get("SPARK_GRAFT_HI_CPUS", "8"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000"))
 # fixed partition count across parallelism levels: on a real cluster the
 # split count comes from the input layout, not the executor count, and a
 # fixed count keeps per-batch amortization identical between the two runs

@@ -55,6 +55,22 @@ def empty_obj(index) -> pd.Series:
     return pd.Series([None] * len(index), index=index, dtype=object)
 
 
+def gated(p: pd.DataFrame, mask: pd.Series, compute: Callable) -> dict:
+    """Run ``compute`` on the masked row subset only; reindex outputs back.
+
+    For extractors whose every output is None unless a cheap literal marker
+    is present in the text (e.g. "INTEGRAL", "IceCube"), this turns K
+    expensive regex passes over the whole batch into one ``contains`` pass
+    plus K passes over the (usually small) candidate subset.  Semantically
+    invisible: non-candidates get NaN, exactly what the ungated extractor
+    emitted for them (pinned by the parity + fuzz suites)."""
+    mask = mask.fillna(False).astype(bool)
+    if not mask.any():
+        return {}
+    out = compute(p[mask])
+    return {k: v.reindex(p.index) for k, v in out.items()}
+
+
 def make_problematic_preparer(type_name: str) -> Callable:
     """Preparer for a plugin kind with NO identity extractor.
 

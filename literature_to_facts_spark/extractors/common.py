@@ -31,28 +31,51 @@ _CITE_COMPILED = {
 }
 
 
+def _literal_counts(texts: list, keyword: str) -> np.ndarray:
+    """Per-row non-overlapping literal substring counts (C-level str.count —
+    the keywords contain no regex metacharacters, so this equals the
+    reference's ``len(re.findall(keyword, text))``)."""
+    return np.fromiter(
+        (t.count(keyword) if isinstance(t, str) else 0 for t in texts),
+        np.int64,
+        len(texts),
+    )
+
+
 def mentions_keyword_batch(title: pd.Series, body: pd.Series) -> dict:
-    """facts/common.py:60-80, vectorized with ``Series.str.count``.
+    """facts/common.py:60-80.
 
     The value is "title" when the keyword appears in the title (title checked
     last, so it wins), else "body"; ``_times`` carries the BODY count ``n``
     whenever either count exceeds 1 (reference bug preserved).
+
+    Batch fast path: one concatenated-haystack membership test per keyword
+    skips keywords absent from the whole batch (output keys are only emitted
+    on a hit anyway), and present keywords count via C-level ``str.count``
+    instead of the regex engine.
     """
     out: dict = {}
+    t_list = title.tolist()
+    b_list = body.tolist()
+    hay = "\x00".join(x for x in b_list if isinstance(x, str)) + "\x00" + "\x00".join(
+        x for x in t_list if isinstance(x, str)
+    )
+    idx = body.index
     for keyword in RELEVANT_KEYWORDS:
+        if keyword not in hay:
+            continue
         k = keyword.lower()
-        n = body.str.count(keyword).fillna(0).astype(int)
-        nt = title.str.count(keyword).fillna(0).astype(int)
+        n = _literal_counts(b_list, keyword)
+        nt = _literal_counts(t_list, keyword)
         value = pd.Series(
             np.select([nt > 0, n > 0], ["title", "body"], default=None),
-            index=body.index,
+            index=idx,
             dtype=object,
         )
-        hit_times = ((n > 1) | (nt > 1)).to_numpy()
-        n_arr = n.to_numpy()
+        hit_times = (n > 1) | (nt > 1)
         times = pd.Series(
-            [int(n_arr[i]) if hit_times[i] else None for i in range(len(n_arr))],
-            index=body.index,
+            [int(n[i]) if hit_times[i] else None for i in range(len(n))],
+            index=idx,
             dtype=object,
         )
         if value.notna().any():
@@ -68,10 +91,17 @@ def arxiv_mentions_keyword_batch(
     """facts/arxiv.py:105-120: field loop title->summary; summary wins for
     both the value and (when its count > 1) the ``_times`` count."""
     out: dict = {}
+    t_list = title.tolist()
+    s_list = summary.tolist()
+    hay = "\x00".join(x for x in s_list if isinstance(x, str)) + "\x00" + "\x00".join(
+        x for x in t_list if isinstance(x, str)
+    )
     for keyword in keywords:
+        if keyword not in hay:
+            continue
         k = keyword.lower()
-        n_t = title.str.count(keyword).fillna(0).astype(int)
-        n_s = summary.str.count(keyword).fillna(0).astype(int)
+        n_t = _literal_counts(t_list, keyword)
+        n_s = _literal_counts(s_list, keyword)
         value = pd.Series(
             np.select([n_s > 0, n_t > 0], ["summary", "title"], default=None),
             index=title.index,
@@ -138,10 +168,22 @@ def cites_batch(title: pd.Series, body: pd.Series) -> dict:
         "gcn": [None] * len(idx),
     }
     for kind, rxs in _CITE_COMPILED.items():
+        prefixes = CITE_PREFIXES[kind]
         for text_series in (title, body):
-            for rx in rxs:
-                found = text_series.str.findall(rx)
-                for pos, matches in enumerate(found):
+            for rx, prefix in zip(rxs, prefixes):
+                # findall only where the literal prefix occurs (the pattern
+                # is `<prefix> *?#?(\d{3,})` under re.I — a row without the
+                # prefix cannot match); scan order preserved
+                mask = (
+                    text_series.str.contains(prefix, case=False, regex=False)
+                    .fillna(False)
+                    .to_numpy(dtype=bool)
+                )
+                if not mask.any():
+                    continue
+                positions = np.flatnonzero(mask)
+                found = text_series.iloc[positions].str.findall(rx)
+                for pos, matches in zip(positions, found):
                     if not isinstance(matches, list):
                         continue
                     for pid in matches:

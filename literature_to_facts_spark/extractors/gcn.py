@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 
 from literature_to_facts_spark.extractors import common as vcommon
-from literature_to_facts_spark.extractors.base import DYNAMIC, ExtractorSpec, Sides
+from literature_to_facts_spark.extractors.base import DYNAMIC, ExtractorSpec, Sides, gated
 from literature_to_facts_spark.functions.literals import PAPER_NS
 from literature_to_facts_spark.functions.textnorm import (
     collapse_nl_24_series,
@@ -253,8 +253,7 @@ def x_gcn_named(p: pd.DataFrame, side: Sides) -> dict:
 
 # --- LVC / INTEGRAL ----------------------------------------------------------
 
-def x_gcn_lvc_event(p: pd.DataFrame, side: Sides) -> dict:
-    """facts/gcn.py:248-265."""
+def _lvc_event_body(p: pd.DataFrame) -> dict:
     ev = p["text"].str.extract(r"SUBJECT: *(LIGO/Virgo.*?):", flags=re.I, expand=False)
     utc = p["t_ws"].str.extract(
         r"at (\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d*?) UTC", flags=re.I, expand=False
@@ -265,23 +264,48 @@ def x_gcn_lvc_event(p: pd.DataFrame, side: Sides) -> dict:
     }
 
 
+def x_gcn_lvc_event(p: pd.DataFrame, side: Sides) -> dict:
+    """facts/gcn.py:248-265.  Both outputs need "LIGO/Virgo" in the subject."""
+    return gated(
+        p, p["text"].str.contains("ligo/virgo", case=False, regex=False), _lvc_event_body
+    )
+
+
 def x_gcn_integral_lvc_countepart_search(p: pd.DataFrame, side: Sides) -> dict:
-    """facts/gcn.py:267-284 (fields independent)."""
-    ev = p["text"].str.extract(
-        r"SUBJECT: *(LIGO/Virgo.*?):.*INTEGRAL", flags=re.I, expand=False
+    """facts/gcn.py:267-284 (fields independent — gated separately: the event
+    regex needs "INTEGRAL", the T0 regex its own literal tail)."""
+    out: dict = {}
+    out.update(
+        gated(
+            p,
+            p["text"].str.contains("integral", case=False, regex=False),
+            lambda s: {
+                "original_event": s["text"]
+                .str.extract(r"SUBJECT: *(LIGO/Virgo.*?):.*INTEGRAL", flags=re.I, expand=False)
+                .str.strip()
+                .astype(object)
+            },
+        )
     )
-    t0 = p["text"].str.extract(
-        r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:[\d\.]+?) UTC, hereafter T0", expand=False
+    out.update(
+        gated(
+            p,
+            p["text"].str.contains("hereafter T0", regex=False),
+            lambda s: {
+                "original_event_utc": s["text"]
+                .str.extract(
+                    r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:[\d\.]+?) UTC, hereafter T0",
+                    expand=False,
+                )
+                .str.strip()
+                .astype(object)
+            },
+        )
     )
-    return {
-        "original_event": ev.str.strip().astype(object),
-        "original_event_utc": t0.str.strip().astype(object),
-    }
+    return out
 
 
-def x_gcn_integral_countepart_search(p: pd.DataFrame, side: Sides) -> dict:
-    """facts/gcn.py:287-318 (three fallback subject regexes; both event and
-    T0 required; acs/ibis sub-flags)."""
+def _integral_countepart_body(p: pd.DataFrame) -> dict:
     e1 = p["text"].str.extract(r"SUBJECT:(.*?):.*counterpart.*INTEGRAL", flags=re.I, expand=False)
     e2 = p["text"].str.extract(r"SUBJECT:(.*?):.*INTEGRAL.*counterpart.*", flags=re.I, expand=False)
     e3 = p["text"].str.extract(r"SUBJECT:(.*?):.*associated.*INTEGRAL.*", flags=re.I, expand=False)
@@ -304,41 +328,67 @@ def x_gcn_integral_countepart_search(p: pd.DataFrame, side: Sides) -> dict:
     }
 
 
+def x_gcn_integral_countepart_search(p: pd.DataFrame, side: Sides) -> dict:
+    """facts/gcn.py:287-318 (three fallback subject regexes; both event and
+    T0 required; acs/ibis sub-flags).  Every output needs "INTEGRAL" in the
+    text, so the five dot-star regexes run on that subset only."""
+    return gated(
+        p,
+        p["text"].str.contains("integral", case=False, regex=False),
+        _integral_countepart_body,
+    )
+
+
 def x_gcn_lvc_circular(p: pd.DataFrame, side: Sides) -> dict:
     """facts/gcn.py:418-426."""
-    g = p["text"].str.extract(
-        r"SUBJECT:.*?(LIGO/Virgo .*?): Identification", flags=re.I, expand=False
+    return gated(
+        p,
+        p["text"].str.contains("ligo/virgo", case=False, regex=False),
+        lambda s: {
+            "lvc_event_report": s["text"]
+            .str.extract(r"SUBJECT:.*?(LIGO/Virgo .*?): Identification", flags=re.I, expand=False)
+            .str.strip()
+            .astype(object)
+        },
     )
-    return {"lvc_event_report": g.str.strip().astype(object)}
 
 
 def x_gcn_lvc_integral_counterpart(p: pd.DataFrame, side: Sides) -> dict:
     """facts/gcn.py:510-518."""
-    hit = p["text"].str.contains(
-        r"SUBJECT:.*?(?:LIGO/Virgo .*?):.*INTEGRAL", flags=re.I
-    ).fillna(False)
-    return {
-        "lvc_counterpart_by": pd.Series(
-            np.where(hit, "INTEGRAL", None), index=p.index, dtype=object
-        )
-    }
+
+    def body(s: pd.DataFrame) -> dict:
+        hit = s["text"].str.contains(
+            r"SUBJECT:.*?(?:LIGO/Virgo .*?):.*INTEGRAL", flags=re.I
+        ).fillna(False)
+        return {
+            "lvc_counterpart_by": pd.Series(
+                np.where(hit, "INTEGRAL", None), index=s.index, dtype=object
+            )
+        }
+
+    return gated(p, p["text"].str.contains("integral", case=False, regex=False), body)
 
 
 def x_gcn_grb_integral_circular(p: pd.DataFrame, side: Sides) -> dict:
-    """facts/gcn.py:491-507 (event_t0 assembled from the GRB-name digits)."""
-    name = p["text"].str.extract(r"SUBJECT:.*?(GRB.*?):.*INTEGRAL.*", flags=re.I, expand=False)
-    t = p["text"].str.extract(r"(\d\d:\d\d:\d\d) +UT", flags=re.I, expand=False)
-    hit = name.notna() & t.notna()
-    grbname = name.str.strip()
-    date = grbname.str.replace("GRB", "", regex=False).str.strip()
-    utc = (
-        "20" + date.str.slice(0, 2) + "-" + date.str.slice(2, 4) + "-"
-        + date.str.slice(4, 6) + " " + t.str.strip()
-    )
-    return {
-        "integral_grb_report": grbname.where(hit, None).astype(object),
-        "event_t0": utc.where(hit, None).astype(object),
-    }
+    """facts/gcn.py:491-507 (event_t0 assembled from the GRB-name digits).
+    Both outputs require "INTEGRAL" in the subject line."""
+
+    def body(s: pd.DataFrame) -> dict:
+        name = s["text"].str.extract(r"SUBJECT:.*?(GRB.*?):.*INTEGRAL.*", flags=re.I, expand=False)
+        t = s["text"].str.extract(r"(\d\d:\d\d:\d\d) +UT", flags=re.I, expand=False)
+        hit = name.notna() & t.notna()
+        grbname = name.str.strip()
+        date = grbname.str.replace("GRB", "", regex=False).str.strip()
+        utc = (
+            "20" + date.str.slice(0, 2) + "-" + date.str.slice(2, 4) + "-"
+            + date.str.slice(4, 6) + " " + t.str.strip()
+        )
+        return {
+            "integral_grb_report": grbname.where(hit, None).astype(object),
+            "event_t0": utc.where(hit, None).astype(object),
+        }
+
+    return gated(p, p["text"].str.contains("integral", case=False, regex=False), body)
 
 
 # --- upper limits / afterglow ------------------------------------------------
@@ -352,22 +402,32 @@ def _float_from_ul(s: pd.Series) -> pd.Series:
 
 
 def x_integral_ul_old_variation(p: pd.DataFrame, side: Sides) -> dict:
-    """facts/gcn.py:429-450 (four fallback phrasings over collapsed text)."""
-    T = p["t_ws"]
-    r1 = T.str.extract(r"upper limit .*? ([\d\.e\-]*?) erg/cm.*? for a 1 s duration", expand=False)
-    r2 = T.str.extract(r"We find a limiting fluence of ([\d\.e\-]*?) erg/cm", flags=re.I, expand=False)
-    r3 = T.str.extract(r"([\d\.e\-]*?) erg/cm2 for 1 s", expand=False)
-    r4 = T.str.extract(r"limiting peak flux is ~([\d\.e\-\^x]*?) erg/cm.*? at 1 s time scale", expand=False)
-    merged = r1.fillna(r2).fillna(r3).fillna(r4)
-    return {"integral_ul": _float_from_ul(merged)}
+    """facts/gcn.py:429-450 (four fallback phrasings over collapsed text).
+    Every phrasing contains the literal "erg/cm" — gate on it (ci: r2 runs
+    under re.I)."""
+
+    def body(s: pd.DataFrame) -> dict:
+        T = s["t_ws"]
+        r1 = T.str.extract(r"upper limit .*? ([\d\.e\-]*?) erg/cm.*? for a 1 s duration", expand=False)
+        r2 = T.str.extract(r"We find a limiting fluence of ([\d\.e\-]*?) erg/cm", flags=re.I, expand=False)
+        r3 = T.str.extract(r"([\d\.e\-]*?) erg/cm2 for 1 s", expand=False)
+        r4 = T.str.extract(r"limiting peak flux is ~([\d\.e\-\^x]*?) erg/cm.*? at 1 s time scale", expand=False)
+        merged = r1.fillna(r2).fillna(r3).fillna(r4)
+        return {"integral_ul": _float_from_ul(merged)}
+
+    return gated(p, p["t_ws"].str.contains("erg/cm", case=False, regex=False), body)
 
 
 def x_integral_ul(p: pd.DataFrame, side: Sides) -> dict:
     """facts/gcn.py:453-462."""
-    g = p["t_ws"].str.extract(
-        r"upper limit on the 75-2000 keV fluence of ([\d\.e\-\^x]*?) *?erg/cm", expand=False
-    )
-    return {"integral_ul": _float_from_ul(g)}
+
+    def body(s: pd.DataFrame) -> dict:
+        g = s["t_ws"].str.extract(
+            r"upper limit on the 75-2000 keV fluence of ([\d\.e\-\^x]*?) *?erg/cm", expand=False
+        )
+        return {"integral_ul": _float_from_ul(g)}
+
+    return gated(p, p["t_ws"].str.contains("erg/cm", case=False, regex=False), body)
 
 
 def x_clearly_detected_afterglow(p: pd.DataFrame, side: Sides) -> dict:
@@ -438,9 +498,17 @@ def prepare_amon_side(amon: pd.DataFrame) -> pd.DataFrame:
 
 
 def x_gcn_icecube_circular(p: pd.DataFrame, side: Sides) -> dict:
-    """facts/gcn.py:321-415.  AMON path: broadcast join against the
-    pre-parsed notice side table; inline path: direct regexes; precedence
-    icecube_* -> amon src_* for event_ra/dec (facts/gcn.py:400-406)."""
+    """facts/gcn.py:321-415 — gated: `drop = ~is_ic | ...` nulls every output
+    unless the "IceCube observation" subject matches, so only docs containing
+    "icecube" need the AMON join + regex battery."""
+    return gated(
+        p,
+        p["text"].str.contains("icecube", case=False, regex=False),
+        lambda s: _icecube_body(s, side),
+    )
+
+
+def _icecube_body(p: pd.DataFrame, side: Sides) -> dict:
     g = p["text"].str.extract(
         r"SUBJECT:(.*?) *?:?-? *?IceCube observation of a(.*)", flags=re.I
     )
@@ -539,6 +607,11 @@ def x_gcn_hawc(p: pd.DataFrame, side: Sides) -> dict:
     date, float() on a matched-but-unparsable RA/Dec — discards the WHOLE
     dict including the subject fields, so matched-but-failed parses mask
     every output here."""
+    cand = p["text"].str.contains("hawc", case=False, regex=False)
+    return gated(p, cand, lambda s: _hawc_body(s))
+
+
+def _hawc_body(p: pd.DataFrame) -> dict:
     ev = p["text"].str.extract(
         r"SUBJECT:.*?\b(HAWC[\- ]?[0-9]+?[A-Z]?)\b", flags=re.I, expand=False
     )
