@@ -3,19 +3,30 @@
 Image/audio/video payloads are opaque ``binary`` columns travelling next to
 typed metadata structs.  The Spark-side plumbing — schema, partition-safe
 batch iteration, Arrow batch shapes, pandas-UDF signatures — is real and
-tested; the actual codec step is STUBBED (the decode libraries are not in
-this container): ``decode_media`` raises ``NotImplementedError`` unless
-``fake=True`` selects the deterministic fake decoder used by the tests.
+tested.  Decoders:
+
+* REAL (stdlib + numpy, no external codec libraries needed): uncompressed
+  24-bit BMP and binary PPM (P6) images — header parse + numpy pixel view +
+  nearest-neighbour resize; PCM WAV audio — ``wave`` module + numpy,
+  RMS/zero-crossings/band energies.
+* STUBBED: compressed formats (JPEG/PNG/MP4/...) need PIL/pyav, absent from
+  this container — ``decode_media`` raises ``NotImplementedError`` for them
+  unless ``fake=True`` selects the deterministic sha1 stand-in decoder
+  (same data flow and shapes; used to test the plumbing for those kinds).
 
 Usage shape (mapInPandas keeps one media batch in memory at a time, so
 executor memory is bounded by maxRecordsPerBatch x payload size):
 
-    feats = extract_media_features(media_df, fake=True)
+    feats = extract_media_features(media_df)          # real where possible
+    feats = extract_media_features(media_df, fake=True)  # plumbing tests
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -36,18 +47,120 @@ FEATURE_SCHEMA = (
 FEATURE_DIM = 8
 
 
-def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
-    """Decode a media payload into a feature vector.
+def decode_image(payload: bytes) -> np.ndarray:
+    """Uncompressed image bytes -> (h, w, 3) uint8 RGB array.
 
-    STUB: real decode (image resize / audio resample / video frame-sample)
-    needs PIL / torchaudio / pyav, which are not available here.  The
-    ``fake=True`` path is a deterministic stand-in (sha1-seeded vector) that
-    preserves the exact data flow and shapes.
+    Supports 24-bit uncompressed BMP (BITMAPINFOHEADER) and binary PPM (P6)
+    — both decodable with struct + numpy alone.  Compressed formats raise
+    NotImplementedError (codec libraries absent from this container)."""
+    if payload[:2] == b"BM":
+        off, = struct.unpack_from("<I", payload, 10)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp, = struct.unpack_from("<H", payload, 28)
+        comp, = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+        px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR->RGB
+        return px[::-1] if flip else px
+    if payload[:2] == b"P6":
+        parts: list[bytes] = []
+        i = 2
+        while len(parts) < 3:  # width, height, maxval (skip comments/ws)
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                i = payload.index(b"\n", i) + 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            parts.append(payload[i:j])
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = int(parts[0]), int(parts[1]), int(parts[2])
+        if maxval != 255:
+            raise NotImplementedError(f"PPM maxval={maxval} unsupported")
+        return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(
+            h, w, 3
+        )
+    raise NotImplementedError(
+        "compressed image formats need codec libraries not in this container"
+    )
+
+
+def resize_image(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize via numpy index maps (no PIL needed)."""
+    h, w = px.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ri][:, ci]
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (mono float32 samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        n, ch, width = wf.getnframes(), wf.getnchannels(), wf.getsampwidth()
+        rate = wf.getframerate()
+        raw = wf.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def _image_features(px: np.ndarray) -> np.ndarray:
+    h, w = px.shape[:2]
+    small = resize_image(px, 8, 8).astype(np.float32) / 255.0
+    mean_rgb = small.reshape(-1, 3).mean(axis=0)
+    luma = small @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    return np.array(
+        [h / 4096.0, w / 4096.0, mean_rgb[0], mean_rgb[1], mean_rgb[2],
+         float(luma.std()), h / max(w, 1), 1.0],
+        dtype=np.float32,
+    )
+
+
+def _audio_features(x: np.ndarray, rate: int) -> np.ndarray:
+    n = max(len(x), 1)
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x[: min(len(x), 1 << 14)])) if len(x) else np.zeros(1)
+    bands = np.array_split(spec, 3)
+    e = np.array([float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in bands])
+    e = e / (e.sum() + 1e-9)
+    return np.array(
+        [n / rate, rate / 48000.0, rms, zcr, e[0], e[1], e[2], 1.0], dtype=np.float32
+    )
+
+
+def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
+    """Decode a media payload into a fixed-dim feature vector.
+
+    Real path: BMP/PPM images and PCM WAV audio decode with stdlib + numpy
+    (magic-sniffed, so a mislabelled kind still decodes).  Compressed
+    formats and video frame-sampling need PIL/pyav — NotImplementedError —
+    unless ``fake=True`` selects the deterministic sha1 stand-in decoder
+    (same data flow and shapes) used to test the plumbing for those kinds.
     """
     if not fake:
+        if payload[:2] in (b"BM", b"P6"):
+            return _image_features(decode_image(payload))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            x, rate = decode_audio(payload)
+            return _audio_features(x, rate)
         raise NotImplementedError(
-            "media decoding requires codec libraries not present in this "
-            "container; pass fake=True for the deterministic test decoder"
+            "compressed/video formats require codec libraries not present "
+            "in this container; pass fake=True for the deterministic "
+            "plumbing-test decoder"
         )
     digest = hashlib.sha1(kind.encode() + payload).digest()
     arr = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)

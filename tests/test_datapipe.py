@@ -189,3 +189,81 @@ def test_multimodal_plumbing(spark, docs_df):
     f1 = decode_media(b"payload", "image", fake=True)
     f2 = decode_media(b"payload", "image", fake=True)
     assert np.allclose(f1, f2)
+
+
+def _make_bmp(w, h, rgb):
+    """Minimal 24-bit bottom-up BMP with solid color (b, g, r rows padded)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    row = bytes(rgb[::-1]) * w + b"\x00" * (stride - w * 3)
+    pixels = row * h
+    off = 54
+    header = struct.pack(
+        "<2sIHHI", b"BM", off + len(pixels), 0, 0, off
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + pixels
+
+
+def _make_wav(freq=440.0, rate=8000, secs=0.5):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * secs)) / rate
+    x = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_multimodal_real_decoders(spark):
+    """BMP/PPM/WAV decode for real (stdlib + numpy) through the same
+    mapInPandas plumbing; only compressed formats remain stubbed."""
+    import numpy as np
+
+    from literature_to_facts_spark.datapipe.multimodal import (
+        decode_image,
+        decode_media,
+        extract_media_features,
+        resize_image,
+    )
+
+    bmp = _make_bmp(5, 3, (255, 0, 0))            # solid red
+    ppm = b"P6\n# c\n4 2\n255\n" + bytes([0, 255, 0]) * 8  # solid green
+    wav = _make_wav()
+
+    px = decode_image(bmp)
+    assert px.shape == (3, 5, 3) and (px[0, 0] == [255, 0, 0]).all()
+    assert decode_image(ppm).shape == (2, 4, 3)
+    assert resize_image(px, 8, 8).shape == (8, 8, 3)
+
+    f_img = decode_media(bmp, "image")
+    assert abs(float(f_img[2]) - 1.0) < 1e-6 and float(f_img[3]) < 1e-6  # red
+    f_wav = decode_media(wav, "audio")
+    assert abs(float(f_wav[0]) - 0.5) < 1e-6      # duration
+    assert 0.40 < float(f_wav[2]) < 0.46          # sine RMS = ampl/sqrt(2) ~ 0.43
+
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "kind": ["image", "image", "audio"],
+                "payload": [bmp, ppm, wav],
+            }
+        )
+    )
+    rows = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert len(rows) == 3
+    assert abs(rows[2]["feature"][3] - 1.0) < 1e-6  # green channel
+    assert rows[3]["decoder"] == "real"
+
+    with pytest.raises(Exception):
+        decode_media(b"\x89PNG....", "image")  # compressed stays stubbed
