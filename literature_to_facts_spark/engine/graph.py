@@ -58,6 +58,83 @@ def export_n3(triples: DataFrame, path: str | None = None) -> str | None:
     return text
 
 
+def _qname(uri: str) -> str:
+    """Compact a URI into the ``paper:`` prefix where possible (rdflib qname
+    behaviour for the single bound namespace), else angle-bracket it."""
+    if uri.startswith(PAPER_NS + "#"):
+        local = uri[len(PAPER_NS) + 1 :]
+        if local and all(c.isalnum() or c in "_-." for c in local):
+            return "paper:" + local
+    return f"<{uri}>"
+
+
+def _render_turtle_block(subj: str, po: list) -> str:
+    """One Turtle statement block for a subject: predicates joined with
+    ``;`` (4-space continuation indent), repeated-predicate objects joined
+    with ``,`` (8-space indent) — the rdflib turtle serializer's shorthand
+    shape (facts/core.py:221 serializes via rdflib; exact byte parity with
+    rdflib is not asserted — rdflib is absent here — but the grammar and
+    grouping match)."""
+    parts = []
+    cur_pred = None
+    objs: list = []
+    groups: list = []
+    for pred, obj in po:
+        if pred != cur_pred:
+            if cur_pred is not None:
+                groups.append((cur_pred, objs))
+            cur_pred, objs = pred, []
+        objs.append(obj)
+    if cur_pred is not None:
+        groups.append((cur_pred, objs))
+    for pred, objs in groups:
+        obj_txt = (",\n" + " " * 8).join(objs)
+        parts.append(f"{_qname(PAPER_NS + '#' + pred)} {obj_txt}")
+    body = (" ;\n" + " " * 4).join(parts)
+    return f"{_qname(subj)} {body} ."
+
+
+def turtle_blocks(triples: DataFrame) -> DataFrame:
+    """(block string) per subject — rdflib-style Turtle shorthand, computed
+    distributed: one groupBy(subj) shuffle, deterministic ordering
+    (predicates and objects sorted), rendering in an Arrow-batched
+    applyInPandas (string formatting only)."""
+    import pandas as pd
+
+    grouped = triples.groupBy("subj").agg(
+        F.sort_array(
+            F.collect_set(F.struct(F.col("pred"), F.col("obj_n3")))
+        ).alias("po")
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": pdf["subj"],
+                "block": [
+                    _render_turtle_block(s, [(x["pred"], x["obj_n3"]) for x in po])
+                    for s, po in zip(pdf["subj"], pdf["po"])
+                ],
+            }
+        )
+
+    return grouped.groupBy("subj").applyInPandas(render, "subj string, block string")
+
+
+def export_turtle(triples: DataFrame, path: str | None = None) -> str | None:
+    """Turtle text with rdflib-style ``;``/``,`` shorthand and the ``paper:``
+    prefix (the reference's knowledge.n3 shape, facts/learn.py:70).  Driver-
+    side for small graphs; the distributed path is
+    ``turtle_blocks(t).select("block").write.text(dir)``."""
+    blocks = [r["block"] for r in turtle_blocks(triples).collect()]
+    text = N3_PREFIX_HEADER + "\n" + "\n\n".join(sorted(blocks)) + "\n"
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+        return None
+    return text
+
+
 def compact_graph(spark: SparkSession, bucketed_triples_glob: str, out_path: str) -> int:
     """Graph-table maintenance: merge incremental bucket outputs
     (streaming/incremental.py layout) into one globally-deduplicated,

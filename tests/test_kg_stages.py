@@ -163,3 +163,29 @@ def test_publish_chunking(spark, triples_df):
     publish_batches(triples_df, chunk_size=1000)(sink)
     assert acc.value == n
     assert maxed.value == 0
+
+
+def test_turtle_shorthand_export(spark):
+    """rdflib-style Turtle shorthand: `;` between predicates, `,` between
+    repeated-predicate objects, paper: qnames, deterministic ordering."""
+    from literature_to_facts_spark.engine.graph import export_turtle
+    from literature_to_facts_spark.functions.literals import PAPER_NS
+
+    rows = [
+        (f"{PAPER_NS}#gcn1", "instrument", '"fermi-gbm"'),
+        (f"{PAPER_NS}#gcn1", "instrument", '"integral"'),
+        (f"{PAPER_NS}#gcn1", "mentions_grb", '"body"'),
+        (f"{PAPER_NS}#gcn2", "NUMBER", '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj_n3 string")
+    got = export_turtle(t)
+    expected = (
+        f"@prefix paper: <{PAPER_NS}#> .\n"
+        "\n"
+        'paper:gcn1 paper:instrument "fermi-gbm",\n'
+        '        "integral" ;\n'
+        '    paper:mentions_grb "body" .\n'
+        "\n"
+        'paper:gcn2 paper:NUMBER "2"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    assert got == expected
