@@ -529,6 +529,24 @@ def q_emb_ann_lsh(spark, sf_dir):
     )
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """The streaming watermarked windowed-agg operator (streaming/stateful)
+    run in batch mode: tumbling 1h event-time windows over warc_ts.  The
+    exact same definition serves readStream (watermark active) and this
+    oracle check (batch ignores the watermark)."""
+    from literature_to_facts_spark.streaming.stateful import windowed_doc_counts
+
+    out = windowed_doc_counts(
+        _t(spark, sf_dir, "events"), "1 hour", "2 hours",
+        ts_col="ts", key_col="event_type",
+    )
+    return out.select(
+        F.unix_micros(F.col("win_start").cast("timestamp")).alias("win_start_us"),
+        F.col("key").alias("event_type"),
+        F.col("n_docs").cast("bigint").alias("n_events"),
+    )
+
+
 def q_emb_ann_ivf(spark, sf_dir):
     """IVF-flat ANN with deterministic hash-sampled centroids (full SQL
     oracle — centroid choice, assignment, probing and ranking all mirrored)."""
@@ -615,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
+        "stream_windowed_counts": q_stream_windowed_counts,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1182,4 +1201,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=8),
         "emb_ann_lsh": _ann_lsh_oracle(k=5, n_planes=6),
         "emb_ann_ivf": _ann_ivf_oracle(k=5, n_centroids=8, nprobe=3),
+        # tumbling event-time window == epoch-aligned hour bucket
+        "stream_windowed_counts": """
+            SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)
+                     AS win_start_us,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        """,
     }

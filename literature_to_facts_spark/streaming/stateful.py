@@ -36,22 +36,24 @@ def windowed_doc_counts(
     docs: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+    key_col: str = "lang",
 ) -> DataFrame:
-    """Documents per (event-time window, lang) with late-data handling.
+    """Rows per (event-time window, key) with late-data handling.
 
-    The watermark bounds both lateness tolerated and state retained; pages
+    The watermark bounds both lateness tolerated and state retained; rows
     later than the watermark are dropped (documented, standard semantics).
     Works on a streaming OR batch DataFrame (batch ignores the watermark),
     so the same definition serves the oracle test and the stream.
     """
     return (
-        docs.withWatermark("warc_ts", watermark)
-        .groupBy(F.window("warc_ts", window).alias("win"), F.col("lang"))
+        docs.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col).alias("key"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .select(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
-            "lang",
+            "key",
             "n_docs",
         )
     )

@@ -256,7 +256,7 @@ def test_windowed_doc_counts_watermark(spark):
     )
     docs = spark.createDataFrame(pdf)
     got = {
-        (str(r["win_start"]), r["lang"]): r["n_docs"]
+        (str(r["win_start"]), r["key"]): r["n_docs"]
         for r in windowed_doc_counts(docs).collect()
     }
     assert got[("2026-01-01 00:00:00", "en")] == 2
