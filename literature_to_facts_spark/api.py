@@ -28,9 +28,11 @@ from literature_to_facts_spark.engine.dictview import (  # noqa: F401
 )
 from literature_to_facts_spark.engine.graph import (  # noqa: F401
     export_n3,
+    export_turtle,
     n3_lines,
     publish_batches,
     read_triples,
+    turtle_blocks,
     write_triples,
 )
 from literature_to_facts_spark.engine.linking import (  # noqa: F401
@@ -44,11 +46,17 @@ from literature_to_facts_spark.engine.pipeline import (  # noqa: F401
 from literature_to_facts_spark.extractors.registry import (  # noqa: F401
     battery,
     register_extractor,
+    register_kind,
     unregister_extractor,
+    unregister_kind,
 )
 from literature_to_facts_spark.shim import reference_shim as _shim
 from literature_to_facts_spark.streaming.incremental import (  # noqa: F401
     run_incremental,
+)
+from literature_to_facts_spark.streaming.stateful import (  # noqa: F401
+    dedup_stream_first_seen,
+    windowed_doc_counts,
 )
 from literature_to_facts_spark.streaming.stream import (  # noqa: F401
     stream_documents_to_graph,
