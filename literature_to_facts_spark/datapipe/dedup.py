@@ -175,33 +175,44 @@ def minhash_lsh_pairs(
     computation, which Spark does not exchange-reuse across the union.)
     """
     sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
-    banded = _banded(sigs, n_hashes, bands)
+    # the exact-text hash rides along as one extra band (a band that never
+    # false-positives): band keys 0..bands-1 come from the signature slices,
+    # band `bands` is md5(text) — one union into ONE bucket aggregation
+    exact_banded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(bands).alias("band"),
+        F.md5(F.col(text_col)).alias("key"),
+    )
+    banded = _banded(sigs, n_hashes, bands).unionByName(exact_banded)
     buckets = banded.groupBy("band", "key").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids")
     )
 
-    # in-bucket pair expansion (no self-join); bounded by max_bucket
-    small = buckets.where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    cand_small = small.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(ids) - 1),"
-                " i -> transform(sequence(0, i - 1),"
-                " j -> named_struct('id_a', ids[j], 'id_b', ids[i]))))"
-            )
-        ).alias("p")
-    ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-
-    # global exact-text star pairs (covers oversized-bucket clusters)
-    cand_exact = (
-        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("th"))
-        .groupBy("th")
-        .agg(F.min("doc_id").alias("id_a"), F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
+    # in-bucket expansion (no self-join): signature bands expand to all
+    # pairs bounded by max_bucket; the exact band expands to canonical-star
+    # pairs (min id -> member, linear) with NO cap — byte-identical
+    # boilerplate/spam clusters of any size always produce pairs, which is
+    # the loss a plain bucket cap silently eats
+    cand = (
+        buckets.where(
+            (F.size("ids") >= 2)
+            & ((F.col("band") == bands) | (F.size("ids") <= max_bucket))
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN band < {bands} THEN "
+                    "flatten(transform(sequence(1, size(ids) - 1),"
+                    " i -> transform(sequence(0, i - 1),"
+                    " j -> named_struct('id_a', ids[j], 'id_b', ids[i])))) "
+                    "ELSE transform(slice(ids, 2, size(ids) - 1),"
+                    " x -> named_struct('id_a', ids[0], 'id_b', x)) END"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
     )
-
-    candidates = cand_small.unionByName(cand_exact).distinct()
+    candidates = cand.distinct()
 
     # verify with exact shingle Jaccard (exact-text pairs verify at 1.0)
     sh = docs.select(
