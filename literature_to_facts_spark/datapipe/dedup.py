@@ -163,16 +163,17 @@ def minhash_lsh_pairs(
     verification join is by doc_id (hash join on ids, AQE-skew-safe).
 
     Oversized buckets (> max_bucket members — boilerplate/spam clusters,
-    exactly the content dedup exists for) are NOT silently dropped: a global
-    exact-text star-pair pass (md5 groupBy: one cheap scan, linear in
-    cluster size) runs alongside the LSH path, so byte-identical spam
+    exactly the content dedup exists for) are NOT silently dropped: the
+    exact-text hash participates as one extra band (key = md5(text), a band
+    that never false-positives) whose buckets expand to canonical-star
+    pairs (min id -> member, linear) with no cap, so byte-identical spam
     clusters of ANY size always produce pairs.  Near-but-not-exact
-    duplicates inside an oversized bucket are the only recall loss;
-    :func:`lsh_bucket_stats` reports how much content hit the cap.  (The
-    exact pass is global rather than restricted to oversized-bucket members
-    so the expensive signature subtree has exactly ONE consumer — a
-    members-of-oversized-buckets filter would re-execute signature
-    computation, which Spark does not exchange-reuse across the union.)
+    duplicates inside an oversized signature bucket are the only recall
+    loss; :func:`lsh_bucket_stats` reports how much content hit the cap.
+    Everything funnels through ONE banded union -> ONE bucket aggregation
+    -> ONE in-bucket Generate, so the expensive signature subtree has
+    exactly one consumer (Spark does not exchange-reuse it across a union —
+    a two-consumer shape measured 2x).
     """
     sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
     # the exact-text hash rides along as one extra band (a band that never

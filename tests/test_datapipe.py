@@ -267,3 +267,25 @@ def test_multimodal_real_decoders(spark):
 
     with pytest.raises(Exception):
         decode_media(b"\x89PNG....", "image")  # compressed stays stubbed
+
+
+def test_lsh_bucket_stats_and_signature_view(spark, documents):
+    from literature_to_facts_spark.datapipe.dedup import (
+        lsh_bucket_stats,
+        minhash_signatures,
+        with_minhash_signature,
+    )
+
+    stats = lsh_bucket_stats(documents, max_bucket=1000).collect()[0]
+    assert stats["n_buckets"] > 0
+    assert stats["n_oversize_buckets"] == 0  # 50-doc fixture: no spam cluster
+    # tiny cap: every multi-member bucket counts as oversize
+    tight = lsh_bucket_stats(documents, max_bucket=1).collect()[0]
+    assert tight["n_oversize_buckets"] == tight["n_multi_buckets"]
+    assert tight["n_docs_in_oversize"] >= 2 * tight["n_oversize_buckets"]
+
+    # array view agrees with the columnar signatures
+    sig_cols = minhash_signatures(documents.limit(5)).collect()
+    sig_arr = {r["doc_id"]: r["sig"] for r in with_minhash_signature(documents.limit(5)).collect()}
+    for r in sig_cols:
+        assert sig_arr[r["doc_id"]] == [r[f"m{s}"] for s in range(32)]
