@@ -529,6 +529,22 @@ def q_emb_ann_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (hyperplane-bucketed candidates +
+    exact cosine verify).  Full SQL oracle with inlined plane constants —
+    LSH recall does not weaken the check because the oracle replicates the
+    bucketing itself."""
+    from literature_to_facts_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4, n_planes=4)
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("cosine", 4).cast("double").alias("cosine_r4"),
+    )
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     """The streaming watermarked windowed-agg operator (streaming/stateful)
     run in batch mode: tumbling 1h event-time windows over warc_ts.  The
@@ -630,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
@@ -835,6 +852,50 @@ def _ann_lsh_oracle(k: int = 5, n_planes: int = 6, dim: int = 64, seed: int = 7)
                                                ORDER BY c6 DESC, vec_id ASC) AS rnk
                   FROM scored)
             WHERE rnk <= {k}
+        """
+
+
+def _emb_near_dup_oracle(
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    max_bucket: int = 1000,
+) -> str:
+    from literature_to_facts_spark.datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({lit}::DOUBLE[], e) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+            WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                              embedding::DOUBLE[] AS e
+                       FROM embeddings),
+            vb AS (SELECT vec_id, e, {bucket} AS bucket FROM v),
+            bsize AS (SELECT bucket, COUNT(*) AS n FROM vb GROUP BY bucket),
+            cand AS (
+              SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+                     l.e AS e_a, r.e AS e_b
+              FROM vb l
+              JOIN vb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+              JOIN bsize s ON s.bucket = l.bucket
+              WHERE s.n BETWEEN 2 AND {max_bucket}
+            ),
+            scored AS (
+              SELECT id_a, id_b,
+                     ROUND(list_dot_product(e_a, e_b) /
+                       (sqrt(list_dot_product(e_a, e_a)) *
+                        sqrt(list_dot_product(e_b, e_b))), 6) AS c6
+              FROM cand
+            )
+            SELECT id_a, id_b, ROUND(c6, 4) AS cosine_r4
+            FROM scored WHERE c6 >= {threshold}
         """
 
 
@@ -1199,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(n_gram=3, threshold=0.5),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=8),
+        "dedup_embedding_cosine": _emb_near_dup_oracle(threshold=0.4, n_planes=4),
         "emb_ann_lsh": _ann_lsh_oracle(k=5, n_planes=6),
         "emb_ann_ivf": _ann_ivf_oracle(k=5, n_centroids=8, nprobe=3),
         # tumbling event-time window == epoch-aligned hour bucket

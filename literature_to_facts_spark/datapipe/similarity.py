@@ -126,6 +126,67 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Scale path: random-hyperplane sign buckets confine candidate generation
+    (groupBy bucket, ids-only in-bucket expansion, size-capped); the exact
+    cosine verify joins embeddings back BY ID, so bucket rows never carry
+    vectors.  Recall is the LSH collision probability (1 - theta/pi per
+    plane) — near-identical embeddings almost always share the bucket; raise
+    recall with fewer planes or multiprobe.  Same single-consumer shape as
+    minhash_lsh_pairs.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    planes_sql = (
+        "array(" + ",".join(
+            "array(" + ",".join(f"{x}D" for x in p) + ")" for p in planes
+        ) + ")"
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_bucket_expr(emb_col, planes_sql, n_planes)).alias("bucket"),
+    )
+    buckets = (
+        v.groupBy("bucket")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    cand = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ids) - 1),"
+                " i -> transform(sequence(0, i - 1),"
+                " j -> named_struct('id_a', ids[j], 'id_b', ids[i]))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    emb = vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+    verified = (
+        cand.join(
+            emb.withColumnRenamed("vec_id", "id_a").withColumnRenamed("embedding", "e_a"),
+            on="id_a",
+        )
+        .join(
+            emb.withColumnRenamed("vec_id", "id_b").withColumnRenamed("embedding", "e_b"),
+            on="id_b",
+        )
+        .withColumn("cosine", F.round(_dot("e_a", "e_b") / (_norm("e_a") * _norm("e_b")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return verified
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,
