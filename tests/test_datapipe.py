@@ -289,3 +289,21 @@ def test_lsh_bucket_stats_and_signature_view(spark, documents):
     sig_arr = {r["doc_id"]: r["sig"] for r in with_minhash_signature(documents.limit(5)).collect()}
     for r in sig_cols:
         assert sig_arr[r["doc_id"]] == [r[f"m{s}"] for s in range(32)]
+
+
+def test_minhash_plan_single_signature_consumer(spark, documents):
+    """Scale-shape regression guard: the signature pipeline (per-shingle md5
+    double hash) must appear exactly ONCE in the optimized plan.  A second
+    consumer of the bucket aggregate (the round-1-style oversize branch)
+    doubles it — Spark does not exchange-reuse the subtree across a union,
+    so the whole explode+hash+groupBy would execute twice (measured 2x)."""
+    from literature_to_facts_spark.datapipe.dedup import minhash_lsh_pairs
+
+    plan = (
+        minhash_lsh_pairs(documents, threshold=0.5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # one signature projection computes h1 and h2 -> exactly two conv(md5)
+    assert plan.count("conv(substr(md5") == 2
