@@ -15,6 +15,10 @@ from hypothesis import strategies as st
 from literature_to_facts_spark.engine import pipeline as pl
 from literature_to_facts_spark.shim import reference_shim as rs
 
+import os
+
+_FUZZ_SCALE = int(os.environ.get("L2F_FUZZ_SCALE", "1"))
+
 SIDES_V = pl.make_sides()
 SIDES_S = rs.SideTables()
 
@@ -108,7 +112,7 @@ def _vec_triples(kind: str, texts: list[str]) -> set:
 
 
 @given(st.lists(st.lists(line_strategy, min_size=1, max_size=25), min_size=1, max_size=6))
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120 * _FUZZ_SCALE, deadline=None)
 def test_gcn_fuzz_parity(doc_line_lists):
     texts = ["\n".join(lines) + "\n" for lines in doc_line_lists]
     golden = set()
@@ -158,7 +162,7 @@ ARXIV_FIELDS = st.fixed_dictionaries(
 
 
 @given(st.lists(ARXIV_FIELDS, min_size=1, max_size=4))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FUZZ_SCALE, deadline=None)
 def test_arxiv_fuzz_parity(entries):
     from literature_to_facts_spark.sources.corpus import arxiv_text
 
@@ -182,7 +186,7 @@ def test_arxiv_fuzz_parity(entries):
 
 
 @given(st.lists(ATEL_FIELDS, min_size=1, max_size=4))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FUZZ_SCALE, deadline=None)
 def test_atel_fuzz_parity(entries):
     from literature_to_facts_spark.sources.corpus import atel_text
 
