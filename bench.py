@@ -397,7 +397,12 @@ def main() -> None:
             kg = run_scaling(corpus_dir)
             hi = kg.get(f"local[{HI_CPUS}]", {})
             if os.environ.get("SPARK_GRAFT_OVERSUB", "1") == "1" and "triples_per_sec" in hi:
-                kg["oversubscribed_probe"] = run_oversubscribed_probe(corpus_dir, hi)
+                # supplemental only: a probe failure must never discard the
+                # already-measured scaling results (the criterion evidence)
+                try:
+                    kg["oversubscribed_probe"] = run_oversubscribed_probe(corpus_dir, hi)
+                except Exception as e:
+                    kg["oversubscribed_probe"] = {"error": f"{type(e).__name__}: {e}"}
         except Exception as e:
             kg = {"error": f"{type(e).__name__}: {e}"}
 

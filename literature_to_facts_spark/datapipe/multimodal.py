@@ -177,10 +177,21 @@ def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode_media(p, k, fake=fake).tolist()
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            feats: list = []
+            decoders: list = []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                if fake:
+                    feats.append(decode_media(p, k, fake=True).tolist())
+                    decoders.append("fake")
+                    continue
+                try:
+                    feats.append(decode_media(p, k).tolist())
+                    decoders.append("real")
+                except NotImplementedError:
+                    # degrade per ROW, never per job: an unsupported payload
+                    # yields a null feature instead of failing the task
+                    feats.append(None)
+                    decoders.append("unsupported")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -188,7 +199,7 @@ def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     "n_bytes": [len(p) for p in pdf["payload"]],
                     "sha1": [hashlib.sha1(p).hexdigest() for p in pdf["payload"]],
                     "feature": feats,
-                    "decoder": "fake" if fake else "real",
+                    "decoder": decoders,
                 }
             )
 

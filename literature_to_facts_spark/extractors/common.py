@@ -31,6 +31,20 @@ _CITE_COMPILED = {
 }
 
 
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def _literal_head(pattern: str) -> str:
+    """Longest literal prefix of a regex string (stops at the first
+    metacharacter) — a sound row gate for `pattern...` matches."""
+    out = []
+    for c in pattern:
+        if c in _REGEX_META:
+            break
+        out.append(c)
+    return "".join(out)
+
+
 def _literal_counts(texts: list, keyword: str) -> np.ndarray:
     """Per-row non-overlapping literal substring counts (C-level str.count —
     the keywords contain no regex metacharacters, so this equals the
@@ -171,11 +185,17 @@ def cites_batch(title: pd.Series, body: pd.Series) -> dict:
         prefixes = CITE_PREFIXES[kind]
         for text_series in (title, body):
             for rx, prefix in zip(rxs, prefixes):
-                # findall only where the literal prefix occurs (the pattern
-                # is `<prefix> *?#?(\d{3,})` under re.I — a row without the
-                # prefix cannot match); scan order preserved
+                # findall only where the prefix's LITERAL HEAD occurs (the
+                # pattern is `<prefix> *?#?(\d{3,})` under re.I, and the
+                # prefix string is used as REGEX — the '.' in "gcn circ." is
+                # an any-char, contractually (shim docstring).  The gate
+                # therefore uses only the prefix up to its first regex
+                # metacharacter: a row without that literal head cannot
+                # match); scan order preserved
                 mask = (
-                    text_series.str.contains(prefix, case=False, regex=False)
+                    text_series.str.contains(
+                        _literal_head(prefix), case=False, regex=False
+                    )
                     .fillna(False)
                     .to_numpy(dtype=bool)
                 )

@@ -307,3 +307,24 @@ def test_minhash_plan_single_signature_consumer(spark, documents):
     )
     # one signature projection computes h1 and h2 -> exactly two conv(md5)
     assert plan.count("conv(substr(md5") == 2
+
+
+def test_multimodal_degrades_per_row(spark):
+    """One unsupported payload must not fail the job: it yields a null
+    feature with decoder='unsupported' while decodable rows stay real."""
+    import pandas as pd
+
+    from literature_to_facts_spark.datapipe.multimodal import extract_media_features
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "kind": ["image", "image"],
+                "payload": [_make_bmp(3, 3, (0, 0, 255)), b"\x89PNG not supported"],
+            }
+        )
+    )
+    rows = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert rows[1]["decoder"] == "real" and rows[1]["feature"] is not None
+    assert rows[2]["decoder"] == "unsupported" and rows[2]["feature"] is None

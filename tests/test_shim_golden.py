@@ -263,3 +263,26 @@ def test_ads_strictness_ambiguous_response():
     )
     prepped = prepare_ads_side(raw)
     assert list(prepped["subject"]) == ["other INTEGRAL subject"]
+
+
+def test_cites_dotted_prefix_anychar():
+    """The '.' in the 'gcn circ.' cite prefix is a regex ANY-CHAR
+    (contractual reference bug): 'GCN Circ\\t67890' must still match, and
+    'GCN Circ 12345' matches BOTH the dotted and undotted prefix, appending
+    the URI twice — which flips the dict view's scalar-vs-list decision.
+    Vectorized batch must agree with the shim on all of it."""
+    import pandas as pd
+
+    from literature_to_facts_spark.extractors.common import cites_batch
+
+    texts = ["see GCN Circ\t67890 reports", "see GCN Circ 12345 end", "no cites"]
+    idx = pd.RangeIndex(3)
+    out = cites_batch(pd.Series([""] * 3, index=idx), pd.Series(texts, index=idx))
+    assert out["cites_gcn_id"][0] == "67890"  # tab matched by the any-char
+    assert out["cites_gcn_id"][1] == "12345"
+    assert len(out["cites"][1]) == 2  # dotted + undotted prefix both matched
+    assert out["cites"][2] == []
+    for i, t in enumerate(texts):
+        shim = rs.cites_common("", t)
+        assert out["cites"][i] == shim.get("cites", [])
+        assert out["cites_gcn_id"][i] == shim.get("cites_gcn_id")
