@@ -68,6 +68,10 @@ BODY_LINES = [
     "at 2021-11-23 12:34:56.789 UTC during processing",
     "the afterglow was clearly detected",
     "see GCN Circ. 31347, GCN circ 31350, GCNC 31351 and GCN 31354; ATel #15099",
+    # the '.' in the 'gcn circ.' prefix is a regex ANY-CHAR: tab/x after
+    # 'Circ' still matches (caught a gating parity break in round 2)
+    "see GCN Circ\t67890 and GCN CircX31999 reported",
+    "atel#123 gcn  456 gcn circ  789",
     "IceCube-211125A and IC211125A and FRB20211122A and PKS 0903-57",
     "AT2022cmc ZTF22aaajecb Mrk 421 GRB 220211A",
     "IceCube IceCube HAWC INTEGRAL SPI-ACS blazarGW170817 GW190425",
