@@ -184,3 +184,38 @@ def test_incremental_resume(spark, docs_df, sides, tmp_path):
 
     direct = extract_triples(spark, docs_df, sides).count()
     assert n1 == direct
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_heldout_seed_parity(seed):
+    """P = R = 1.0 on corpora seeded differently from the committed fixture
+    (guards against fixture-overfitting in the gated/vectorized extractors;
+    pure pandas path, covers the full battery without a Spark session)."""
+    from literature_to_facts_spark.engine.pipeline import extract_batch, make_sides
+    from literature_to_facts_spark.sources.corpus import build_corpus
+
+    c = build_corpus(n_docs=150, seed=seed)
+    sides_v = make_sides(c.balrog, c.amon_notices, c.ads_authors)
+    sides_s = rs.SideTables(
+        balrog={r["url_json"]: r for _, r in c.balrog.iterrows()},
+        amon_notices={r["url"]: r["notice_text"] for _, r in c.amon_notices.iterrows()},
+        ads_authors={r["subject"]: r["gcn_authors"] for _, r in c.ads_authors.iterrows()},
+    )
+    docs = c.documents[["url", "text"]].copy()
+    docs["kind"] = docs["url"].map(classify_url)
+    out = extract_batch(docs, sides_v)
+    got = set(zip(out["subj"], out["pred"], out["obj_n3"]))
+    golden = set()
+    for _, row in c.documents.iterrows():
+        kind = classify_url(row["url"])
+        if kind == "other":
+            continue
+        try:
+            doc = rs.decode_doc(kind, row["text"])
+            _, triples = rs.extract_doc_facts(kind, doc, sides_s)
+        except Exception:
+            continue
+        for s, p, o in triples:
+            golden.add((s.strip("<>"), p.strip("<>").split("#")[-1], o))
+    assert len(golden) > 500
+    assert got == golden, (sorted(got - golden)[:5], sorted(golden - got)[:5])
