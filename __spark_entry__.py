@@ -899,17 +899,14 @@ def _emb_near_dup_oracle(
         """
 
 
-def _ann_ivf_oracle(
-    k: int = 5, n_centroids: int = 8, nprobe: int = 3, sample_mod: int = 8
-) -> str:
+def _ann_ivf_oracle(k: int = 5, n_centroids: int = 8, nprobe: int = 3) -> str:
     h = _H1.format(x="CAST(vec_id AS VARCHAR)")
     return f"""
             WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                               embedding::DOUBLE[] AS e
                        FROM embeddings),
             cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v
-                     WHERE {h} % {sample_mod} = 0
-                     ORDER BY vec_id LIMIT {n_centroids}),
+                     ORDER BY {h} ASC, vec_id ASC LIMIT {n_centroids}),
             assign AS (
               SELECT vec_id, e, centroid_id FROM (
                 SELECT v.vec_id, v.e, c.centroid_id,

@@ -100,6 +100,11 @@ def minhash_signatures(
     sig_s = min over shingles of (h1 + s*h2) — classic double hashing.
     h1 < 2^52, h2 < 2^28, s < n_hashes: the affine combination stays under
     2^53, so Spark 4 ANSI mode cannot overflow.
+
+    Contract: documents with NULL text produce NO signature row (split(NULL)
+    explodes to nothing) — callers joining signatures back by id must treat
+    absence as "no content", the same way such docs emit no shingles/pairs
+    anywhere else in this module.
     """
     ex = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -248,24 +253,33 @@ def lsh_bucket_stats(
     bands: int = 8,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """One-row bucket-population report: how many buckets exist, how many
-    exceeded max_bucket (and thus took the exact-text fallback path), and how
-    many member slots those oversized buckets held.  Surfaces the loss that a
-    silent cap would hide (dedup monitoring at 100 TB runs this alongside the
-    pair job)."""
+    """One-row bucket-population report over the SAME banded union the pair
+    job aggregates (signature bands + the exact-text band).
+
+    ``n_oversize_buckets``/``n_docs_in_oversize`` count SIGNATURE buckets
+    exceeding max_bucket: those buckets are dropped from pair expansion
+    (their members still pair via the uncapped exact-text band if
+    byte-identical — near-but-not-exact duplicates inside them are the
+    recall loss this report quantifies).  Dedup monitoring at 100 TB runs
+    this alongside the pair job so the cap is never a silent loss."""
     sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
+    exact_banded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(bands).alias("band"),
+        F.md5(F.col(text_col)).alias("key"),
+    )
     sizes = (
         _banded(sigs, n_hashes, bands)
+        .unionByName(exact_banded)
         .groupBy("band", "key")
         .agg(F.countDistinct("doc_id").alias("n"))
     )
+    sig_over = (F.col("band") < bands) & (F.col("n") > max_bucket)
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_multi_buckets"),
-        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_oversize_buckets"),
-        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)).alias(
-            "n_docs_in_oversize"
-        ),
+        F.sum(F.when(sig_over, 1).otherwise(0)).alias("n_oversize_buckets"),
+        F.sum(F.when(sig_over, F.col("n")).otherwise(0)).alias("n_docs_in_oversize"),
     )
 
 

@@ -130,6 +130,7 @@ def _image_features(px: np.ndarray) -> np.ndarray:
 
 
 def _audio_features(x: np.ndarray, rate: int) -> np.ndarray:
+    rate = max(rate, 1)  # malformed WAV headers can claim framerate 0
     n = max(len(x), 1)
     rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
     zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
@@ -192,6 +193,12 @@ def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     # yields a null feature instead of failing the task
                     feats.append(None)
                     decoders.append("unsupported")
+                except Exception:  # noqa: BLE001 — malformed payloads
+                    # truncated/corrupt bytes (struct.error, wave.Error,
+                    # ValueError...) degrade the same way: null feature,
+                    # decoder tag distinguishes them for monitoring
+                    feats.append(None)
+                    decoders.append("error")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

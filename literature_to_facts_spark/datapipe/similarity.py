@@ -204,22 +204,18 @@ def cosine_topk_ivf(
     and ranks exactly within them.
 
     Centroid selection never materializes ids on the driver (the round-1
-    ``collect()`` here was an O(N)-driver-memory scale-killer): vectors whose
-    portable md5-derived hash falls in the lowest 1/sample_mod slice are
-    candidates, and the n_centroids smallest ids among them win via an
-    in-plan global sort of that (tiny) sampled subset.  The selection is a
-    pure function of the data, so an independent SQL oracle can replicate it.
-    """
+    ``collect()`` here was an O(N)-driver-memory scale-killer): vectors are
+    ordered by a portable md5-derived hash of their id (a deterministic
+    pseudo-random shuffle) and the first n_centroids win — Spark executes
+    ORDER BY + LIMIT as TakeOrderedAndProject (per-partition top-k heaps +
+    driver merge of k rows, one scan, O(k) memory), always yields
+    min(n_centroids, N) centroids (a hash-slice filter could yield zero on
+    small inputs), and is a pure function of the data, so an independent SQL
+    oracle replicates it."""
     base = vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
-    sample_mod = 8  # ~N/8 candidates; deterministic, engine-portable
+    h = F.expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 13), 16, 10) as bigint)")
     centroids = (
-        base.where(
-            F.expr(
-                "pmod(cast(conv(substr(md5(cast(vec_id as string)), 1, 13), 16, 10)"
-                f" as bigint), {sample_mod}) = 0"
-            )
-        )
-        .orderBy("vec_id")
+        base.orderBy(h.asc(), F.col("vec_id").asc())
         .limit(n_centroids)
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
     )

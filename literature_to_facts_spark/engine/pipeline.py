@@ -23,6 +23,7 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, Optional
 
 import numpy as np
@@ -114,7 +115,10 @@ def _pyval(v):
     return v
 
 
-_NEEDS_ESCAPE = __import__("re").compile(r'[\\\n"\r]')
+# the four characters quote_encode escapes (functions/literals.py) — the
+# clean/dirty split below fast-paths strings needing no escaping; the
+# crosscheck property test (tests/test_literals.py) pins the two paths equal
+_NEEDS_ESCAPE = re.compile(r'[\\\n"\r]')
 
 
 def _flatten_values(idx: np.ndarray, kept: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

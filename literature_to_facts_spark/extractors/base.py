@@ -83,7 +83,9 @@ def make_problematic_preparer(type_name: str) -> Callable:
     """
     import hashlib
 
-    ns = "http://odahub.io/ontology/paper#problematic"
+    from literature_to_facts_spark.functions.literals import PAPER_NS
+
+    ns = PAPER_NS + "#problematic"
 
     def prepare(docs: pd.DataFrame) -> tuple[pd.DataFrame, int]:
         prep = pd.DataFrame(index=docs.index)

@@ -92,3 +92,44 @@ def test_lexical_dtype_round_trip(v):
     assert n3_from_lexical(lex, dt) == literal_n3(v)
     if isinstance(v, float) and not math.isnan(v):
         assert isinstance(parse_lexical(lex, dt), float)
+
+
+def test_render_values_matches_literals_authority():
+    """The vectorized emit path (pipeline._render_values) is a performance
+    re-expression of lexical_and_dtype + n3_from_lexical; this property test
+    pins the two implementations equal so a future change to the
+    functions/literals authority cannot silently diverge from the hot path."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from literature_to_facts_spark.engine.pipeline import _render_values
+    from literature_to_facts_spark.functions.literals import (
+        lexical_and_dtype,
+        n3_from_lexical,
+    )
+
+    scalars = st.one_of(
+        st.text(max_size=30),
+        st.text(alphabet='\\\n"\r\t x', max_size=12),  # escape-heavy
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.booleans(),
+        st.floats(allow_nan=False, allow_infinity=True),
+        st.sampled_from([np.int64(7), np.float64(4.6e-07), np.bool_(True), np.str_("s")]),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(scalars, min_size=1, max_size=40))
+    def check(vals):
+        arr = np.empty(len(vals), dtype=object)
+        arr[:] = vals
+        lex, dt, n3 = _render_values(arr)
+        for i, v in enumerate(vals):
+            if isinstance(v, np.generic):
+                v = v.item()
+            e_lex, e_dt = lexical_and_dtype(v)
+            assert lex[i] == e_lex
+            assert dt[i] == e_dt
+            assert n3[i] == n3_from_lexical(e_lex, e_dt)
+
+    check()
