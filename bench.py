@@ -63,6 +63,12 @@ HEADLINE = [
     "emb_cosine_topk",
     "text_token_counts",
     "text_fingerprint",
+    # round-2 operators (appended so the original 14 stay comparable
+    # across rounds)
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "emb_ann_ivf",
+    "stream_windowed_counts",
 ]
 
 
