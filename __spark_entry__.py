@@ -464,7 +464,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     from literature_to_facts_spark.datapipe.dedup import minhash_lsh_pairs
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    # 16 hashes x 4 bands (band width 4 == the classic 32x8 setup, so the
+    # same candidate S-curve per band; half the hash/aggregate volume)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, n_hashes=16, bands=4)
     return pairs.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
@@ -564,15 +566,17 @@ def q_stream_windowed_counts(spark, sf_dir):
 
 
 def q_emb_ann_ivf(spark, sf_dir):
-    """IVF-flat ANN with deterministic hash-sampled centroids (full SQL
-    oracle — centroid choice, assignment, probing and ranking all mirrored)."""
+    """IVF-flat ANN: deterministic hash-sampled seed centroids + one Lloyd
+    refinement pass (full SQL oracle — centroid choice, the refinement's
+    rounded per-dimension means, assignment, probing and ranking all
+    mirrored)."""
     from literature_to_facts_spark.datapipe.similarity import cosine_topk_ivf
 
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    out = cosine_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=3)
+    out = cosine_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=3, refine_iters=1)
     return out.select(
         F.col("q_id").cast("bigint").alias("q_id"),
         F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -724,7 +728,7 @@ def _minhash_oracle(
               SELECT mn AS id_a, doc_id AS id_b FROM (
                 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                        MIN(CAST(d.doc_id AS BIGINT)) OVER (PARTITION BY md5(d.text)) AS mn
-                FROM documents d
+                FROM documents d WHERE d.text IS NOT NULL
               ) WHERE doc_id > mn
             ),
             cands AS (
@@ -899,14 +903,32 @@ def _emb_near_dup_oracle(
         """
 
 
-def _ann_ivf_oracle(k: int = 5, n_centroids: int = 8, nprobe: int = 3) -> str:
+def _ann_ivf_oracle(
+    k: int = 5, n_centroids: int = 8, nprobe: int = 3, dim: int = 64
+) -> str:
+    """Mirrors cosine_topk_ivf end-to-end: hash-sampled seed centroids, ONE
+    Lloyd refinement (per-dimension AVG rounded to 6 decimals — the rounding
+    is what makes a float mean portable across engines), assignment, probing
+    and ranking.  DuckDB lists are 1-indexed, hence e[i+1]."""
     h = _H1.format(x="CAST(vec_id AS VARCHAR)")
+    avgs = ", ".join(f"ROUND(AVG(e[{i + 1}]), 6) AS a{i}" for i in range(dim))
+    relist = "[" + ", ".join(f"a{i}" for i in range(dim)) + "]"
     return f"""
             WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                               embedding::DOUBLE[] AS e
                        FROM embeddings),
-            cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+            seed AS (SELECT vec_id AS centroid_id, e AS ce FROM v
                      ORDER BY {h} ASC, vec_id ASC LIMIT {n_centroids}),
+            assign0 AS (
+              SELECT vec_id, e, centroid_id FROM (
+                SELECT v.vec_id, v.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY list_dot_product(v.e, c.ce) DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, seed c) WHERE rn = 1),
+            lmeans AS (SELECT centroid_id, {avgs}
+                       FROM assign0 GROUP BY centroid_id),
+            cent AS (SELECT centroid_id, {relist}::DOUBLE[] AS ce FROM lmeans),
             assign AS (
               SELECT vec_id, e, centroid_id FROM (
                 SELECT v.vec_id, v.e, c.centroid_id,
@@ -1254,7 +1276,9 @@ def oracle_sql() -> dict[str, str]:
         # generated oracles: md5-derived hash family + inlined hyperplane
         # constants make the full LSH/ANN pipelines engine-portable (round 1
         # recorded these as no_oracle)
-        "dedup_minhash_lsh": _minhash_oracle(n_gram=3, threshold=0.5),
+        "dedup_minhash_lsh": _minhash_oracle(
+            n_gram=3, threshold=0.5, n_hashes=16, bands=4
+        ),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=8),
         "dedup_embedding_cosine": _emb_near_dup_oracle(threshold=0.4, n_planes=4),

@@ -183,8 +183,12 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
     # the exact-text hash rides along as one extra band (a band that never
     # false-positives): band keys 0..bands-1 come from the signature slices,
-    # band `bands` is md5(text) — one union into ONE bucket aggregation
-    exact_banded = docs.select(
+    # band `bands` is md5(text) — one union into ONE bucket aggregation.
+    # NULL-text docs are excluded: md5(NULL) is NULL and groupBy treats NULLs
+    # as equal, so they would all collapse into one uncapped bucket emitting
+    # O(n) spurious star pairs (discarded later by the null-jaccard filter,
+    # but a skewed wasted-work bucket at scale).
+    exact_banded = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.lit(bands).alias("band"),
         F.md5(F.col(text_col)).alias("key"),
@@ -263,7 +267,7 @@ def lsh_bucket_stats(
     recall loss this report quantifies).  Dedup monitoring at 100 TB runs
     this alongside the pair job so the cap is never a silent loss."""
     sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
-    exact_banded = docs.select(
+    exact_banded = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.lit(bands).alias("band"),
         F.md5(F.col(text_col)).alias("key"),
