@@ -63,7 +63,14 @@ def _qname(uri: str) -> str:
     behaviour for the single bound namespace), else angle-bracket it."""
     if uri.startswith(PAPER_NS + "#"):
         local = uri[len(PAPER_NS) + 1 :]
-        if local and all(c.isalnum() or c in "_-." for c in local):
+        # Turtle PN_LOCAL: may contain '-'/'.' but must not START with
+        # '-'/'.' nor END with '.' — 'paper:foo.' would be unparseable
+        if (
+            local
+            and (local[0].isalnum() or local[0] == "_")
+            and not local.endswith(".")
+            and all(c.isalnum() or c in "_-." for c in local)
+        ):
             return "paper:" + local
     return f"<{uri}>"
 
@@ -96,9 +103,11 @@ def _render_turtle_block(subj: str, po: list) -> str:
 
 def turtle_blocks(triples: DataFrame) -> DataFrame:
     """(block string) per subject — rdflib-style Turtle shorthand, computed
-    distributed: one groupBy(subj) shuffle, deterministic ordering
+    distributed: ONE groupBy(subj) shuffle, deterministic ordering
     (predicates and objects sorted), rendering in an Arrow-batched
-    applyInPandas (string formatting only)."""
+    mapInPandas (string formatting only — subj is already unique after the
+    aggregate, so a second groupBy(subj).applyInPandas would re-shuffle
+    unique keys for nothing)."""
     import pandas as pd
 
     grouped = triples.groupBy("subj").agg(
@@ -107,18 +116,19 @@ def turtle_blocks(triples: DataFrame) -> DataFrame:
         ).alias("po")
     )
 
-    def render(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "subj": pdf["subj"],
-                "block": [
-                    _render_turtle_block(s, [(x["pred"], x["obj_n3"]) for x in po])
-                    for s, po in zip(pdf["subj"], pdf["po"])
-                ],
-            }
-        )
+    def render(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "subj": pdf["subj"],
+                    "block": [
+                        _render_turtle_block(s, [(x["pred"], x["obj_n3"]) for x in po])
+                        for s, po in zip(pdf["subj"], pdf["po"])
+                    ],
+                }
+            )
 
-    return grouped.groupBy("subj").applyInPandas(render, "subj string, block string")
+    return grouped.mapInPandas(render, "subj string, block string")
 
 
 def export_turtle(triples: DataFrame, path: str | None = None) -> str | None:

@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from literature_to_facts_spark.extractors.base import Sides
-from literature_to_facts_spark.engine.kinds import KIND_ARXIV, KIND_ATEL, KIND_GCN
 from literature_to_facts_spark.engine.pipeline import (
     TRIPLE_COLS,
     TRIPLE_SCHEMA,
@@ -33,6 +32,7 @@ from literature_to_facts_spark.engine.pipeline import (
     make_sides,
     relevant_docs,
     snapshot_batteries,
+    snapshot_preparers,
 )
 
 LINEAGE_PRED = "__lineage__"
@@ -47,7 +47,11 @@ def extract_triples_with_lineage(
 ) -> DataFrame:
     sides = sides or make_sides()
     bc = spark.sparkContext.broadcast(sides)
+    # snapshot built-in AND plugin kinds (batteries + preparers) so the
+    # resumable spark-submit path honors driver-side registry plugins exactly
+    # like extract_triples does — built-ins first, keeping emission order
     batteries = snapshot_batteries()
+    preparers = snapshot_preparers()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local_sides = bc.value
@@ -61,13 +65,13 @@ def extract_triples_with_lineage(
         for pdf in batches:
             m["docs_in"] += len(pdf)
             parts = []
-            for kind in (KIND_GCN, KIND_ATEL, KIND_ARXIV):
+            for kind in batteries:
                 sub = pdf[pdf["kind"] == kind]
                 if len(sub) == 0:
                     continue
                 m["docs_by_kind"][kind] = m["docs_by_kind"].get(kind, 0) + len(sub)
                 triples, n_bad = extract_kind_batch(
-                    kind, sub, local_sides, batteries.get(kind)
+                    kind, sub, local_sides, batteries.get(kind), preparers.get(kind)
                 )
                 m["identity_failures"] += n_bad
                 parts.append(apply_valuable_filter(triples))

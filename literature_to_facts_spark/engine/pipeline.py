@@ -198,22 +198,46 @@ def _render_values(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray
 
 
 def _rowwise_fallback(spec, prep: pd.DataFrame, sides: Sides) -> dict:
-    """Per-row re-run of a batch extractor that raised: each failing row
-    contributes nothing (reference semantics), surviving rows keep their
-    facts.  Results are re-assembled into the normal {pred: Series} shape."""
-    collected: dict[str, dict] = {}
-    for i in prep.index:
+    """Bisecting re-run of a batch extractor that raised: each failing ROW
+    contributes nothing (reference semantics, facts/core.py:114-115),
+    surviving rows keep their facts.
+
+    The batch is split recursively — a half that succeeds is kept wholesale,
+    a half that fails splits again — so p poisoned rows in a batch of n cost
+    O(p * log n) extractor re-runs instead of the previous n single-row
+    pandas-frame constructions.  Sub-batches are visited left to right, so
+    predicate discovery order (and therefore emission order downstream)
+    matches the old per-row loop.  Results are re-assembled into the normal
+    {pred: Series-on-prep.index} shape."""
+    pieces: list[tuple] = []
+
+    def run(frame: pd.DataFrame) -> None:
+        if len(frame) == 0:
+            return
         try:
-            row_out = spec.fn(prep.loc[[i]], sides)
+            out = spec.fn(frame, sides)
         except Exception:
-            continue
-        for pred, series in row_out.items():
-            v = series.iloc[0] if hasattr(series, "iloc") else series
-            if _is_null(v):
-                continue
-            collected.setdefault(pred, {})[i] = v
+            if len(frame) == 1:
+                return  # the poisoned row: contributes nothing
+            mid = len(frame) // 2
+            run(frame.iloc[:mid])
+            run(frame.iloc[mid:])
+            return
+        if out:
+            pieces.append((frame.index, out))
+
+    run(prep)
+    collected: dict[str, dict] = {}
+    for idx, out in pieces:
+        for pred, series in out.items():
+            if hasattr(series, "iloc"):
+                for i, v in series.items():
+                    if not _is_null(v):
+                        collected.setdefault(pred, {})[i] = v
+            elif not _is_null(series):  # scalar from a len-1 frame
+                collected.setdefault(pred, {})[idx[0]] = series
     return {
-        pred: pd.Series(vals, index=prep.index, dtype=object).reindex(prep.index)
+        pred: pd.Series(vals, dtype=object).reindex(prep.index)
         for pred, vals in collected.items()
     }
 

@@ -59,31 +59,78 @@ def windowed_doc_counts(
     )
 
 
-def _dedup_fn(
-    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Emit the first row for this text_hash unless state says it was already
-    seen in an earlier batch/run; then mark seen."""
-    emitted = state.exists
-    for pdf in pdfs:
-        if not emitted and len(pdf):
-            yield pdf.iloc[[0]]
-            emitted = True
-    if emitted and not state.exists:
-        state.update((1,))
+def _make_dedup_fn(ttl_ms: int):
+    def _dedup_fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Emit the first row for this text_hash unless state says it was
+        already seen in an earlier batch/run; then mark seen.  With a TTL the
+        key's timer is (re)armed on every sighting, so a hash expires only
+        after ``ttl_ms`` without any occurrence."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        emitted = state.exists
+        for pdf in pdfs:
+            if not emitted and len(pdf):
+                yield pdf.iloc[[0]]
+                emitted = True
+        if emitted and not state.exists:
+            state.update((1,))
+        if ttl_ms > 0 and state.exists:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _dedup_fn
 
 
-def dedup_stream_first_seen(docs: DataFrame) -> DataFrame:
+def dedup_stream_first_seen(docs: DataFrame, state_ttl: str | None = None) -> DataFrame:
     """Streaming exact dedup: first occurrence per md5(text) passes, all
     later duplicates are dropped — across batches and restarts (state is
-    checkpointed).  Input: streaming documents (url, warc_ts, text, ...)."""
+    checkpointed).  Input: streaming documents (url, warc_ts, text, ...).
+
+    ``state_ttl`` (e.g. ``"7 days"``, ``"24 hours"``; default None =
+    dedup-forever): with NoTimeout one state entry per distinct hash
+    accumulates for the life of the checkpoint — at 100 TB/day ingest that
+    state grows without bound.  A TTL switches to ProcessingTimeTimeout and
+    drops keys not seen for the given duration, bounding checkpoint state to
+    the dedup horizon a deployment actually needs."""
     keyed = docs.select(
         "url", "warc_ts", "text", F.md5("text").alias("text_hash")
     ).groupBy("text_hash")
+    ttl_ms = _parse_duration_ms(state_ttl) if state_ttl else 0
     return keyed.applyInPandasWithState(
-        _dedup_fn,
+        _make_dedup_fn(ttl_ms),
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
     )
+
+
+_DURATION_UNITS_MS = {
+    "ms": 1,
+    "millisecond": 1,
+    "milliseconds": 1,
+    "second": 1000,
+    "seconds": 1000,
+    "minute": 60_000,
+    "minutes": 60_000,
+    "hour": 3_600_000,
+    "hours": 3_600_000,
+    "day": 86_400_000,
+    "days": 86_400_000,
+}
+
+
+def _parse_duration_ms(s: str) -> int:
+    """'7 days' / '24 hours' / '500 ms' -> milliseconds (CalendarInterval-
+    style strings, the same shape watermarks take)."""
+    n, unit = s.strip().split()
+    ms = _DURATION_UNITS_MS.get(unit.lower())
+    if ms is None:
+        raise ValueError(f"unsupported duration unit in {s!r}")
+    return int(float(n) * ms)

@@ -38,6 +38,14 @@ def main() -> None:
     ap.add_argument("--synthesize", type=int, default=0,
                     help="generate N synthetic docs instead of --documents")
     ap.add_argument("--run-id", default="pipeline")
+    ap.add_argument(
+        "--plugin",
+        action="append",
+        default=[],
+        help="import MODULE and call its register() before planning (the "
+        "reference's `l2f -m <module>` plugin pattern, facts/learn.py:42-44); "
+        "ship the module via --py-files",
+    )
     args = ap.parse_args()
 
     import pandas as pd
@@ -50,6 +58,15 @@ def main() -> None:
     )
 
     spark = get_spark(app_name="l2f-kg-pipeline", master=args.master)
+
+    # plugin modules mutate the driver-side registry; snapshot_batteries()
+    # carries the result to executors inside the mapInPandas closure
+    import importlib
+
+    for mod_name in args.plugin:
+        mod = importlib.import_module(mod_name)
+        if hasattr(mod, "register"):
+            mod.register()
 
     if args.synthesize:
         from literature_to_facts_spark.sources.corpus import build_corpus

@@ -125,3 +125,81 @@ def test_plugin_kind_problematic_identity(spark, sides):
     finally:
         unregister_kind("note")
         shim.unregister_shim_kind("note")
+
+
+def test_spark_submit_plugin_e2e(tmp_path):
+    """The full plugin contract through the real spark-submit surface: a
+    plugin KIND and a plugin EXTRACTOR registered by a --py-files-shipped
+    module (`--plugin example_plugin`, the reference's `l2f -m <module>`
+    pattern) in ONE job, with the registry snapshot travelling to executors
+    inside the cloudpickled mapInPandas closure."""
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "make_pyfiles.py")],
+        check=True, cwd=repo, capture_output=True,
+    )
+
+    from literature_to_facts_spark.sources.corpus import GOLDEN_GCNS, build_corpus
+    from scripts.example_plugin import MEMO_PREFIX
+
+    corpus = build_corpus(n_docs=40, seed=7)
+    pdf = corpus.documents.copy()
+    # guarantee one gcn doc that mentions neutrinos (golden IceCube circular)
+    golden = pd.DataFrame(
+        {
+            "url": ["https://gcn.gsfc.nasa.gov/gcn3/31120.gcn3"],
+            "warc_ts": pdf["warc_ts"].iloc[:1].to_numpy(),
+            "html": [b""],
+            "text": [GOLDEN_GCNS[31120]],
+            "lang": ["en"],
+        }
+    )
+    pdf = pd.concat([pdf[pdf["url"] != golden["url"].iloc[0]], golden], ignore_index=True)
+    memo_texts = ["neutrino candidate in memo", "nothing relevant", "a second NEUTRINO memo"]
+    memo = pd.DataFrame(
+        {
+            "url": [f"{MEMO_PREFIX}{i}" for i in range(len(memo_texts))],
+            "warc_ts": pdf["warc_ts"].iloc[: len(memo_texts)].to_numpy(),
+            "html": [b""] * len(memo_texts),
+            "text": memo_texts,
+            "lang": ["en"] * len(memo_texts),
+        }
+    )
+    docs = pd.concat([pdf, memo], ignore_index=True)
+    docs["warc_ts"] = docs["warc_ts"].astype("datetime64[us]")
+    docs_path = str(tmp_path / "documents.parquet")
+    docs.to_parquet(docs_path)
+    out_dir = str(tmp_path / "out")
+
+    r = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--py-files",
+            f"{repo}/dist/l2f_spark.zip,{repo}/scripts/example_plugin.py",
+            f"{repo}/scripts/run_pipeline.py",
+            "--documents", docs_path, "--output", out_dir,
+            "--buckets", "2", "--plugin", "example_plugin",
+        ],
+        capture_output=True, text=True, cwd=repo, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT subj, pred, obj FROM read_parquet('{out_dir}/triples/*/*.parquet') "
+        "WHERE pred LIKE '%mentions_neutrino_plugin%'"
+    ).fetchall()
+    subjs = {s for s, _p, _o in rows}
+    # plugin kind: the two neutrino memos emit under problematic MemoText
+    # subjects (the middle memo has no valuable fact and is filtered)
+    memo_subjs = {s for s in subjs if "problematicMemoText" in s}
+    assert len(memo_subjs) == 2
+    # plugin extractor on the BUILT-IN gcn battery also fired
+    assert any("paper#gcn" in s for s in subjs)
+    assert all(o == '"body"' or o == "body" for _s, _p, o in rows)

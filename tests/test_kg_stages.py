@@ -189,3 +189,18 @@ def test_turtle_shorthand_export(spark):
         'paper:gcn2 paper:NUMBER "2"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
     )
     assert got == expected
+
+
+def test_qname_rejects_turtle_illegal_locals():
+    """Turtle PN_LOCAL must not start with '-'/'.' nor end with '.' —
+    such locals fall back to <uri> instead of emitting unparseable
+    'paper:foo.' tokens."""
+    from literature_to_facts_spark.engine.graph import _qname
+    from literature_to_facts_spark.functions.literals import PAPER_NS
+
+    assert _qname(PAPER_NS + "#good_local-1.x") == "paper:good_local-1.x"
+    assert _qname(PAPER_NS + "#foo.") == f"<{PAPER_NS}#foo.>"
+    assert _qname(PAPER_NS + "#.foo") == f"<{PAPER_NS}#.foo>"
+    assert _qname(PAPER_NS + "#-foo") == f"<{PAPER_NS}#-foo>"
+    assert _qname(PAPER_NS + "#_ok") == "paper:_ok"
+    assert _qname("https://other.example/x") == "<https://other.example/x>"

@@ -263,3 +263,72 @@ def test_windowed_doc_counts_watermark(spark):
     assert got[("2026-01-01 01:00:00", "en")] == 2
     assert got[("2026-01-01 01:00:00", "de")] == 1
     assert got[("2026-01-01 02:00:00", "en")] == 1
+
+
+def test_stateful_dedup_state_ttl_expiry(spark, tmp_path):
+    """state_ttl bounds checkpoint state: a key idle past the TTL is evicted
+    (its timer fires in a later micro-batch), so a subsequent duplicate is
+    re-emitted — the bounded-horizon dedup mode for unbounded ingest."""
+    import time as _time
+
+    import pandas as pd
+
+    from literature_to_facts_spark.streaming.stateful import (
+        DEDUP_OUTPUT_SCHEMA,
+        _parse_duration_ms,
+        dedup_stream_first_seen,
+    )
+
+    assert _parse_duration_ms("7 days") == 7 * 86_400_000
+    assert _parse_duration_ms("24 hours") == 24 * 3_600_000
+    assert _parse_duration_ms("500 ms") == 500
+
+    src = tmp_path / "docs"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+        pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).astype("datetime64[us]")
+        pdf.to_parquet(src / f"{name}.parquet")
+
+    def count_out():
+        try:
+            return spark.read.schema(DEDUP_OUTPUT_SCHEMA).parquet(str(out)).count()
+        except Exception:
+            return 0
+
+    def run_once(expected_rows):
+        docs = spark.readStream.schema(
+            "url string, warc_ts timestamp, text string"
+        ).parquet(str(src))
+        q = (
+            dedup_stream_first_seen(docs, state_ttl="1 ms")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # with processing-time timers the availableNow query neither
+        # self-terminates nor quiesces for processAllAvailable (the engine
+        # keeps the query up to fire timers): poll the sink, then stop
+        deadline = _time.time() + 90
+        while _time.time() < deadline and count_out() < expected_rows:
+            _time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(60)
+
+    write_batch("b1", [("u1", "2026-01-01 00:00:00", "alpha text")])
+    run_once(1)
+    _time.sleep(0.05)  # let the 1 ms timer lapse
+    # this run carries no alpha rows -> alpha's timed-out state is evicted
+    write_batch("b2", [("u2", "2026-01-01 01:00:00", "other text")])
+    run_once(2)
+    write_batch("b3", [("u3", "2026-01-01 02:00:00", "alpha text")])
+    run_once(3)
+
+    got = spark.read.schema(DEDUP_OUTPUT_SCHEMA).parquet(str(out)).collect()
+    alpha_urls = sorted(r["url"] for r in got if r["text"] == "alpha text")
+    assert alpha_urls == ["u1", "u3"]  # re-emitted after TTL eviction
