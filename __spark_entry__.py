@@ -585,6 +585,25 @@ def q_emb_ann_ivf(spark, sf_dir):
     )
 
 
+def q_dedup_lsh_bucket_stats(spark, sf_dir):
+    """The dedup-monitoring report that makes the LSH bucket cap a measured
+    quantity instead of silent recall loss (datapipe/dedup.lsh_bucket_stats):
+    bucket populations over the SAME banded union the pair job aggregates.
+    Full SQL oracle — DuckDB recomputes the signatures, banding and counts.
+    max_bucket is set low here so the oversize columns are exercised
+    (non-zero) at test scale."""
+    from literature_to_facts_spark.datapipe.dedup import lsh_bucket_stats
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = lsh_bucket_stats(docs, n_hashes=16, bands=4, max_bucket=20)
+    return out.select(
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        F.col("n_multi_buckets").cast("bigint").alias("n_multi_buckets"),
+        F.col("n_oversize_buckets").cast("bigint").alias("n_oversize_buckets"),
+        F.col("n_docs_in_oversize").cast("bigint").alias("n_docs_in_oversize"),
+    )
+
+
 def q_text_token_counts(spark, sf_dir):
     from literature_to_facts_spark.datapipe.textstats import with_token_counts
 
@@ -648,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_lsh_bucket_stats": q_dedup_lsh_bucket_stats,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -750,6 +770,49 @@ def _minhash_oracle(
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+        """
+
+
+def _lsh_bucket_stats_oracle(
+    n_gram: int = 3, n_hashes: int = 16, bands: int = 4, max_bucket: int = 20
+) -> str:
+    """Mirrors lsh_bucket_stats: the same signature/banding CTEs as the pair
+    oracle (incl. the NULL-text exclusion on the exact band), reduced to the
+    one-row bucket-population report."""
+    rpb = n_hashes // bands
+    mins = ",\n                   ".join(
+        f"MIN(h1 + {s} * h2) AS m{s}" for s in range(n_hashes)
+    )
+    banded = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"m{b * rpb + i}" for i in range(rpb))
+        + ") AS key FROM sig"
+        for b in range(bands)
+    )
+    h1 = _H1.format(x="sh")
+    h2 = _H2.format(x="sh")
+    return f"""
+            WITH sh AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest({_duck_shingles(n_gram)}) AS sh
+              FROM documents
+            ),
+            h AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh),
+            sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+            banded AS ({banded}
+              UNION ALL SELECT CAST(doc_id AS BIGINT), {bands} AS band,
+                               md5(text) AS key
+                        FROM documents WHERE text IS NOT NULL),
+            bsize AS (SELECT band, key, COUNT(DISTINCT doc_id) AS n
+                      FROM banded GROUP BY band, key)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_multi_buckets,
+                   CAST(SUM(CASE WHEN band < {bands} AND n > {max_bucket}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize_buckets,
+                   CAST(SUM(CASE WHEN band < {bands} AND n > {max_bucket}
+                            THEN n ELSE 0 END) AS BIGINT) AS n_docs_in_oversize
+            FROM bsize
         """
 
 
@@ -1278,6 +1341,9 @@ def oracle_sql() -> dict[str, str]:
         # recorded these as no_oracle)
         "dedup_minhash_lsh": _minhash_oracle(
             n_gram=3, threshold=0.5, n_hashes=16, bands=4
+        ),
+        "dedup_lsh_bucket_stats": _lsh_bucket_stats_oracle(
+            n_gram=3, n_hashes=16, bands=4, max_bucket=20
         ),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=8),
