@@ -389,7 +389,7 @@ def run_skew_probe(spark) -> dict:
     return out
 
 
-def run_headline() -> tuple[dict, float, float, dict]:
+def run_headline() -> tuple[dict, dict, float, float, dict]:
     sys.path.insert(0, REPO)
     import __spark_entry__ as em
 
@@ -399,6 +399,7 @@ def run_headline() -> tuple[dict, float, float, dict]:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     em.queries()["tpch_q1_pricing"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings = {}
+    warm = {}
     total = 0.0
     for name in HEADLINE:
         t0 = time.time()
@@ -411,6 +412,18 @@ def run_headline() -> tuple[dict, float, float, dict]:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # second run of the same plan: codegen/JIT compiled, scheduler warm —
+        # the steady-state cost a long-lived session pays per execution.
+        # One-shot numbers stay the primary metric (continuity with earlier
+        # rounds); first-run minus warm is almost entirely Janino/JIT compile,
+        # which swings 2-8s on this shared VM for the codegen-heavy dedup
+        # queries depending on host epoch.
+        t0 = time.time()
+        try:
+            qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            warm[name] = f"error: {type(e).__name__}"
     skew = {}
     if os.environ.get("SPARK_GRAFT_SKEW", "1") == "1":
         try:
@@ -419,7 +432,7 @@ def run_headline() -> tuple[dict, float, float, dict]:
             skew = {"error": f"{type(e).__name__}: {e}"}
     spark.stop()
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
-    return timings, total, sf, skew
+    return timings, warm, total, sf, skew
 
 
 def write_baseline_md(result: dict) -> None:
@@ -489,11 +502,17 @@ def write_baseline_md(result: dict) -> None:
         "",
         "## Headline queries (seconds, noop sink)",
         "",
-        "| query | sec |",
-        "|---|---|",
+        "one-shot = first execution in the session (includes Janino/JIT "
+        "codegen compile, which swings 2-8s on this shared VM for the "
+        "codegen-heavy dedup queries depending on host epoch); warm = second "
+        "execution of the same plan (steady-state per-execution cost).",
+        "",
+        "| query | one-shot sec | warm sec |",
+        "|---|---|---|",
     ]
+    wq = result.get("queries_warm", {})
     for k, v in result["queries"].items():
-        lines.append(f"| {k} | {v} |")
+        lines.append(f"| {k} | {v} | {wq.get(k, '')} |")
     skew = result.get("skew_probe", {})
     if "speedup" in skew:
         lines += [
@@ -547,7 +566,7 @@ def main() -> None:
         pipeline_worker(int(sys.argv[2]), sys.argv[3], deadline)
         return
 
-    timings, total, sf, skew = run_headline()
+    timings, warm, total, sf, skew = run_headline()
 
     kg = {}
     if not SKIP_SCALING:
@@ -571,6 +590,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "queries_warm": warm,
         "skew_probe": skew,
         "kg_pipeline": kg,
     }
