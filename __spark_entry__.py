@@ -729,7 +729,7 @@ def _minhash_oracle(
             WITH sh AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,
                      unnest({_duck_shingles(n_gram)}) AS sh
-              FROM documents
+              FROM documents WHERE text IS NOT NULL
             ),
             h AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh),
             sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
@@ -795,7 +795,7 @@ def _lsh_bucket_stats_oracle(
             WITH sh AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,
                      unnest({_duck_shingles(n_gram)}) AS sh
-              FROM documents
+              FROM documents WHERE text IS NOT NULL
             ),
             h AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh),
             sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),

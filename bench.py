@@ -231,21 +231,37 @@ def _scaling_once(corpus_dir: str) -> dict:
     deadline = time.time() + 40 + TRIAL_WINDOW_SEC
     procs = {}
     for cpus, cpuset in ((LO_CPUS, LO_CPUSET), (HI_CPUS, HI_CPUSET)):
-        procs[cpus] = subprocess.Popen(
+        # worker stdout/stderr go to FILES, not pipes: with pipes, draining
+        # the workers sequentially leaves the other worker's pipe undrained —
+        # >64KB of progress-bar/stderr output (likely under exactly the
+        # degraded-host conditions the paired design targets) would block its
+        # writes MID-WINDOW and silently stall its timed trials
+        so = open(os.path.join("/tmp", f"l2f_worker_{cpus}.out"), "w+")
+        se = open(os.path.join("/tmp", f"l2f_worker_{cpus}.err"), "w+")
+        p = subprocess.Popen(
             _worker_cmd(cpus, corpus_dir, cpuset, deadline),
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
+            stdout=so,
+            stderr=se,
             text=True,
             cwd=REPO,
         )
+        procs[cpus] = (p, so, se)
     out = {}
-    for cpus, p in procs.items():
+    for cpus, (p, so, se) in procs.items():
         try:
-            stdout, stderr = p.communicate(timeout=1200)
+            p.wait(timeout=1200)
         except subprocess.TimeoutExpired:
             p.kill()
             out[f"local[{cpus}]"] = {"error": "worker timeout"}
+            so.close()
+            se.close()
             continue
+        so.seek(0)
+        stdout = so.read()
+        se.seek(0)
+        stderr = se.read()
+        so.close()
+        se.close()
         lines = [l for l in stdout.splitlines() if l.startswith("{")]
         if not lines:
             out[f"local[{cpus}]"] = {"error": stderr[-500:]}

@@ -101,12 +101,14 @@ def minhash_signatures(
     h1 < 2^52, h2 < 2^28, s < n_hashes: the affine combination stays under
     2^53, so Spark 4 ANSI mode cannot overflow.
 
-    Contract: documents with NULL text produce NO signature row (split(NULL)
-    explodes to nothing) — callers joining signatures back by id must treat
-    absence as "no content", the same way such docs emit no shingles/pairs
-    anywhere else in this module.
+    Contract: documents with NULL text produce NO signature row (explicit
+    isNotNull filter) — callers joining signatures back by id must treat
+    absence as "no content".  Without the filter, _shingles(NULL) yields
+    [NULL] (the short-text ELSE arm), every NULL-text doc gets an all-NULL
+    signature and they all collapse into shared empty-string band keys,
+    emitting spurious jaccard-1.0 pairs between contentless documents.
     """
-    ex = docs.select(
+    ex = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_shingles(text_col, n_gram)).alias("sh"),
     ).select(

@@ -215,7 +215,7 @@ def _ivf_assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_refine(base: DataFrame, centroids: DataFrame, dim: int) -> DataFrame:
+def _lloyd_refine(base: DataFrame, centroids: DataFrame) -> DataFrame:
     """One Lloyd iteration: assign, then replace each centroid with the
     per-dimension mean of its assigned vectors.
 
@@ -253,7 +253,6 @@ def cosine_topk_ivf(
     emb_col: str = "embedding",
     q_id_col: str = "q_id",
     q_emb_col: str = "q_emb",
-    dim: int = 64,
     refine_iters: int = 1,
 ) -> DataFrame:
     """IVF-flat: coarse centroids = deterministic hash sample refined by
@@ -285,12 +284,17 @@ def cosine_topk_ivf(
         )
     )
     for _ in range(refine_iters):
-        centroids = _lloyd_refine(base, centroids, dim)
+        centroids = _lloyd_refine(base, centroids)
     if refine_iters:
         # refined centroids feed TWO consumers (vector assignment + query
         # probing) and Spark does not exchange-reuse the expensive
         # assign->mean subtree across them; persisting the k-row result
-        # computes the Lloyd pass once (k*dim doubles — trivially cacheable)
+        # computes the Lloyd pass once (k*dim doubles — trivially cacheable).
+        # Lifecycle: the entry stays in the session's cache registry until
+        # spark.stop() or an explicit unpersist/clearCache (it cannot be
+        # unpersisted here — the returned DataFrame is lazy and still depends
+        # on it); identical inputs dedupe to ONE entry via plan
+        # canonicalization, so repeated calls over the same table don't grow it
         centroids = centroids.persist()
 
     # assign: nearest centroid per vector (broadcast centroids, map-side argmax)

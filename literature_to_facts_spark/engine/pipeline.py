@@ -230,12 +230,21 @@ def _rowwise_fallback(spec, prep: pd.DataFrame, sides: Sides) -> dict:
     collected: dict[str, dict] = {}
     for idx, out in pieces:
         for pred, series in out.items():
-            if hasattr(series, "iloc"):
-                for i, v in series.items():
+            if hasattr(series, "to_numpy"):
+                # POSITIONAL alignment, like the normal batch path's
+                # series.to_numpy(): a default-indexed Series (legal on the
+                # happy path) must not be matched by label or its facts land
+                # on the wrong documents
+                vals = series.to_numpy(dtype=object)
+                for i, v in zip(idx, vals):
                     if not _is_null(v):
                         collected.setdefault(pred, {})[i] = v
-            elif not _is_null(series):  # scalar from a len-1 frame
-                collected.setdefault(pred, {})[idx[0]] = series
+            elif not _is_null(series):
+                # scalar return (reference-style row functions): the old
+                # per-row loop assigned it to EVERY row it re-ran, so a
+                # multi-row half gets it on every row too
+                for i in idx:
+                    collected.setdefault(pred, {})[i] = series
     return {
         pred: pd.Series(vals, dtype=object).reindex(prep.index)
         for pred, vals in collected.items()

@@ -127,10 +127,16 @@ _DURATION_UNITS_MS = {
 
 
 def _parse_duration_ms(s: str) -> int:
-    """'7 days' / '24 hours' / '500 ms' -> milliseconds (CalendarInterval-
-    style strings, the same shape watermarks take)."""
-    n, unit = s.strip().split()
-    ms = _DURATION_UNITS_MS.get(unit.lower())
-    if ms is None:
-        raise ValueError(f"unsupported duration unit in {s!r}")
-    return int(float(n) * ms)
+    """'7 days' / '24 hours' / '500 ms' / compound '1 hour 30 minutes' ->
+    milliseconds (CalendarInterval-style strings, the same shape watermarks
+    take)."""
+    toks = s.strip().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"expected '<n> <unit> [<n> <unit> ...]', got {s!r}")
+    total = 0.0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        ms = _DURATION_UNITS_MS.get(unit.lower())
+        if ms is None:
+            raise ValueError(f"unsupported duration unit {unit!r} in {s!r}")
+        total += float(n) * ms
+    return int(total)

@@ -328,3 +328,33 @@ def test_multimodal_degrades_per_row(spark):
     rows = {r["media_id"]: r for r in extract_media_features(media).collect()}
     assert rows[1]["decoder"] == "real" and rows[1]["feature"] is not None
     assert rows[2]["decoder"] == "unsupported" and rows[2]["feature"] is None
+
+
+def test_minhash_null_text_docs_emit_nothing(spark):
+    """NULL-text documents must produce NO signature rows, NO band keys and
+    NO pairs — without the isNotNull filter they all collapsed into shared
+    empty-string band buckets and paired each other at jaccard=1.0, and the
+    DuckDB oracles (whose list_distinct strips NULLs) diverged."""
+    import pandas as pd
+
+    from literature_to_facts_spark.datapipe.dedup import (
+        lsh_bucket_stats,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["alpha beta gamma delta", "alpha beta gamma delta", None, None, None],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    sigs = minhash_signatures(docs, n_hashes=16)
+    assert {r["doc_id"] for r in sigs.collect()} == {1, 2}
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, n_hashes=16, bands=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    stats = lsh_bucket_stats(docs, n_hashes=16, bands=4, max_bucket=1000).collect()[0]
+    # 4 signature bands x 1 shared key + 1 exact band key = 5 buckets; all multi
+    assert stats["n_buckets"] == 5
+    assert stats["n_multi_buckets"] == 5

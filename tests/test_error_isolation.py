@@ -84,3 +84,39 @@ def test_bisect_fallback_scalar_output_single_row():
     out = _rowwise_fallback(ExtractorSpec("s", fn), prep, None)
     assert out["p"].loc[0] == "scalar-val"
     assert pd.isna(out["p"].loc[1])
+
+
+def test_bisect_fallback_positional_alignment_default_index():
+    """A default-indexed Series (legal on the happy path, which consumes
+    series.to_numpy() positionally) must align POSITIONALLY in the fallback
+    too — label-matching would hand row 2's facts to row 0."""
+
+    def fn(prep: pd.DataFrame, _sides) -> dict:
+        if 0 in prep.index:
+            raise ValueError("poison at row 0")
+        # default RangeIndex(len(prep)) — NOT aligned to prep.index
+        return {"p": pd.Series([f"row{i}" for i in prep.index])}
+
+    prep = pd.DataFrame({"text": list("abcd")})  # index [0,1,2,3]
+    out = _rowwise_fallback(ExtractorSpec("s", fn), prep, None)
+    got = out["p"]
+    assert pd.isna(got.loc[0])  # poisoned row contributes nothing
+    assert got.loc[1] == "row1"
+    assert got.loc[2] == "row2"
+    assert got.loc[3] == "row3"
+
+
+def test_bisect_fallback_scalar_multi_row_half():
+    """A scalar return from a MULTI-row half means (per the old per-row
+    semantics) every row in that half carries the value."""
+
+    def fn(prep: pd.DataFrame, _sides) -> dict:
+        if 3 in prep.index:
+            raise ValueError("poison at row 3")
+        return {"p": "v"}
+
+    prep = pd.DataFrame({"text": list("wxyz")})  # index [0,1,2,3]
+    out = _rowwise_fallback(ExtractorSpec("s", fn), prep, None)
+    got = out["p"]
+    assert list(got.loc[[0, 1, 2]]) == ["v", "v", "v"]
+    assert pd.isna(got.loc[3])

@@ -282,6 +282,7 @@ def test_stateful_dedup_state_ttl_expiry(spark, tmp_path):
     assert _parse_duration_ms("7 days") == 7 * 86_400_000
     assert _parse_duration_ms("24 hours") == 24 * 3_600_000
     assert _parse_duration_ms("500 ms") == 500
+    assert _parse_duration_ms("1 hour 30 minutes") == 5_400_000  # compound
 
     src = tmp_path / "docs"
     out = tmp_path / "out"
