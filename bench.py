@@ -53,7 +53,7 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "250000"))
 # levels are measured under IDENTICAL machine conditions for the whole window
 # (a fixed trial count lets the fast level finish early and gives the slow
 # level a quieter machine for the rest of its run — a systematic bias).
-TRIAL_WINDOW_SEC = float(os.environ.get("SPARK_GRAFT_TRIAL_WINDOW", "90"))
+TRIAL_WINDOW_SEC = float(os.environ.get("SPARK_GRAFT_TRIAL_WINDOW", "75"))
 # fixed partition count across parallelism levels: on a real cluster the
 # split count comes from the input layout, not the executor count, and a
 # fixed count keeps per-batch amortization identical between the two runs
