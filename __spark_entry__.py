@@ -585,6 +585,28 @@ def q_emb_ann_ivf(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_cc(spark, sf_dir):
+    """Near-dup PAIRS merged into duplicate CLUSTERS via connected
+    components (min-label propagation + pointer jumping, O(log diameter)
+    iterations — datapipe/dedup.connected_components).  Pairs alone
+    under-delete: {a,b},{b,c} must collapse to {a,b,c} with one canonical
+    representative.  Full SQL oracle: DuckDB recomputes the identical
+    MinHash-LSH pair set AND the reachability closure (recursive CTE), so
+    the whole pairs->clusters chain is checked end-to-end."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, n_hashes=16, bands=4)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_rep").cast("bigint").alias("cluster_rep"),
+    )
+
+
 def q_dedup_lsh_bucket_stats(spark, sf_dir):
     """The dedup-monitoring report that makes the LSH bucket cap a measured
     quantity instead of silent recall loss (datapipe/dedup.lsh_bucket_stats):
@@ -668,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_lsh_bucket_stats": q_dedup_lsh_bucket_stats,
+        "dedup_clusters_cc": q_dedup_clusters_cc,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -770,6 +793,25 @@ def _minhash_oracle(
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+        """
+
+
+def _cc_oracle(pairs_sql: str) -> str:
+    """Connected components over a pair query: undirected reachability
+    closure via a recursive CTE, MIN(reachable id) per node — exactly the
+    fixpoint connected_components() converges to."""
+    return f"""
+            WITH RECURSIVE pairs AS ({pairs_sql}),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b AS a, id_a AS b FROM pairs),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            closure(node, reach) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT c.node, e.b FROM closure c JOIN edges e ON e.a = c.reach
+            )
+            SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_rep
+            FROM closure GROUP BY node
         """
 
 
@@ -1344,6 +1386,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_lsh_bucket_stats": _lsh_bucket_stats_oracle(
             n_gram=3, n_hashes=16, bands=4, max_bucket=20
+        ),
+        "dedup_clusters_cc": _cc_oracle(
+            _minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4)
         ),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=8),

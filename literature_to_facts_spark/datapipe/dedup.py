@@ -463,3 +463,88 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (pair -> cluster closure)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Merge near-duplicate PAIRS into duplicate CLUSTERS: (doc_id,
+    cluster_rep) where cluster_rep is the minimum doc id reachable through
+    the pair graph — the canonical representative every dedup pipeline needs
+    after candidate pairing (pairs alone under-delete: {a,b},{b,c} must
+    collapse to one cluster {a,b,c}).
+
+    Algorithm: min-label propagation with pointer jumping.  Each iteration
+    does (1) a neighbor step — label(v) <- min(label(v), labels of v's
+    neighbors) — and (2) a jump step — label(v) <- label(label(v)) — so the
+    label frontier doubles per iteration and convergence is O(log diameter)
+    iterations, each one a pair of shuffles with map-side partial MIN
+    aggregation.  This is the DataFrame re-expression of the alternating
+    large-star/small-star construction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") that GraphFrames implements on RDDs.
+
+    Per-iteration ``localCheckpoint`` cuts the exponentially growing lineage
+    (iterative plans otherwise re-derive every prior iteration); on a real
+    cluster with executor churn prefer ``spark.sparkContext.setCheckpointDir``
+    + ``.checkpoint()`` — localCheckpoint trades re-computability for speed.
+
+    Deterministic (pure min over ids), so an independent engine reproduces it
+    exactly — the DuckDB oracle computes the same closure with a recursive
+    CTE.  Returns one row per node that appears in >= 1 pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("lbl").alias("dlbl")),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlbl").alias("nbr_lbl"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = labels.join(nbr_min, on="node", how="left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+        )
+        # pointer jump: follow the label one hop (label ids are node ids)
+        jumped = (
+            stepped.join(
+                labels.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")),
+                on="lbl",
+                how="left",
+            )
+            .select(
+                "node", F.least(F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))

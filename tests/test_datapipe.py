@@ -358,3 +358,27 @@ def test_minhash_null_text_docs_emit_nothing(spark):
     # 4 signature bands x 1 shared key + 1 exact band key = 5 buckets; all multi
     assert stats["n_buckets"] == 5
     assert stats["n_multi_buckets"] == 5
+
+
+def test_connected_components_merges_pair_chains(spark):
+    """Pairs {1-2,2-3,3-4} must collapse into one cluster with rep=min id;
+    disjoint components keep separate reps; long chains converge within the
+    O(log diameter) pointer-jumping budget."""
+    from literature_to_facts_spark.datapipe.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_rep"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # a 64-node chain: diameter 63, must converge via pointer jumping
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 163)], "id_a long, id_b long"
+    )
+    out = connected_components(chain, max_iters=10).collect()
+    assert {r["cluster_rep"] for r in out} == {100}
+    assert len(out) == 64
