@@ -592,7 +592,12 @@ def q_dedup_clusters_cc(spark, sf_dir):
     under-delete: {a,b},{b,c} must collapse to {a,b,c} with one canonical
     representative.  Full SQL oracle: DuckDB recomputes the identical
     MinHash-LSH pair set AND the reachability closure (recursive CTE), so
-    the whole pairs->clusters chain is checked end-to-end."""
+    the whole pairs->clusters chain is checked end-to-end.
+
+    NOTE: unlike the other (lazy) contract queries, calling this executes
+    the closure eagerly — iterative fixpoints need per-round actions (same
+    contract as GraphFrames CC); the returned DataFrame selects over the
+    final checkpointed labels."""
     from literature_to_facts_spark.datapipe.dedup import (
         connected_components,
         minhash_lsh_pairs,

@@ -499,10 +499,28 @@ def connected_components(
     Deterministic (pure min over ids), so an independent engine reproduces it
     exactly — the DuckDB oracle computes the same closure with a recursive
     CTE.  Returns one row per node that appears in >= 1 pair.
+
+    EAGER: calling this runs Spark jobs immediately (the iterative loop
+    needs per-round actions — same contract as GraphFrames' CC); the
+    returned DataFrame is a select over the final checkpointed labels.
+    Raises RuntimeError if ``max_iters`` is exhausted before the fixpoint —
+    silently returning partially-propagated labels would under-merge
+    clusters with no signal (needs diameter > ~2^max_iters to ever happen).
     """
+    # both edge directions from ONE consumer of `pairs` (explode of a 2-array)
+    # — a unionByName of two selects would recompute the entire upstream pair
+    # pipeline twice (Spark does not exchange-reuse across union branches;
+    # verified: 0 ReusedExchange, every LSH stage duplicated)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .distinct()
         .localCheckpoint()
     )
@@ -547,4 +565,9 @@ def connected_components(
         labels = jumped
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations "
+            "(component diameter exceeds ~2^max_iters); raise max_iters"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))

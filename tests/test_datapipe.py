@@ -382,3 +382,15 @@ def test_connected_components_merges_pair_chains(spark):
     out = connected_components(chain, max_iters=10).collect()
     assert {r["cluster_rep"] for r in out} == {100}
     assert len(out) == 64
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from literature_to_facts_spark.datapipe.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 164)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
