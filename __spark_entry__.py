@@ -631,6 +631,33 @@ def q_dedup_lsh_bucket_stats(spark, sf_dir):
     )
 
 
+def q_sample_hash_fraction(spark, sf_dir):
+    """Zero-shuffle deterministic mixture sampling: per-group keep fractions
+    via a portable hash filter (datapipe/sampling.sample_fraction_by_group).
+    Full SQL oracle — DuckDB recomputes the identical hash buckets."""
+    from literature_to_facts_spark.datapipe.sampling import sample_fraction_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_fraction_by_group(
+        docs, {"en": 0.5, "de": 0.2}, group_col="lang", default_fraction=0.05
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("lang").alias("lang")
+    )
+
+
+def q_sample_stratified_topn(spark, sf_dir):
+    """Exact-n-per-group deterministic sampling (hash-order window rank).
+    Full SQL oracle."""
+    from literature_to_facts_spark.datapipe.sampling import sample_topn_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_topn_per_group(docs, n=7, group_col="lang")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("lang").alias("lang")
+    )
+
+
 def q_text_token_counts(spark, sf_dir):
     from literature_to_facts_spark.datapipe.textstats import with_token_counts
 
@@ -696,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_lsh_bucket_stats": q_dedup_lsh_bucket_stats,
         "dedup_clusters_cc": q_dedup_clusters_cc,
+        "sample_hash_fraction": q_sample_hash_fraction,
+        "sample_stratified_topn": q_sample_stratified_topn,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -798,6 +827,31 @@ def _minhash_oracle(
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+        """
+
+
+def _sample_fraction_oracle(fractions: dict, default_fraction: float) -> str:
+    h = _H1.format(x="CAST(doc_id AS VARCHAR)")
+    thresh = str(int(default_fraction * 1_000_000))
+    cases = " ".join(
+        f"WHEN lang = '{val}' THEN {int(frac * 1_000_000)}"
+        for val, frac in sorted(fractions.items())
+    )
+    return f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+            FROM documents
+            WHERE ({h}) % 1000000 < (CASE {cases} ELSE {thresh} END)
+        """
+
+
+def _sample_topn_oracle(n: int) -> str:
+    h = _H1.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+            SELECT doc_id, lang FROM (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY {h} ASC, CAST(doc_id AS BIGINT) ASC) AS rk
+              FROM documents) WHERE rk <= {n}
         """
 
 
@@ -1395,6 +1449,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_cc": _cc_oracle(
             _minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4)
         ),
+        "sample_hash_fraction": _sample_fraction_oracle(
+            {"en": 0.5, "de": 0.2}, default_fraction=0.05
+        ),
+        "sample_stratified_topn": _sample_topn_oracle(n=7),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=8),
         "dedup_embedding_cosine": _emb_near_dup_oracle(threshold=0.4, n_planes=4),

@@ -1,0 +1,77 @@
+"""Deterministic sampling for training-data mixture construction.
+
+Corpus mixtures ("3% of lang=de, 40% of lang=en, cap code at 2M docs") need
+samples that are (a) reproducible across runs, engines and partitionings —
+``df.sample()`` is seed-stable only for a fixed partitioning — and (b) cheap
+at 10^12 rows.  Both operators rank rows by the repo's portable md5-derived
+hash of the id (independent engines recompute the identical sample, so both
+are DuckDB-oracled end-to-end):
+
+* :func:`sample_fraction_by_group` — Bernoulli-style per-group fractions via
+  a pure hash FILTER: zero shuffle, fully pushdown-friendly, the 100 TB path.
+  Group sizes are approximate (binomial around fraction*n).
+* :func:`sample_topn_per_group` — EXACT n per group via a per-group
+  hash-order window rank: one shuffle on the group key (hot groups are fine —
+  rank is a streaming window, no buffering beyond the frame row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 52-bit portable hash (see datapipe.dedup): DuckDB equivalent
+# CAST('0x' || substr(md5(x), 1, 13) AS BIGINT)
+_HASH_MOD = 1_000_000
+
+
+def _h52(col_expr: str) -> F.Column:
+    return F.expr(
+        f"cast(conv(substr(md5(cast({col_expr} as string)), 1, 13), 16, 10) as bigint)"
+    )
+
+
+def sample_fraction_by_group(
+    docs: DataFrame,
+    fractions: dict,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff hash(id) mod 1e6 < fraction(group) * 1e6.
+
+    Pure narrow filter — no shuffle, no window, pushes past column pruning;
+    sampling 10^12 rows costs one scan.  ``fractions`` maps group value ->
+    keep fraction in [0, 1]; unlisted groups get ``default_fraction``.
+    Deterministic per id: re-runs and other engines keep exactly the same
+    rows, and samples at different fractions NEST (a 1% sample is a subset
+    of the 10% sample — useful for scaling-law subsets).
+    """
+    bucket = F.pmod(_h52(id_col), F.lit(_HASH_MOD))
+    thresh = F.lit(int(default_fraction * _HASH_MOD))
+    for val, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(group_col) == val, F.lit(int(frac * _HASH_MOD))).otherwise(
+            thresh
+        )
+    return docs.where(bucket < thresh)
+
+
+def sample_topn_per_group(
+    docs: DataFrame,
+    n: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY min(n, group size) rows per group: rank rows within each group
+    by (hash(id), id) and keep rank <= n — a deterministic uniform draw with
+    a hard cap (mixture recipes with absolute caps, eval holdouts).
+
+    One shuffle on ``group_col``; the rank is a streaming row_number (no
+    per-group buffering), so a hot group costs one reducer pass, not memory.
+    """
+    w = Window.partitionBy(group_col).orderBy(_h52(id_col).asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -394,3 +394,39 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iters=2)
+
+
+def test_sampling_deterministic_nested_and_exact(spark, documents):
+    """Hash-fraction sampling: zero-shuffle plan, deterministic, and samples
+    NEST across fractions (the 10% set contains the 5% set); top-n sampling:
+    exactly min(n, group size) per group, stable across partitionings."""
+    from literature_to_facts_spark.datapipe.sampling import (
+        sample_fraction_by_group,
+        sample_topn_per_group,
+    )
+
+    docs = documents.select("doc_id", "lang", "text")
+    s10 = sample_fraction_by_group(docs, {}, default_fraction=0.10)
+    s05 = sample_fraction_by_group(docs, {}, default_fraction=0.05)
+    ids10 = {r["doc_id"] for r in s10.collect()}
+    ids05 = {r["doc_id"] for r in s05.collect()}
+    assert ids05 <= ids10  # nesting
+    assert ids10 == {r["doc_id"] for r in s10.collect()}  # deterministic
+    # narrow plan: no shuffle anywhere in the fraction sampler
+    plan = s10._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    topn = sample_topn_per_group(docs, n=3, group_col="lang")
+    counts = {
+        r["lang"]: r["n"]
+        for r in topn.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {k: min(3, v) for k, v in sizes.items()}
+    # repartitioning must not change the selection
+    a = {(r["doc_id"]) for r in topn.collect()}
+    b = {(r["doc_id"]) for r in sample_topn_per_group(docs.repartition(13), 3, "lang").collect()}
+    assert a == b
