@@ -61,17 +61,36 @@ def sample_topn_per_group(
     n: int,
     group_col: str = "lang",
     id_col: str = "doc_id",
+    n_salts: int = 64,
 ) -> DataFrame:
     """EXACTLY min(n, group size) rows per group: rank rows within each group
     by (hash(id), id) and keep rank <= n — a deterministic uniform draw with
     a hard cap (mixture recipes with absolute caps, eval holdouts).
 
-    One shuffle on ``group_col``; the rank is a streaming row_number (no
-    per-group buffering), so a hot group costs one reducer pass, not memory.
+    Two-phase salted ranking: a single ``Window.partitionBy(group_col)``
+    would rank each group on ONE reducer — with a handful of language groups
+    over 10^12 rows that is a single-threaded scan of the biggest group.
+    Phase 1 ranks within (group, salt = hash(id) % n_salts) in parallel and
+    keeps n per salt; phase 2 ranks the <= n_salts * n survivors per group.
+    Identical result: every global top-n member is inside its salt's top-n
+    (ranks only shrink when restricted to a subset).  The salt derives from
+    the same hash as the order key, so no extra hashing pass.
     """
-    w = Window.partitionBy(group_col).orderBy(_h52(id_col).asc(), F.col(id_col).asc())
-    return (
-        docs.withColumn("_rk", F.row_number().over(w))
+    h = _h52(id_col)
+    salted = docs.withColumn("_h", h).withColumn(
+        "_salt", F.pmod(F.col("_h"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    survivors = (
+        salted.withColumn("_rk", F.row_number().over(w1))
         .where(F.col("_rk") <= n)
-        .drop("_rk")
+        .drop("_rk", "_salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        survivors.withColumn("_rk", F.row_number().over(w2))
+        .where(F.col("_rk") <= n)
+        .drop("_rk", "_h")
     )
