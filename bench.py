@@ -81,6 +81,12 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "emb_ann_ivf",
     "stream_windowed_counts",
+    # round-3 operators (appended; earlier entries stay comparable).
+    # dedup_clusters_cc is deliberately NOT here: it executes eagerly
+    # (iterative fixpoint) and embeds the full minhash pipeline, so it would
+    # double-count the most expensive query; the correctness gate runs it.
+    "sample_hash_fraction",
+    "sample_stratified_topn",
 ]
 
 

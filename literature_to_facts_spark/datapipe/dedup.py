@@ -21,12 +21,14 @@ aggregation map-side (the shuffle carries one partial row per doc per
 partition), and has no cache dependency.
 
 * exact:        md5(text) hash-groupBy duplicate clusters
-* MinHash+LSH:  shingle -> 32 minhashes -> banded bucket join -> verified
-                pairs; oversized buckets fall back to exact-text clustering
-                instead of being dropped silently
+* MinHash+LSH:  shingle -> n_hashes minhashes -> banded bucket join ->
+                verified pairs; oversized buckets fall back to exact-text
+                clustering instead of being dropped silently
 * SimHash:      64-bit majority-vote fingerprint + 4x16-bit banded join
 * n-gram Jaccard: exact pairwise similarity over shared-shingle candidates,
                 hot shingles (document frequency > cap) excluded
+* connected components: pairs -> clusters (min-label propagation + pointer
+                jumping, O(log diameter) iterations)
 """
 
 from __future__ import annotations
