@@ -680,6 +680,21 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_text_quality_filter(spark, sf_dir):
+    """Gopher-style quality gate: keep/drop with an auditable first-failing-
+    rule reason code (datapipe/textstats.quality_filter).  Narrow plan, no
+    shuffle.  Full SQL oracle (thresholds compare rounded ratios on both
+    engines, so the decision is bit-portable)."""
+    from literature_to_facts_spark.datapipe.textstats import quality_filter
+
+    out = quality_filter(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("keep").cast("boolean").alias("keep"),
+        F.col("drop_reason").alias("drop_reason"),
+    )
+
+
 def q_text_lang_id(spark, sf_dir):
     from literature_to_facts_spark.datapipe.textstats import with_lang_id
 
@@ -734,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
+        "text_quality_filter": q_text_quality_filter,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
     }
@@ -1436,6 +1452,43 @@ def oracle_sql() -> dict[str, str]:
                      + alpha_ratio * 0.2
                      + least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
             FROM m
+        """,
+        "text_quality_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x != '') AS toks,
+                     text
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     END AS mean_word_len,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS alpha_ratio,
+                     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                     CAST(len(list_filter(toks, x ->
+                       list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+                       / greatest(len(toks), 1) AS stopword_ratio
+              FROM t
+            ),
+            gated AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CASE WHEN n_words < 10 THEN 'too_few_words'
+                          WHEN n_words > 100000 THEN 'too_many_words'
+                          WHEN ROUND(mean_word_len, 6) < 3.0 THEN 'mean_word_len_low'
+                          WHEN ROUND(mean_word_len, 6) > 10.0 THEN 'mean_word_len_high'
+                          WHEN ROUND(alpha_ratio, 6) < 0.6 THEN 'low_alpha_ratio'
+                          WHEN ROUND(stopword_ratio, 6) < 0.02 THEN 'no_stopwords'
+                          WHEN ROUND(punct_ratio, 6) > 0.2 THEN 'too_much_punct'
+                          ELSE NULL END AS drop_reason
+              FROM m
+            )
+            SELECT doc_id, (drop_reason IS NULL) AS keep, drop_reason
+            FROM gated
         """,
         # generated oracles: md5-derived hash family + inlined hyperplane
         # constants make the full LSH/ANN pipelines engine-portable (round 1

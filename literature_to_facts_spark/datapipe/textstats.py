@@ -125,3 +125,45 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("fp_md5", F.md5(F.expr(norm))).withColumn(
         "fp_rolling", F.expr(rolling)
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.6,
+    min_stopword_ratio: float = 0.02,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style document quality gate over the :func:`with_quality`
+    signals: ``keep`` boolean plus a ``drop_reason`` code (FIRST failing
+    rule, fixed evaluation order) so filter composition is auditable —
+    production corpus curation reports per-reason drop counts, not a bare
+    pass rate.  All thresholds compare ROUNDED (6dp) ratios so the decision
+    is bit-portable across engines (an exact-threshold float in the last
+    ulp cannot flip between Spark and the oracle).
+
+    Narrow plan: with_quality is pure per-row expressions, the gate adds a
+    CASE ladder — no shuffle, scales as one scan.
+    """
+    q = with_quality(docs, text_col)
+    mwl = F.round(F.col("mean_word_len"), 6)
+    al = F.round(F.col("alpha_ratio"), 6)
+    sw = F.round(F.col("stopword_ratio"), 6)
+    pr = F.round(F.col("punct_ratio"), 6)
+    reason = (
+        F.when(F.col("n_words") < min_words, "too_few_words")
+        .when(F.col("n_words") > max_words, "too_many_words")
+        .when(mwl < min_mean_word_len, "mean_word_len_low")
+        .when(mwl > max_mean_word_len, "mean_word_len_high")
+        .when(al < min_alpha_ratio, "low_alpha_ratio")
+        .when(sw < min_stopword_ratio, "no_stopwords")
+        .when(pr > max_punct_ratio, "too_much_punct")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return q.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )

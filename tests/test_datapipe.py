@@ -430,3 +430,34 @@ def test_sampling_deterministic_nested_and_exact(spark, documents):
     a = {(r["doc_id"]) for r in topn.collect()}
     b = {(r["doc_id"]) for r in sample_topn_per_group(docs.repartition(13), 3, "lang").collect()}
     assert a == b
+
+
+def test_quality_filter_reason_codes(spark):
+    """First-failing-rule semantics + threshold edges: a too-short doc is
+    'too_few_words' even if it would ALSO fail other rules; a clean doc
+    keeps; the plan stays shuffle-free."""
+    import pandas as pd
+
+    from literature_to_facts_spark.datapipe.textstats import quality_filter
+
+    good = "the quick brown fox jumps over the lazy dog and runs to the old barn in town again today"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                good,                                  # keep
+                "x",                                   # too_few_words (first rule)
+                " ".join(["zqxjkv"] * 40),             # no stopwords
+                " ".join(["a.,;!?.,;!?"] * 30),        # punct... but alpha fails first
+            ],
+        }
+    )
+    docs = spark.createDataFrame(rows)
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"]) for r in quality_filter(docs).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "too_few_words")
+    assert got[3] == (False, "no_stopwords")
+    # doc 4 fails several rules; mean_word_len_high fires FIRST in the ladder
+    assert got[4] == (False, "mean_word_len_high")
+    plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
