@@ -658,6 +658,41 @@ def q_sample_stratified_topn(spark, sf_dir):
     )
 
 
+def q_events_asof_join(spark, sf_dir):
+    """Backward as-of join (datapipe/joins.asof_join): each purchase event
+    attaches the user's most recent click at-or-before it — the temporal
+    join Spark lacks natively, re-expressed as one union + one key shuffle +
+    a running last() sweep (no row multiplication).  Full SQL oracle via
+    DuckDB's native ASOF LEFT JOIN.  The right side is pre-deduped to one
+    row per (user, ts) — max event_id — so tie semantics are engine-defined
+    on both sides."""
+    from literature_to_facts_spark.datapipe.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_event_id"], suffix="_r",
+    )
+    # inner-ASOF for the contract query: the compare harness sorts row
+    # tuples, and NULLs from unmatched left rows are not orderable there
+    out = out.where(F.col("click_event_id_r").isNotNull())
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("click_event_id_r").cast("bigint").alias("click_event_id"),
+        F.unix_micros(F.col("ts_r")).alias("click_ts_us"),
+    )
+
+
 def q_text_token_counts(spark, sf_dir):
     from literature_to_facts_spark.datapipe.textstats import with_token_counts
 
@@ -723,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reaction_pivot": q_kg_reaction_pivot,
         "json_extract": q_json_extract,
         "sessionize_window": q_sessionize_window,
+        "events_asof_join": q_events_asof_join,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "rollup_orders": q_rollup_orders,
@@ -1452,6 +1488,26 @@ def oracle_sql() -> dict[str, str]:
                      + alpha_ratio * 0.2
                      + least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
             FROM m
+        """,
+        "events_asof_join": """
+            WITH purchases AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(user_id AS BIGINT) AS user_id, ts
+              FROM events WHERE event_type = 'purchase'
+            ),
+            clicks AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+                     CAST(MAX(event_id) AS BIGINT) AS click_event_id
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   r.click_event_id,
+                   epoch_us(r.ts) AS click_ts_us
+            FROM purchases l
+            ASOF JOIN clicks r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "text_quality_filter": """
             WITH t AS (

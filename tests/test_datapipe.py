@@ -461,3 +461,41 @@ def test_quality_filter_reason_codes(spark):
     assert got[4] == (False, "mean_word_len_high")
     plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left row per key;
+    left-outer NULLs when nothing prior; equal timestamps match; ties among
+    equal (key, ts) right rows resolve to the greatest payload struct."""
+    import datetime as dt
+
+    from literature_to_facts_spark.datapipe.joins import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, 10, T("2026-01-01 10:00:00")),   # after r2 -> matches r2
+            (2, 10, T("2026-01-01 08:00:00")),   # equal ts to r1 -> matches r1
+            (3, 10, T("2026-01-01 07:00:00")),   # before everything -> NULL
+            (4, 20, T("2026-01-01 12:00:00")),   # tie: two right rows same ts
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, T("2026-01-01 08:00:00")),  # r1
+            (102, 10, T("2026-01-01 09:30:00")),  # r2
+            (201, 20, T("2026-01-01 11:00:00")),  # tie pair (same ts)
+            (202, 20, T("2026-01-01 11:00:00")),
+        ],
+        "rid long, user_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: (r["rid_r"], r["ts_r"])
+        for r in asof_join(left, right, on="user_id", right_cols=["rid"]).collect()
+    }
+    assert out[1][0] == 102
+    assert out[2][0] == 101        # <= semantics: equal ts matches
+    assert out[3] == (None, None)  # left-outer
+    assert out[4][0] == 202        # greatest payload struct wins the tie
+    assert len(out) == 4           # exactly one output row per left row
