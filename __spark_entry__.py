@@ -693,6 +693,36 @@ def q_events_asof_join(spark, sf_dir):
     )
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Range join (datapipe/joins.interval_join): clicks attributed to the
+    [purchase - 1 hour, purchase) window of the same user — bucketed
+    equi-join + exact residual predicate instead of the quadratic
+    BroadcastNestedLoopJoin Spark plans for a bare BETWEEN join.  Full SQL
+    oracle (plain range-predicate join — DuckDB plans IEJoin for it)."""
+    from literature_to_facts_spark.datapipe.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    out = interval_join(
+        clicks, windows, ts_col="ts", start_col="win_start", end_col="win_end",
+        on="user_id", bucket_seconds=3600,
+    )
+    return out.select(
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        F.col("click_id").cast("bigint").alias("click_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_ts_us"),
+    )
+
+
 def q_text_token_counts(spark, sf_dir):
     from literature_to_facts_spark.datapipe.textstats import with_token_counts
 
@@ -759,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "sessionize_window": q_sessionize_window,
         "events_asof_join": q_events_asof_join,
+        "events_interval_join": q_events_interval_join,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "rollup_orders": q_rollup_orders,
@@ -1488,6 +1519,18 @@ def oracle_sql() -> dict[str, str]:
                      + alpha_ratio * 0.2
                      + least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
             FROM m
+        """,
+        "events_interval_join": """
+            SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+                   CAST(c.event_id AS BIGINT) AS click_id,
+                   CAST(c.user_id AS BIGINT) AS user_id,
+                   epoch_us(c.ts) AS click_ts_us
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts < p.ts
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         """,
         "events_asof_join": """
             WITH purchases AS (

@@ -83,3 +83,50 @@ def asof_join(
     out_cols += [F.col(f"_m.{c}").alias(c + suffix) for c in right_cols]
     out_cols.append(F.col("_m._rts").alias(right_ts + suffix))
     return matched.where(F.col("_side") == 1).select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    on: str | list | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range join: every (point, interval) pair with ``start <= ts < end``
+    (half-open) and matching ``on`` keys — Spark plans a bare BETWEEN join
+    as BroadcastNestedLoopJoin / cartesian (quadratic per key).
+
+    Scale path: explode each interval into the coarse time buckets it spans,
+    bucket each point, EQUI-join on (keys, bucket), then apply the exact
+    range predicate as a post-filter.  The shuffle is a plain hash join;
+    work is linear in points + interval-bucket spans.  Choose
+    ``bucket_seconds`` near the median interval length: too small multiplies
+    interval rows (span/bucket copies), too large widens the per-bucket
+    candidate set.  Empty/inverted intervals (end <= start) are dropped (a
+    descending sequence() would otherwise throw under ANSI).
+
+    Output: all point columns + all interval columns (caller aliases
+    collisions away beforehand).
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    b_us = int(bucket_seconds) * 1_000_000
+    ivals = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / F.lit(b_us)),
+                F.floor(
+                    (F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / F.lit(b_us)
+                ),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(b_us))
+    )
+    joined = pts.join(ivals, on=keys + ["_bucket"], how="inner").where(
+        (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -499,3 +499,37 @@ def test_asof_join_semantics(spark):
     assert out[3] == (None, None)  # left-outer
     assert out[4][0] == 202        # greatest payload struct wins the tie
     assert len(out) == 4           # exactly one output row per left row
+
+
+def test_interval_join_semantics(spark):
+    """Half-open [start, end) containment incl. bucket-boundary spans; a
+    point in two overlapping intervals emits two rows; inverted intervals
+    are dropped; key isolation holds."""
+    import datetime as dt
+
+    from literature_to_facts_spark.datapipe.joins import interval_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    pts = spark.createDataFrame(
+        [
+            (1, 7, T("2026-01-01 10:30:00")),
+            (2, 7, T("2026-01-01 11:00:00")),   # == end of iv1 -> excluded
+            (3, 7, T("2026-01-01 09:59:59")),   # just before iv1 start
+            (4, 8, T("2026-01-01 10:30:00")),   # other key
+        ],
+        "pid long, k long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100, 7, T("2026-01-01 10:00:00"), T("2026-01-01 11:00:00")),
+            (101, 7, T("2026-01-01 10:15:00"), T("2026-01-01 12:45:00")),  # spans buckets
+            (102, 7, T("2026-01-01 13:00:00"), T("2026-01-01 12:00:00")),  # inverted
+            (103, 9, T("2026-01-01 10:00:00"), T("2026-01-01 11:00:00")),  # other key
+        ],
+        "iid long, k long, start timestamp, end timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, on="k", bucket_seconds=1800).collect()
+    }
+    assert got == {(1, 100), (1, 101), (2, 101)}
