@@ -87,6 +87,8 @@ HEADLINE = [
     # double-count the most expensive query; the correctness gate runs it.
     "sample_hash_fraction",
     "sample_stratified_topn",
+    "events_asof_join",
+    "events_interval_join",
 ]
 
 
