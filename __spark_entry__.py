@@ -914,10 +914,13 @@ def _minhash_oracle(
 
 
 def _sample_fraction_oracle(fractions: dict, default_fraction: float) -> str:
+    # round(), not int(): truncation under-samples by up to 1e-6 of the
+    # requested fraction (0.29 * 1e6 floats to 289999.999...); the engine
+    # computes the identical Python round, so parity is unchanged either way
     h = _H1.format(x="CAST(doc_id AS VARCHAR)")
-    thresh = str(int(default_fraction * 1_000_000))
+    thresh = str(round(default_fraction * 1_000_000))
     cases = " ".join(
-        f"WHEN lang = '{val}' THEN {int(frac * 1_000_000)}"
+        f"WHEN lang = '{val}' THEN {round(frac * 1_000_000)}"
         for val, frac in sorted(fractions.items())
     )
     return f"""

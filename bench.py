@@ -28,6 +28,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -238,14 +239,17 @@ def _scaling_once(corpus_dir: str) -> dict:
     # startup allowance covers JVM + corpus cache + python-worker warmup
     deadline = time.time() + 40 + TRIAL_WINDOW_SEC
     procs = {}
+    # per-run log directory: fixed /tmp paths let two concurrent bench
+    # invocations (or a leftover run) clobber each other's output mid-window
+    log_dir = tempfile.mkdtemp(prefix="l2f_bench_logs_")
     for cpus, cpuset in ((LO_CPUS, LO_CPUSET), (HI_CPUS, HI_CPUSET)):
         # worker stdout/stderr go to FILES, not pipes: with pipes, draining
         # the workers sequentially leaves the other worker's pipe undrained —
         # >64KB of progress-bar/stderr output (likely under exactly the
         # degraded-host conditions the paired design targets) would block its
         # writes MID-WINDOW and silently stall its timed trials
-        so = open(os.path.join("/tmp", f"l2f_worker_{cpus}.out"), "w+")
-        se = open(os.path.join("/tmp", f"l2f_worker_{cpus}.err"), "w+")
+        so = open(os.path.join(log_dir, f"l2f_worker_{cpus}.out"), "w+")
+        se = open(os.path.join(log_dir, f"l2f_worker_{cpus}.err"), "w+")
         p = subprocess.Popen(
             _worker_cmd(cpus, corpus_dir, cpuset, deadline),
             stdout=so,

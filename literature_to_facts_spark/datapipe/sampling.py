@@ -37,8 +37,9 @@ def sample_fraction_by_group(
     group_col: str = "lang",
     id_col: str = "doc_id",
     default_fraction: float = 0.0,
+    max_case_groups: int = 32,
 ) -> DataFrame:
-    """Keep each row iff hash(id) mod 1e6 < fraction(group) * 1e6.
+    """Keep each row iff hash(id) mod 1e6 < round(fraction(group) * 1e6).
 
     Pure narrow filter — no shuffle, no window, pushes past column pruning;
     sampling 10^12 rows costs one scan.  ``fractions`` maps group value ->
@@ -46,14 +47,32 @@ def sample_fraction_by_group(
     Deterministic per id: re-runs and other engines keep exactly the same
     rows, and samples at different fractions NEST (a 1% sample is a subset
     of the 10% sample — useful for scaling-law subsets).
+
+    Small recipes (<= ``max_case_groups`` groups — language mixtures) compile
+    to a CASE chain inside the scan filter.  Larger recipes (a 10k-domain
+    mixture) would blow up the expression tree, so they switch to a
+    BROADCAST-joined fractions table instead: still no shuffle on the big
+    side, one hash-probe per row, same rows kept (both paths round the
+    threshold identically).
     """
     bucket = F.pmod(_h52(id_col), F.lit(_HASH_MOD))
-    thresh = F.lit(int(default_fraction * _HASH_MOD))
-    for val, frac in sorted(fractions.items()):
-        thresh = F.when(F.col(group_col) == val, F.lit(int(frac * _HASH_MOD))).otherwise(
-            thresh
-        )
-    return docs.where(bucket < thresh)
+    default_thresh = round(default_fraction * _HASH_MOD)
+    if len(fractions) <= max_case_groups:
+        thresh = F.lit(default_thresh)
+        for val, frac in sorted(fractions.items()):
+            thresh = F.when(
+                F.col(group_col) == val, F.lit(round(frac * _HASH_MOD))
+            ).otherwise(thresh)
+        return docs.where(bucket < thresh)
+    ft = docs.sparkSession.createDataFrame(
+        [(val, round(frac * _HASH_MOD)) for val, frac in sorted(fractions.items())],
+        schema=f"`{group_col}` string, `_frac_thresh` bigint",
+    )
+    return (
+        docs.join(F.broadcast(ft), on=group_col, how="left")
+        .where(bucket < F.coalesce(F.col("_frac_thresh"), F.lit(default_thresh)))
+        .drop("_frac_thresh")
+    )
 
 
 def sample_topn_per_group(

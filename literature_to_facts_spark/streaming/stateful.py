@@ -98,6 +98,13 @@ def dedup_stream_first_seen(docs: DataFrame, state_ttl: str | None = None) -> Da
         "url", "warc_ts", "text", F.md5("text").alias("text_hash")
     ).groupBy("text_hash")
     ttl_ms = _parse_duration_ms(state_ttl) if state_ttl else 0
+    if state_ttl is not None and ttl_ms <= 0:
+        # a typo'd TTL ('0 ms') must not silently mean dedup-forever —
+        # that is unbounded state growth with no signal
+        raise ValueError(
+            f"state_ttl={state_ttl!r} parses to {ttl_ms} ms; a provided TTL "
+            "must be positive (omit state_ttl for dedup-forever)"
+        )
     return keyed.applyInPandasWithState(
         _make_dedup_fn(ttl_ms),
         outputStructType=DEDUP_OUTPUT_SCHEMA,

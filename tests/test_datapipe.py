@@ -432,6 +432,53 @@ def test_sampling_deterministic_nested_and_exact(spark, documents):
     assert a == b
 
 
+def test_sampling_broadcast_path_matches_case_path(spark):
+    """Large mixture recipes switch from the nested-CASE filter to a
+    broadcast-joined fractions table.  The CASE chain is not merely slow at
+    5k groups — Catalyst's column-node converter recurses per WHEN and dies
+    with a StackOverflowError, so the broadcast path is the ONLY shape that
+    works there.  Verified against an independently Python-computed expected
+    set (same md5 hash, same rounded thresholds); the big side must not
+    shuffle."""
+    import hashlib
+
+    from literature_to_facts_spark.datapipe.sampling import sample_fraction_by_group
+
+    n_rows, n_groups = 20_000, 5_000
+    docs = spark.range(0, n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % n_groups).cast("string")).alias("grp"),
+    )
+    fractions = {f"g{i}": (i % 100) / 100.0 for i in range(n_groups)}
+    bcast_out = sample_fraction_by_group(
+        docs, fractions, group_col="grp", default_fraction=0.5, max_case_groups=32
+    )
+    plan = bcast_out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan  # broadcast only, big side unshuffled
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16) % 1_000_000
+
+    expected = {
+        i
+        for i in range(n_rows)
+        if bucket(i) < round(fractions[f"g{i % n_groups}"] * 1_000_000)
+    }
+    got = {r["doc_id"] for r in bcast_out.collect()}
+    assert got == expected and len(got) > 0
+    # small recipes still take the CASE path (no join node) and agree with
+    # the same Python-computed expectation incl. the round() threshold
+    small = sample_fraction_by_group(
+        docs, {"g1": 0.29}, group_col="grp", default_fraction=0.0
+    )
+    assert "Join" not in small._jdf.queryExecution().executedPlan().toString()
+    exp_small = {
+        i for i in range(n_rows) if i % n_groups == 1 and bucket(i) < 290_000
+    }
+    assert {r["doc_id"] for r in small.collect()} == exp_small
+
+
 def test_quality_filter_reason_codes(spark):
     """First-failing-rule semantics + threshold edges: a too-short doc is
     'too_few_words' even if it would ALSO fail other rules; a clean doc

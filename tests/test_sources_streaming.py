@@ -284,6 +284,18 @@ def test_stateful_dedup_state_ttl_expiry(spark, tmp_path):
     assert _parse_duration_ms("500 ms") == 500
     assert _parse_duration_ms("1 hour 30 minutes") == 5_400_000  # compound
 
+    # an explicitly-provided TTL that parses to <= 0 must be rejected, not
+    # silently fall back to dedup-forever (unbounded state with no signal)
+    import pytest as _pytest
+
+    (tmp_path / "empty_src").mkdir()
+    with _pytest.raises(ValueError, match="must be positive"):
+        dedup_stream_first_seen(
+            spark.readStream.schema("url string, warc_ts timestamp, text string")
+            .parquet(str(tmp_path / "empty_src")),
+            state_ttl="0 ms",
+        )
+
     src = tmp_path / "docs"
     out = tmp_path / "out"
     ckpt = tmp_path / "ckpt"
