@@ -474,6 +474,32 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Delta dedup (datapipe/dedup.minhash_lsh_pairs_incremental): the new
+    batch (doc_id % 5 == 0, a ~20% daily delta) pairs against the persisted
+    band index of the rest of the corpus — new×new + new×old only, never
+    re-pairing old×old.  Full SQL oracle: DuckDB recomputes the FULL-corpus
+    pair set with the identical md5 hash family and restricts it to pairs
+    touching a new doc, which is exactly the incremental contract."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_lsh_band_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    idx = build_lsh_band_index(old, n_gram=3, n_hashes=16, bands=4)
+    pairs = minhash_lsh_pairs_incremental(
+        new, old, idx, n_gram=3, n_hashes=16, bands=4, threshold=0.5
+    )
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints (md5 bit votes — full SQL oracle)."""
     from literature_to_facts_spark.datapipe.dedup import with_simhash
@@ -803,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_lsh_bucket_stats": q_dedup_lsh_bucket_stats,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "sample_hash_fraction": q_sample_hash_fraction,
@@ -1598,6 +1625,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(
             n_gram=3, threshold=0.5, n_hashes=16, bands=4
         ),
+        # incremental contract: full-corpus pairs restricted to pairs
+        # touching the new batch (doc_id % 5 == 0) — the oracle recomputes
+        # the full pair set and restricts, which the delta job must equal
+        "dedup_minhash_incremental": f"""
+            SELECT id_a, id_b, jaccard FROM (
+              {_minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4)}
+            ) WHERE id_a % 5 = 0 OR id_b % 5 = 0
+        """,
         "dedup_lsh_bucket_stats": _lsh_bucket_stats_oracle(
             n_gram=3, n_hashes=16, bands=4, max_bucket=20
         ),

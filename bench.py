@@ -90,6 +90,8 @@ HEADLINE = [
     "sample_stratified_topn",
     "events_asof_join",
     "events_interval_join",
+    # round-4 operators (appended; earlier entries stay comparable)
+    "dedup_minhash_incremental",
 ]
 
 

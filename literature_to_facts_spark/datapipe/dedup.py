@@ -229,10 +229,24 @@ def minhash_lsh_pairs(
     candidates = cand.distinct()
 
     # verify with exact shingle Jaccard (exact-text pairs verify at 1.0)
+    return _verify_jaccard(candidates, docs, id_col, text_col, n_gram, threshold)
+
+
+def _verify_jaccard(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_gram: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of (id_a, id_b) candidate pairs:
+    hash join BY ID against per-doc shingle sets (bucket rows never carry
+    shingles), keep pairs at or above ``threshold``."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"), _shingles(text_col, n_gram).alias("shingles")
     )
-    verified = (
+    return (
         candidates.join(
             sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"),
             on="id_a",
@@ -249,7 +263,142 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+
+
+def build_lsh_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(doc_id, band, key): the banded MinHash signature index of a corpus —
+    signature bands 0..bands-1 plus the exact-text band (band = ``bands``,
+    key = md5(text)) — i.e. exactly the banded union :func:`minhash_lsh_pairs`
+    aggregates internally.
+
+    This is the PERSISTED STATE of incremental dedup: write it out once
+    (partitioned/bucketed by ``key`` for co-located joins), then each new
+    batch pairs against it via :func:`minhash_lsh_pairs_incremental` without
+    ever re-hashing the historical corpus.  Append the new batch's index rows
+    (this function over the batch) to keep it current."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
+    exact_banded = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(bands).alias("band"),
+        F.md5(F.col(text_col)).alias("key"),
+    )
+    return _banded(sigs, n_hashes, bands).unionByName(exact_banded)
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    old_index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Delta dedup — the operational mode at 100 TB: pair a NEW batch against
+    the existing corpus without re-pairing (or re-hashing) the corpus.
+
+    Returns exactly ``minhash_lsh_pairs(old ∪ new)`` RESTRICTED to pairs
+    touching at least one new document: old×old pairs were already emitted
+    when their batches arrived, so a daily job only ever computes new×new +
+    new×old.  Equivalence holds because bucket membership, the oversize cap
+    (applied to the TOTAL old+new bucket population) and the Jaccard verify
+    are all computed over the combined corpus — only the pair *emission* is
+    restricted.
+
+    ``old_index`` is the persisted :func:`build_lsh_band_index` of the old
+    corpus (band keys carry no text); pass None to compute it on the fly
+    (correct but forfeits the incremental savings).  ``old_docs`` supplies
+    candidate texts for verification — only rows matching candidate ids are
+    shingled (hash join by id), not the whole history.  Contract: new ids
+    must be disjoint from old ids (re-crawled urls get fresh ids upstream).
+
+    In-bucket emission enumerates new×new (triangle over the new members)
+    and new×old (cross of new × old members) directly instead of expanding
+    the full triangle and filtering — a bucket with 1 new and 10^3 old
+    members costs 10^3 pairs, not 5·10^5.  The exact-text band keeps the
+    full-mode canonical-star shape (root = min id over ALL members), filtered
+    to star edges touching a new doc, so byte-identical spam clusters of any
+    size stay uncapped.
+
+    The candidate pair set is ``persist()``-ed (it feeds both the id-list
+    semi-join that limits shingling AND the verify join; without it the
+    whole bucket pipeline would run twice).  It is pair-count sized; callers
+    running many batches in one long session can ``spark.catalog.clearCache()``
+    between batches.
+    """
+    if old_index is None:
+        old_index = build_lsh_band_index(
+            old_docs, id_col, text_col, n_gram, n_hashes, bands
+        )
+    new_index = build_lsh_band_index(
+        new_docs, id_col, text_col, n_gram, n_hashes, bands
+    )
+    banded = new_index.withColumn("is_new", F.lit(1)).unionByName(
+        old_index.withColumn("is_new", F.lit(0))
+    )
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("is_new")))
+            ).alias("members")
+        )
+        .withColumn(
+            "new_ids",
+            F.expr("transform(filter(members, m -> m.is_new = 1), m -> m.doc_id)"),
+        )
+        .where(
+            (F.size("members") >= 2)
+            & (F.size("new_ids") >= 1)
+            & ((F.col("band") == bands) | (F.size("members") <= max_bucket))
+        )
+    )
+    # new×new triangle + new×old cross for signature bands; touching-new star
+    # edges for the exact band.  All branches are filter/transform (empty-safe
+    # with a consistent struct element type — sequence(1, size-1) would emit a
+    # descending [1,0] and NULL ids when only one new member is in the bucket)
+    pair_expr = f"""
+        CASE WHEN band < {bands} THEN
+          concat(
+            flatten(transform(new_ids, a ->
+              transform(filter(new_ids, b -> b > a),
+                        b -> named_struct('id_a', a, 'id_b', b)))),
+            flatten(transform(new_ids, a ->
+              transform(transform(filter(members, m -> m.is_new = 0), m -> m.doc_id),
+                        b -> named_struct('id_a', least(a, b), 'id_b', greatest(a, b)))))
+          )
+        ELSE
+          transform(
+            filter(members, m -> m.doc_id != members[0].doc_id
+                             AND (members[0].is_new = 1 OR m.is_new = 1)),
+            m -> named_struct('id_a', members[0].doc_id, 'id_b', m.doc_id))
+        END
+    """
+    candidates = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    needed_docs = (
+        old_docs.select(id_col, text_col)
+        .unionByName(new_docs.select(id_col, text_col))
+        .join(cand_ids, on=id_col, how="left_semi")
+    )
+    return _verify_jaccard(candidates, needed_docs, id_col, text_col, n_gram, threshold)
 
 
 def lsh_bucket_stats(

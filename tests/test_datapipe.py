@@ -396,6 +396,50 @@ def test_connected_components_raises_on_non_convergence(spark):
         connected_components(chain, max_iters=2)
 
 
+def test_minhash_incremental_equals_restricted_full(spark, documents):
+    """Delta dedup contract: incremental pairs over (new batch, old corpus +
+    persisted band index) == full-corpus pairs restricted to pairs touching
+    a new doc — same ids, same jaccards, including exact-duplicate star
+    pairs that cross the old/new boundary."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_lsh_band_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    # inject near/exact dups on both sides of the split so new×new, new×old
+    # and old×old pairs all exist
+    dup = documents.limit(8).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    docs = documents.unionByName(dup)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    params = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5)
+
+    full = minhash_lsh_pairs(docs, **params).collect()
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expected = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in full
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert expected, "fixture must produce pairs touching the new batch"
+    assert len(expected) < len(full), "old×old pairs must exist and be excluded"
+
+    idx = build_lsh_band_index(old, **{k: v for k, v in params.items() if k != "threshold"})
+    inc = minhash_lsh_pairs_incremental(new, old, idx, **params)
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in inc.collect()}
+    assert got == expected
+
+    # convenience path (index computed on the fly) must agree
+    inc2 = minhash_lsh_pairs_incremental(new, old, None, **params)
+    assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in inc2.collect()} == expected
+
+    # at least one cross-boundary pair (new×old) is present
+    assert any(
+        (a in new_ids) != (b in new_ids) for a, b, _ in got
+    ), "new×old pairs must cross the boundary"
+
+
 def test_sampling_deterministic_nested_and_exact(spark, documents):
     """Hash-fraction sampling: zero-shuffle plan, deterministic, and samples
     NEST across fractions (the 10% set contains the 5% set); top-n sampling:
