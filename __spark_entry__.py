@@ -786,6 +786,20 @@ def q_text_quality_filter(spark, sf_dir):
     )
 
 
+def q_text_quality_report(spark, sf_dir):
+    """Per-reason drop-count report over the quality gate — the operational
+    artifact corpus curation actually reviews (COVERAGE.md sells "per-reason
+    drop counts"; this makes the report itself contract-tested).  Kept docs
+    group under 'kept' (the compare harness cannot sort NULL tuples).  One
+    narrow scan + one tiny aggregate."""
+    from literature_to_facts_spark.datapipe.textstats import quality_filter
+
+    out = quality_filter(_t(spark, sf_dir, "documents"))
+    return out.groupBy(
+        F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("reason")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
 def q_text_lang_id(spark, sf_dir):
     from literature_to_facts_spark.datapipe.textstats import with_lang_id
 
@@ -844,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_quality_filter": q_text_quality_filter,
+        "text_quality_report": q_text_quality_report,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
     }
@@ -1234,6 +1249,43 @@ def _ann_ivf_oracle(
         """
 
 
+# shared CTE chain for the quality gate (filter + per-reason report oracles
+# must gate identically — one definition, two SELECT tails)
+_QUALITY_GATED_CTE = """t AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x != '') AS toks,
+                     text
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     END AS mean_word_len,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS alpha_ratio,
+                     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                     CAST(len(list_filter(toks, x ->
+                       list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+                       / greatest(len(toks), 1) AS stopword_ratio
+              FROM t
+            ),
+            gated AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CASE WHEN n_words < 10 THEN 'too_few_words'
+                          WHEN n_words > 100000 THEN 'too_many_words'
+                          WHEN ROUND(mean_word_len, 6) < 3.0 THEN 'mean_word_len_low'
+                          WHEN ROUND(mean_word_len, 6) > 10.0 THEN 'mean_word_len_high'
+                          WHEN ROUND(alpha_ratio, 6) < 0.6 THEN 'low_alpha_ratio'
+                          WHEN ROUND(stopword_ratio, 6) < 0.02 THEN 'no_stopwords'
+                          WHEN ROUND(punct_ratio, 6) > 0.2 THEN 'too_much_punct'
+                          ELSE NULL END AS drop_reason
+              FROM m
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     cents = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
     dpct = "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"
@@ -1582,42 +1634,16 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN clicks r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
-        "text_quality_filter": """
-            WITH t AS (
-              SELECT doc_id,
-                     list_filter(string_split(lower(text), ' '), x -> x != '') AS toks,
-                     text
-              FROM documents
-            ),
-            m AS (
-              SELECT doc_id,
-                     len(toks) AS n_words,
-                     CASE WHEN len(toks) = 0 THEN 0.0
-                          ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
-                     END AS mean_word_len,
-                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                       / greatest(length(text), 1) AS alpha_ratio,
-                     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                       / greatest(length(text), 1) AS punct_ratio,
-                     CAST(len(list_filter(toks, x ->
-                       list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
-                       / greatest(len(toks), 1) AS stopword_ratio
-              FROM t
-            ),
-            gated AS (
-              SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                     CASE WHEN n_words < 10 THEN 'too_few_words'
-                          WHEN n_words > 100000 THEN 'too_many_words'
-                          WHEN ROUND(mean_word_len, 6) < 3.0 THEN 'mean_word_len_low'
-                          WHEN ROUND(mean_word_len, 6) > 10.0 THEN 'mean_word_len_high'
-                          WHEN ROUND(alpha_ratio, 6) < 0.6 THEN 'low_alpha_ratio'
-                          WHEN ROUND(stopword_ratio, 6) < 0.02 THEN 'no_stopwords'
-                          WHEN ROUND(punct_ratio, 6) > 0.2 THEN 'too_much_punct'
-                          ELSE NULL END AS drop_reason
-              FROM m
-            )
+        "text_quality_filter": f"""
+            WITH {_QUALITY_GATED_CTE}
             SELECT doc_id, (drop_reason IS NULL) AS keep, drop_reason
             FROM gated
+        """,
+        "text_quality_report": f"""
+            WITH {_QUALITY_GATED_CTE}
+            SELECT COALESCE(drop_reason, 'kept') AS reason,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM gated GROUP BY 1
         """,
         # generated oracles: md5-derived hash family + inlined hyperplane
         # constants make the full LSH/ANN pipelines engine-portable (round 1
