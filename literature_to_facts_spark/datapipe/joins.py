@@ -13,9 +13,11 @@ implementation is the scale-sound union trick:
     no row multiplication, the same shape a merge-join-based ASOF executes.
 
 Hot keys land on one reducer (a sort, not a buffer — rank/last are streaming
-window functions); for a single pathological key, pre-split by coarse time
-bucket and stitch the boundary (not needed for key cardinality in the
-millions).
+window functions); for a single pathological key, ``split_seconds`` pre-splits
+each key's timeline into coarse buckets, sweeps each (key, bucket) partition
+independently, and stitches bucket boundaries by carrying each bucket's last
+right row forward along a tiny per-key bucket spine (not needed for key
+cardinality in the millions).
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list | None = None,
     suffix: str = "_r",
+    split_seconds: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: every left row, plus the right row with the
     greatest ``right_ts <= left_ts`` in the same ``on`` group (NULLs when no
@@ -42,6 +45,15 @@ def asof_join(
     multiple right rows sharing (key, right_ts) resolve deterministically to
     the greatest payload struct (field order = ``right_cols``); pre-dedup the
     right side if different tie semantics are needed.
+
+    ``split_seconds`` (hot-key mitigation, identical results): by default one
+    key's whole timeline sweeps on one reducer — a sort, not a buffer, but
+    still single-threaded for a pathological key holding a large share of the
+    data.  With ``split_seconds`` set, the sweep partitions by (key, coarse
+    time bucket) so a hot key parallelizes across its buckets; boundaries are
+    stitched by carrying each bucket's last right row forward along the
+    per-key bucket spine (distinct buckets — tiny, span/width rows per key).
+    Pick a width so a bucket holds ~10^5-10^6 rows of the hottest key.
 
     Output: all left columns + ``right_cols`` (each renamed with ``suffix``)
     + ``right_ts + suffix``.
@@ -73,12 +85,48 @@ def asof_join(
     # right rows sort BEFORE left rows at equal time (side 0 < 1), so an
     # exactly-simultaneous right row is visible to the left row; among equal
     # (key, time) right rows the greatest _rp struct sweeps last (determinism)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_rp").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+    sweep_order = [F.col("_ats").asc(), F.col("_side").asc(), F.col("_rp").asc()]
+    if split_seconds is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*sweep_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+    else:
+        b_us = int(split_seconds) * 1_000_000
+        u = u.withColumn("_bkt", F.floor(F.unix_micros(F.col("_ats")) / F.lit(b_us)))
+        # per-(key, bucket) last right row: max struct(_ats, _rp) == the row
+        # the running sweep would carry at bucket end (same tie-break)
+        rb = (
+            u.where(F.col("_side") == 0)
+            .groupBy(*keys, "_bkt")
+            .agg(F.max(F.struct(F.col("_ats"), F.col("_rp"))).alias("_mx"))
+            .select(*keys, "_bkt", F.col("_mx._rp").alias("_last_rp"))
+        )
+        # bucket spine (distinct buckets per key — tiny): carry = last right
+        # row from any EARLIER bucket, swept along the spine, then joined
+        # back so every (key, bucket) partition starts with its carry-in
+        spine = u.select(*keys, "_bkt").distinct()
+        w_c = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_bkt").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            spine.join(rb, on=keys + ["_bkt"], how="left")
+            .withColumn("_carry", F.last("_last_rp", ignorenulls=True).over(w_c))
+            .select(*keys, "_bkt", "_carry")
+        )
+        w_b = (
+            Window.partitionBy(*keys, "_bkt")
+            .orderBy(*sweep_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.join(carry, on=keys + ["_bkt"], how="left").withColumn(
+            "_m",
+            F.coalesce(F.last("_rp", ignorenulls=True).over(w_b), F.col("_carry")),
+        )
     out_cols = [F.col(f"_lp.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"_m.{c}").alias(c + suffix) for c in right_cols]
     out_cols.append(F.col("_m._rts").alias(right_ts + suffix))
@@ -93,6 +141,7 @@ def interval_join(
     end_col: str = "end",
     on: str | list | None = None,
     bucket_seconds: int = 3600,
+    max_span_buckets: int | None = 256,
 ) -> DataFrame:
     """Range join: every (point, interval) pair with ``start <= ts < end``
     (half-open) and matching ``on`` keys — Spark plans a bare BETWEEN join
@@ -107,26 +156,42 @@ def interval_join(
     candidate set.  Empty/inverted intervals (end <= start) are dropped (a
     descending sequence() would otherwise throw under ANSI).
 
+    Long-interval guard: an interval spanning more than ``max_span_buckets``
+    buckets (a year at hourly buckets = 8,760 copies) is NOT exploded —
+    such outliers route through a separate branch that BROADCASTs them and
+    applies the exact range predicate directly (they must be rare/small
+    enough to broadcast, which "a few pathological intervals" are by
+    construction).  The long branch costs a second pass over ``points``
+    when long intervals exist; with AQE on, an empty long side collapses
+    the branch to an empty relation and the second scan never runs.  Set
+    ``max_span_buckets=None`` to restore unguarded explode-everything.
+
     Output: all point columns + all interval columns (caller aliases
     collisions away beforehand).
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     b_us = int(bucket_seconds) * 1_000_000
-    ivals = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / F.lit(b_us)),
-                F.floor(
-                    (F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / F.lit(b_us)
-                ),
-            )
-        ),
+    first_b = F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / F.lit(b_us))
+    last_b = F.floor(
+        (F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / F.lit(b_us)
     )
+    valid = intervals.where(F.col(end_col) > F.col(start_col))
+    short = valid if max_span_buckets is None else valid.where(
+        last_b - first_b < max_span_buckets
+    )
+    ivals = short.withColumn("_bucket", F.explode(F.sequence(first_b, last_b)))
     pts = points.withColumn(
         "_bucket", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(b_us))
     )
-    joined = pts.join(ivals, on=keys + ["_bucket"], how="inner").where(
-        (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))
+    in_range = (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))
+    joined = pts.join(ivals, on=keys + ["_bucket"], how="inner").where(in_range).drop(
+        "_bucket"
     )
-    return joined.drop("_bucket")
+    if max_span_buckets is None:
+        return joined
+    long = valid.where(last_b - first_b >= max_span_buckets)
+    if keys:
+        long_joined = points.join(F.broadcast(long), on=keys, how="inner")
+    else:
+        long_joined = points.crossJoin(F.broadcast(long))
+    return joined.unionByName(long_joined.where(in_range))

@@ -592,6 +592,134 @@ def test_asof_join_semantics(spark):
     assert len(out) == 4           # exactly one output row per left row
 
 
+def test_interval_join_long_interval_guard(spark):
+    """A year-long interval at hourly buckets must NOT explode into 8,760
+    bucket copies: with max_span_buckets it routes through the broadcast
+    range branch, and results equal the naive range join exactly."""
+    import datetime as dt
+
+    from literature_to_facts_spark.datapipe.joins import interval_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    pts = spark.createDataFrame(
+        [
+            (1, 7, T("2026-06-15 12:00:00")),  # inside the year-long interval
+            (2, 7, T("2026-01-01 10:30:00")),  # inside the short interval too
+            (3, 7, T("2027-03-01 00:00:00")),  # outside everything
+            (4, 8, T("2026-06-15 12:00:00")),  # other key: no interval
+        ],
+        "pid long, k long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100, 7, T("2026-01-01 10:00:00"), T("2026-01-01 11:00:00")),  # 1h
+            (200, 7, T("2026-01-01 00:00:00"), T("2027-01-01 00:00:00")),  # 1y
+        ],
+        "iid long, k long, start timestamp, end timestamp",
+    )
+    guarded = interval_join(
+        pts, ivs, ts_col="ts", start_col="start", end_col="end", on="k",
+        bucket_seconds=3600, max_span_buckets=24,
+    )
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the long branch
+    got = {(r["pid"], r["iid"]) for r in guarded.collect()}
+    expected = {(1, 200), (2, 100), (2, 200)}
+    assert got == expected
+    # unguarded (explode-everything) agrees
+    unguarded = interval_join(
+        pts, ivs, ts_col="ts", start_col="start", end_col="end", on="k",
+        bucket_seconds=3600, max_span_buckets=None,
+    )
+    assert {(r["pid"], r["iid"]) for r in unguarded.collect()} == expected
+    # the guarded plan's explode branch carries only the SHORT interval:
+    # the generate output row count stays bounded by span(short)=1..2, far
+    # under the 8,760 copies the year-long interval would have produced
+    n_gen = 0
+    for node in plan.splitlines():
+        if "Generate explode" in node:
+            n_gen += 1
+    assert n_gen == 1
+
+
+def test_asof_join_split_matches_unsplit(spark):
+    """Hot-key mitigation: split_seconds partitions one key's sweep across
+    coarse time buckets with boundary carry-forward — results must be
+    IDENTICAL to the single-reducer sweep, including carries across buckets
+    with no right rows, on a single key holding 10^6 left rows."""
+    import datetime as dt
+
+    from literature_to_facts_spark.datapipe.joins import asof_join
+
+    # (a) the handcrafted semantics corpus, hourly buckets: exercises the
+    # carry path (left 10:00 matches right 09:30 from the previous bucket),
+    # no-carry NULLs, equal-ts matches and same-ts payload tie-break
+    T = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, 10, T("2026-01-01 10:00:00")),
+            (2, 10, T("2026-01-01 08:00:00")),
+            (3, 10, T("2026-01-01 07:00:00")),
+            (4, 20, T("2026-01-01 12:00:00")),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, T("2026-01-01 08:00:00")),
+            (102, 10, T("2026-01-01 09:30:00")),
+            (201, 20, T("2026-01-01 11:00:00")),
+            (202, 20, T("2026-01-01 11:00:00")),
+        ],
+        "rid long, user_id long, ts timestamp",
+    )
+    base = {
+        r["event_id"]: (r["rid_r"], r["ts_r"])
+        for r in asof_join(left, right, on="user_id", right_cols=["rid"]).collect()
+    }
+    split = {
+        r["event_id"]: (r["rid_r"], r["ts_r"])
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["rid"], split_seconds=3600
+        ).collect()
+    }
+    assert split == base
+
+    # (b) ONE pathological key, 10^6 left rows, sparse right rows: split
+    # sweep (20 buckets) must equal the unsplit sweep row-for-row (checked
+    # via aggregate checksums — collect of 10^6 rows is the slow part)
+    n = 1_000_000
+    big_left = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit(1).alias("user_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+    big_right = spark.range(0, n, 997).select(
+        F.col("id").alias("rid"),
+        F.lit(1).alias("user_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+    )
+
+    def checksum(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("s_ev"),
+            F.sum("rid_r").alias("s_rid"),
+            F.sum(F.unix_micros(F.col("ts_r"))).alias("s_ts"),
+            F.sum(F.when(F.col("rid_r").isNull(), 1).otherwise(0)).alias("n_null"),
+        ).collect()[0].asDict()
+
+    unsplit = checksum(asof_join(big_left, big_right, on="user_id", right_cols=["rid"]))
+    split_big = checksum(
+        asof_join(
+            big_left, big_right, on="user_id", right_cols=["rid"],
+            split_seconds=50_000,
+        )
+    )
+    assert split_big == unsplit
+    assert unsplit["n"] == n and unsplit["n_null"] == 0
+
+
 def test_interval_join_semantics(spark):
     """Half-open [start, end) containment incl. bucket-boundary spans; a
     point in two overlapping intervals emits two rows; inverted intervals
