@@ -594,7 +594,7 @@ def q_stream_windowed_counts(spark, sf_dir):
 def q_emb_ann_ivf(spark, sf_dir):
     """IVF-flat ANN: deterministic hash-sampled seed centroids + one Lloyd
     refinement pass (full SQL oracle — centroid choice, the refinement's
-    rounded per-dimension means, assignment, probing and ranking all
+    fixed-point per-dimension means, assignment, probing and ranking all
     mirrored)."""
     from literature_to_facts_spark.datapipe.similarity import cosine_topk_ivf
 
@@ -1199,11 +1199,18 @@ def _ann_ivf_oracle(
     k: int = 5, n_centroids: int = 8, nprobe: int = 3, dim: int = 64
 ) -> str:
     """Mirrors cosine_topk_ivf end-to-end: hash-sampled seed centroids, ONE
-    Lloyd refinement (per-dimension AVG rounded to 6 decimals — the rounding
-    is what makes a float mean portable across engines), assignment, probing
-    and ranking.  DuckDB lists are 1-indexed, hence e[i+1]."""
+    Lloyd refinement (per-dimension FIXED-POINT mean: components quantized to
+    integer micro-units, summed exactly, divided and floor-rounded with
+    single IEEE ops — order-independent, so the mean is bit-portable; a
+    ROUND(AVG) of raw doubles could flip in the last ulp between engines),
+    assignment, probing and ranking.  DuckDB lists are 1-indexed, hence
+    e[i+1]."""
     h = _H1.format(x="CAST(vec_id AS VARCHAR)")
-    avgs = ", ".join(f"ROUND(AVG(e[{i + 1}]), 6) AS a{i}" for i in range(dim))
+    avgs = ", ".join(
+        f"FLOOR(SUM(CAST(FLOOR(e[{i + 1}] * 1000000.0 + 0.5) AS BIGINT))"
+        f" / COUNT(*) + 0.5) / 1000000.0 AS a{i}"
+        for i in range(dim)
+    )
     relist = "[" + ", ".join(f"a{i}" for i in range(dim)) + "]"
     return f"""
             WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,

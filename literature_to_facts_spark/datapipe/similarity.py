@@ -219,14 +219,16 @@ def _lloyd_refine(base: DataFrame, centroids: DataFrame) -> DataFrame:
     """One Lloyd iteration: assign, then replace each centroid with the
     per-dimension mean of its assigned vectors.
 
-    The means run as posexplode -> groupBy(centroid_id, pos) -> AVG (map-side
-    partial over n_centroids*dim groups; an alternative with dim explicit AVG
+    The means run as posexplode -> groupBy(centroid_id, pos) -> SUM (map-side
+    partial over n_centroids*dim groups; an alternative with dim explicit
     aggregate columns is algebraically identical but compiles a dim-wide
     codegen class twice — measured +2.3 s of compile at bench scale for zero
-    runtime win).  Means are rounded to 6 decimals so the result is
-    insensitive to float summation order — partial-aggregation order differs
-    between partitionings and engines, and the rounding pins the refined
-    centroid to a value both Spark and the DuckDB oracle reproduce exactly.
+    runtime win).  Means are computed in FIXED POINT: each component is
+    quantized to integer micro-units (FLOOR(x*1e6 + 0.5)), summed exactly as
+    integers (order-independent — a ROUND(AVG(..), 6) of doubles can still
+    flip in the last ulp when Spark and an oracle engine sum in different
+    orders and the mean lands on a rounding boundary), then divided and
+    re-rounded with single deterministic IEEE ops both engines share.
     Centroids that attract no vectors drop out (classic Lloyd empty-cluster
     drop); the refinement is a pure function of the data, so it stays fully
     oracle-able."""
@@ -234,7 +236,17 @@ def _lloyd_refine(base: DataFrame, centroids: DataFrame) -> DataFrame:
     means = (
         assigned.select("centroid_id", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("centroid_id", "pos")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("a"))
+        .agg(
+            F.sum(
+                F.floor(F.col("val").cast("double") * F.lit(1_000_000.0) + F.lit(0.5))
+            ).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "centroid_id",
+            "pos",
+            (F.floor(F.col("s") / F.col("c") + F.lit(0.5)) / F.lit(1_000_000.0)).alias("a"),
+        )
     )
     return (
         means.groupBy("centroid_id")
@@ -254,6 +266,7 @@ def cosine_topk_ivf(
     q_id_col: str = "q_id",
     q_emb_col: str = "q_emb",
     refine_iters: int = 1,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """IVF-flat: coarse centroids = deterministic hash sample refined by
     ``refine_iters`` Lloyd passes (a real deployment would run full k-means
@@ -294,8 +307,14 @@ def cosine_topk_ivf(
         # spark.stop() or an explicit unpersist/clearCache (it cannot be
         # unpersisted here — the returned DataFrame is lazy and still depends
         # on it); identical inputs dedupe to ONE entry via plan
-        # canonicalization, so repeated calls over the same table don't grow it
+        # canonicalization, so repeated calls over the same table don't grow
+        # it.  Callers issuing many calls over DISTINCT inputs in one
+        # long-lived session should pass ``cache_registry`` (a list) and
+        # ``.unpersist()`` the appended entries after consuming the result —
+        # else k*dim-sized entries accumulate until spark.stop()/clearCache.
         centroids = centroids.persist()
+        if cache_registry is not None:
+            cache_registry.append(centroids)
 
     # assign: nearest centroid per vector (broadcast centroids, map-side argmax)
     assigned = _ivf_assign(base, centroids)

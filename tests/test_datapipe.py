@@ -142,6 +142,22 @@ def test_lsh_and_ivf_recall(spark, embeddings):
     assert recall(approx_lsh) > 0.1
     assert recall(approx_ivf) > 0.4   # nprobe=4 of 8 centroid lists
 
+    # second Lloyd pass: the refine_iters=1 default is a documented choice —
+    # publish the iters=2 point (must not DEGRADE recall materially; on
+    # structureless noise the lists just rebalance) and exercise the cache
+    # lifecycle handle (one persisted centroid frame per call, unpersistable)
+    registry = []
+    approx_ivf2 = cosine_topk_ivf(
+        embeddings, queries, k=10, n_centroids=8, nprobe=4, refine_iters=2,
+        cache_registry=registry,
+    ).collect()
+    r1, r2 = recall(approx_ivf), recall(approx_ivf2)
+    assert r2 > 0.4
+    print(f"IVF recall@10 nprobe=4: iters=1 {r1:.3f}, iters=2 {r2:.3f}")
+    assert len(registry) == 1 and registry[0].is_cached
+    registry[0].unpersist()
+    assert not registry[0].is_cached
+
 
 def test_textstats(spark, documents):
     from literature_to_facts_spark.datapipe.textstats import (
