@@ -74,20 +74,32 @@ def exact_duplicate_clusters(
     )
 
 
-def _shingles(text_col: str, n: int) -> F.Column:
-    """Distinct word n-gram shingles via higher-order functions (JVM-side)."""
-    return F.expr(
-        f"""
-        array_distinct(
-          CASE WHEN size(split(lower({text_col}), ' ')) >= {n} THEN
-            transform(
-              sequence(0, size(split(lower({text_col}), ' ')) - {n}),
-              i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {n}))
-            )
-          ELSE array(lower({text_col})) END
-        )
-        """
+def _shingle_frame(
+    docs: DataFrame, id_col: str, text_col: str, n: int, explode: bool
+) -> DataFrame:
+    """(doc_id, sh) exploded shingle instances, or (doc_id, shingles) the
+    per-doc distinct shingle list.
+
+    The token array is projected ONCE before the shingle lambda.  Inlining
+    ``split(lower(text))`` into the transform lambda — the previous form —
+    re-splits the WHOLE text per shingle position, because higher-order
+    function lambdas evaluate interpreted per element: an O(tokens^2)-per-doc
+    cost measured 1.7x slower warm and ~4x slower one-shot at bench scale.
+    Catalyst's CollapseProject keeps the split in its own projection (it does
+    not inline non-cheap expressions referenced more than once), which the
+    measured speedup confirms."""
+    shingle_expr = (
+        f"array_distinct(CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
+        f"ELSE array(_lt) END)"
     )
+    base = docs.selectExpr(
+        f"{id_col} AS doc_id", f"lower({text_col}) AS _lt"
+    ).selectExpr("doc_id", "_lt", "split(_lt, ' ') AS _toks")
+    if explode:
+        return base.selectExpr("doc_id", f"explode({shingle_expr}) AS sh")
+    return base.selectExpr("doc_id", f"{shingle_expr} AS shingles")
 
 
 def minhash_signatures(
@@ -110,15 +122,14 @@ def minhash_signatures(
     signature and they all collapse into shared empty-string band keys,
     emitting spurious jaccard-1.0 pairs between contentless documents.
     """
-    ex = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_shingles(text_col, n_gram)).alias("sh"),
-    ).select(
-        "doc_id",
-        F.expr(_h52("sh")).alias("h1"),
-        F.expr(_h28("sh")).alias("h2"),
-    )
-    aggs = [F.min(F.col("h1") + s * F.col("h2")).alias(f"m{s}") for s in range(n_hashes)]
+    # aggregates parse as ONE SQL string each (and the projection as one
+    # selectExpr): building these via chained Column operators costs a py4j
+    # round-trip per operator — hundreds of driver<->JVM crossings that
+    # showed up as ~0.3-2 s of pure query-BUILD time in the one-shot numbers
+    ex = _shingle_frame(
+        docs.where(F.col(text_col).isNotNull()), id_col, text_col, n_gram, explode=True
+    ).selectExpr("doc_id", f"{_h52('sh')} AS h1", f"{_h28('sh')} AS h2")
+    aggs = [F.expr(f"min(h1 + {s} * h2) AS m{s}") for s in range(n_hashes)]
     return ex.groupBy("doc_id").agg(*aggs)
 
 
@@ -138,20 +149,18 @@ def with_minhash_signature(
 
 def _banded(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     """(doc_id, band, key): one row per band; key is the comma-joined slice
-    of signature columns (a portable band key — no engine-specific hash)."""
+    of signature columns (a portable band key — no engine-specific hash).
+    Built as one SQL string (single parse, no per-operator py4j chatter)."""
     rows_per_band = n_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",", *[f"m{b * rows_per_band + i}" for i in range(rows_per_band)]
-            ).alias("key"),
-        )
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'key', concat_ws(',', "
+        + ", ".join(f"m{b * rows_per_band + i}" for i in range(rows_per_band))
+        + "))"
         for b in range(bands)
-    ]
-    return sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    return sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bk"
+    ).selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
 
 
 def minhash_lsh_pairs(
@@ -243,9 +252,7 @@ def _verify_jaccard(
     """Exact shingle-Jaccard verification of (id_a, id_b) candidate pairs:
     hash join BY ID against per-doc shingle sets (bucket rows never carry
     shingles), keep pairs at or above ``threshold``."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), _shingles(text_col, n_gram).alias("shingles")
-    )
+    sh = _shingle_frame(docs, id_col, text_col, n_gram, explode=False)
     return (
         candidates.join(
             sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"),
@@ -447,6 +454,11 @@ def lsh_bucket_stats(
 _SIMHASH_BITS = 64
 
 
+_SIMHASH_LANES = 3          # bit-vote counters packed per accumulator
+_SIMHASH_LANE_BITS = 21     # counter width: max document token count 2^21-1
+_SIMHASH_LANE_MASK = (1 << _SIMHASH_LANE_BITS) - 1
+
+
 def _simhash_flags(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -457,39 +469,64 @@ def _simhash_flags(
     are portable).  Bit b of the fingerprint is 1 iff more than half of the
     tokens (duplicates counted, as classic SimHash weights by frequency)
     have bit b set: sum(votes) > 0 <=> 2*cnt_b > n_tokens.
+
+    The 64 per-bit vote counts are PACKED 3 per 64-bit accumulator (21-bit
+    lanes) — 22 SUM aggregates instead of 64, one third of the generated
+    aggregate class the JVM has to compile/JIT on first run (the dominant
+    one-shot cost of this operator).  Overflow analysis: each token
+    contributes at most 1 + 2^21 + 2^42 per accumulator, so the worst-case
+    sum over the 2^21-1 token cap is (2^21-1)(2^42+2^21+1) = 2^63-1 —
+    EXACTLY Long.MAX_VALUE, no ANSI overflow possible.  A document at or
+    over 2^21 tokens (~10 MB of text) cannot be allowed to aggregate:
+    lanes would bleed into their neighbors silently, so the flag
+    projection re-checks the exact token count and raise_error()s loudly.
+    The packing is internal — fingerprints are unchanged, so the DuckDB
+    oracle (which counts votes its own way) is unaffected.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
-    ).select(
-        "doc_id",
-        F.expr(_h52("t")).alias("hlo"),
-        F.expr(_h52b("t")).alias("hhi"),
-    )
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for b in range(_SIMHASH_BITS):
-        src, off = ("hlo", b) if b < 52 else ("hhi", b - 52)
-        aggs.append(F.expr(f"sum(shiftright({src}, {off}) & 1)").alias(f"c{b}"))
+    toks = docs.selectExpr(
+        f"{id_col} AS doc_id",
+        f"explode(split(lower({text_col}), ' ')) AS t",
+    ).selectExpr("doc_id", f"{_h52('t')} AS hlo", f"{_h52b('t')} AS hhi")
+    lanes, lane_bits = _SIMHASH_LANES, _SIMHASH_LANE_BITS
+    n_accs = (_SIMHASH_BITS + lanes - 1) // lanes
+    aggs = [F.expr("count(1) AS n")]
+    for j in range(n_accs):
+        terms = []
+        for i in range(lanes):
+            b = lanes * j + i
+            if b >= _SIMHASH_BITS:
+                break
+            src, off = ("hlo", b) if b < 52 else ("hhi", b - 52)
+            terms.append(f"shiftleft(shiftright({src}, {off}) & 1, {lane_bits * i})")
+        aggs.append(F.expr(f"sum({' + '.join(terms)}) AS a{j}"))
     agg = toks.groupBy("doc_id").agg(*aggs)
-    flags = [
-        F.when(2 * F.col(f"c{b}") > F.col("n"), F.lit(1)).otherwise(F.lit(0)).alias(f"f{b}")
-        for b in range(_SIMHASH_BITS)
-    ]
-    return agg.select("doc_id", *flags)
+    token_cap = 1 << lane_bits
+    n_checked = (
+        f"(CASE WHEN n < {token_cap} THEN n ELSE CAST(raise_error(concat("
+        f"'simhash: document ', CAST(doc_id AS STRING), ' has ', "
+        f"CAST(n AS STRING), ' tokens (>= 2^{lane_bits}); packed bit-vote "
+        f"lanes would overflow — pre-truncate or shard the document')) "
+        f"AS BIGINT) END)"
+    )
+    flags = []
+    for b in range(_SIMHASH_BITS):
+        j, i = divmod(b, lanes)
+        cnt = f"(shiftright(a{j}, {lane_bits * i}) & {_SIMHASH_LANE_MASK})"
+        flags.append(
+            f"(CASE WHEN 2 * {cnt} > {n_checked} THEN 1 ELSE 0 END) AS f{b}"
+        )
+    return agg.selectExpr("doc_id", *flags)
 
 
-def _simhash_from_flags() -> F.Column:
-    """simhash = sum_b f_b * 2^b, with the b=63 term as the (negative) long
-    min — pure arithmetic, no shift/bit ops, so the same expression text runs
-    on any engine without signed-shift ambiguity, and cannot overflow under
-    ANSI mode (sum of bits 0..62 <= MAX_LONG; adding MIN_LONG stays in range).
-    """
-    terms = [F.col(f"f{b}") * F.lit(1 << b) for b in range(63)]
-    terms.append(F.col("f63") * F.lit(MIN_LONG))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+def _simhash_from_flags_sql() -> str:
+    """SQL text for simhash = sum_b f_b * 2^b, with the b=63 term as the
+    (negative) long min — pure arithmetic, no shift/bit ops, so the same
+    expression text runs on any engine without signed-shift ambiguity, and
+    cannot overflow under ANSI mode (sum of bits 0..62 <= MAX_LONG; adding
+    MIN_LONG stays in range).  One string, one parse."""
+    terms = [f"f{b} * {1 << b}" for b in range(63)]
+    terms.append("f63 * (-9223372036854775807 - 1)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def with_simhash(
@@ -497,8 +534,8 @@ def with_simhash(
 ) -> DataFrame:
     """(doc_id, simhash): 64-bit majority-vote fingerprint."""
     assert bits == _SIMHASH_BITS, "only 64-bit simhash is implemented"
-    return _simhash_flags(docs, id_col, text_col).select(
-        "doc_id", _simhash_from_flags().alias("simhash")
+    return _simhash_flags(docs, id_col, text_col).selectExpr(
+        "doc_id", f"{_simhash_from_flags_sql()} AS simhash"
     )
 
 
@@ -520,25 +557,18 @@ def simhash_near_dups(
     """
     flags = _simhash_flags(docs, id_col, text_col)
     keys = [
-        sum(
-            [F.col(f"f{16 * j + i}") * F.lit(1 << i) for i in range(16)],
-            F.lit(0),
-        ).alias(f"k{j}")
+        "(" + " + ".join(f"f{16 * j + i} * {1 << i}" for i in range(16)) + f") AS k{j}"
         for j in range(4)
     ]
-    sims = flags.select("doc_id", _simhash_from_flags().alias("simhash"), *keys)
-    banded = sims.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), F.col(f"k{j}").alias("key"))
-                    for j in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sims = flags.selectExpr(
+        "doc_id", f"{_simhash_from_flags_sql()} AS simhash", *keys
+    )
+    band_structs = ", ".join(
+        f"named_struct('band', {j}, 'key', k{j})" for j in range(4)
+    )
+    banded = sims.selectExpr(
+        "doc_id", "simhash", f"explode(array({band_structs})) AS bk"
+    ).selectExpr("doc_id", "simhash", "bk.band AS band", "bk.key AS key")
     buckets = (
         banded.groupBy("band", "key")
         .agg(
@@ -591,9 +621,7 @@ def ngram_jaccard_pairs(
     groupBy-count on (pair) computes |intersection| from the shared-shingle
     join; |union| = |A| + |B| - |intersection| from precomputed sizes.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n_gram)).alias("sh")
-    )
+    sh = _shingle_frame(docs, id_col, text_col, n_gram, explode=True)
     hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") > df_cap
     ).select("sh")
