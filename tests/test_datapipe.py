@@ -456,6 +456,48 @@ def test_minhash_incremental_equals_restricted_full(spark, documents):
     ), "new×old pairs must cross the boundary"
 
 
+def test_minhash_incremental_daily_loop(spark, documents, tmp_path):
+    """The operational mode end-to-end: the band index round-trips through
+    parquet and is APPENDED after each batch; each day pairs only the new
+    batch against it.  The union of the daily outputs must equal the
+    full-corpus pair set exactly, with every pair emitted exactly once."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_lsh_band_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    dup = documents.limit(9).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    docs = documents.unionByName(dup).select("doc_id", "text")
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    params = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5)
+    idx_params = {k: v for k, v in params.items() if k != "threshold"}
+    idx_path = str(tmp_path / "lsh_band_index")
+
+    # day 0: the initial corpus pairs in full; persist its index
+    daily = [minhash_lsh_pairs(batches[0], **params).collect()]
+    build_lsh_band_index(batches[0], **idx_params).write.parquet(idx_path)
+    # days 1, 2: pair the new batch against the persisted index, append
+    seen = batches[0]
+    for day in (1, 2):
+        idx = spark.read.parquet(idx_path)
+        daily.append(
+            minhash_lsh_pairs_incremental(batches[day], seen, idx, **params).collect()
+        )
+        build_lsh_band_index(batches[day], **idx_params).write.mode("append").parquet(
+            idx_path
+        )
+        seen = seen.unionByName(batches[day])
+
+    got = [(r["id_a"], r["id_b"], r["jaccard"]) for rows in daily for r in rows]
+    full = [
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, **params).collect()
+    ]
+    assert sorted(got) == sorted(full)      # exactly-once: no dupes, no gaps
+    assert len(full) > 0
+
+
 def test_sampling_deterministic_nested_and_exact(spark, documents):
     """Hash-fraction sampling: zero-shuffle plan, deterministic, and samples
     NEST across fractions (the 10% set contains the 5% set); top-n sampling:
