@@ -522,6 +522,29 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_simhash_incremental(spark, sf_dir):
+    """Delta SimHash dedup (datapipe/dedup.simhash_near_dups_incremental):
+    the new batch (doc_id % 5 == 0) pairs against the persisted fingerprint
+    index — hamming comes straight from indexed fingerprints, zero text
+    access for the history.  Full SQL oracle: DuckDB recomputes the
+    full-corpus banded pair set and restricts to pairs touching a new doc."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_simhash_band_index,
+        simhash_near_dups_incremental,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    idx = build_simhash_band_index(old)
+    pairs = simhash_near_dups_incremental(new, old_index=idx, max_hamming=8)
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     from literature_to_facts_spark.datapipe.similarity import cosine_topk_bruteforce
 
@@ -850,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_topn": q_sample_stratified_topn,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_incremental": q_dedup_simhash_incremental,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
@@ -1678,6 +1702,11 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified_topn": _sample_topn_oracle(n=7),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=8),
+        "dedup_simhash_incremental": f"""
+            SELECT id_a, id_b, hamming FROM (
+              {_simhash_pairs_oracle(max_hamming=8)}
+            ) WHERE id_a % 5 = 0 OR id_b % 5 = 0
+        """,
         "dedup_embedding_cosine": _emb_near_dup_oracle(threshold=0.4, n_planes=4),
         "emb_ann_lsh": _ann_lsh_oracle(k=5, n_planes=6),
         "emb_ann_ivf": _ann_ivf_oracle(k=5, n_centroids=8, nprobe=3),

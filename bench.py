@@ -92,6 +92,7 @@ HEADLINE = [
     "events_interval_join",
     # round-4 operators (appended; earlier entries stay comparable)
     "dedup_minhash_incremental",
+    "dedup_simhash_incremental",
 ]
 
 

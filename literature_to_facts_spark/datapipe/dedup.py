@@ -596,6 +596,91 @@ def simhash_near_dups(
     return pairs
 
 
+def build_simhash_band_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash, band, key): the banded SimHash index of a corpus —
+    the persisted state of incremental SimHash dedup (the fingerprint rides
+    along so cross-batch hamming distances need no text access at all).
+    Append each new batch's rows (this function over the batch) after
+    pairing it with :func:`simhash_near_dups_incremental`."""
+    flags = _simhash_flags(docs, id_col, text_col)
+    keys = [
+        "(" + " + ".join(f"f{16 * j + i} * {1 << i}" for i in range(16)) + f") AS k{j}"
+        for j in range(4)
+    ]
+    sims = flags.selectExpr("doc_id", f"{_simhash_from_flags_sql()} AS simhash", *keys)
+    band_structs = ", ".join(
+        f"named_struct('band', {j}, 'key', k{j})" for j in range(4)
+    )
+    return sims.selectExpr(
+        "doc_id", "simhash", f"explode(array({band_structs})) AS bk"
+    ).selectExpr("doc_id", "simhash", "bk.band AS band", "bk.key AS key")
+
+
+def simhash_near_dups_incremental(
+    new_docs: DataFrame,
+    old_docs: DataFrame | None = None,
+    old_index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Delta SimHash dedup: ``simhash_near_dups(old ∪ new)`` restricted to
+    pairs touching a new document — same contract as
+    :func:`minhash_lsh_pairs_incremental`, but with NO verification stage:
+    hamming distances come straight from the indexed fingerprints, so the
+    historical corpus text is never touched (``old_docs`` is only needed
+    when ``old_index`` is None and the index must be built on the fly).
+
+    The bucket cap applies to the TOTAL old+new bucket population, exactly
+    as the full-mode job would see it.  New ids must be disjoint from old
+    ids."""
+    if old_index is None:
+        if old_docs is None:
+            raise ValueError("pass old_index (preferred) or old_docs")
+        old_index = build_simhash_band_index(old_docs, id_col, text_col)
+    new_index = build_simhash_band_index(new_docs, id_col, text_col)
+    banded = new_index.withColumn("is_new", F.lit(1)).unionByName(
+        old_index.withColumn("is_new", F.lit(0))
+    )
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.struct(F.col("doc_id"), F.col("simhash"), F.col("is_new"))
+                )
+            ).alias("members")
+        )
+        .withColumn("new_m", F.expr("filter(members, m -> m.is_new = 1)"))
+        .where(
+            (F.size("members") >= 2)
+            & (F.size("new_m") >= 1)
+            & (F.size("members") <= max_bucket)
+        )
+    )
+    pair_expr = """
+        concat(
+          flatten(transform(new_m, a ->
+            transform(filter(new_m, b -> b.doc_id > a.doc_id), b -> named_struct(
+              'id_a', a.doc_id, 'id_b', b.doc_id,
+              'hamming', bit_count(a.simhash ^ b.simhash))))),
+          flatten(transform(new_m, a ->
+            transform(filter(members, m -> m.is_new = 0), b -> named_struct(
+              'id_a', least(a.doc_id, b.doc_id), 'id_b', greatest(a.doc_id, b.doc_id),
+              'hamming', bit_count(a.simhash ^ b.simhash)))))
+        )
+    """
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard
 # ---------------------------------------------------------------------------

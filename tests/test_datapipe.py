@@ -456,6 +456,38 @@ def test_minhash_incremental_equals_restricted_full(spark, documents):
     ), "new×old pairs must cross the boundary"
 
 
+def test_simhash_incremental_equals_restricted_full(spark, documents):
+    """Delta SimHash: incremental pairs over (new batch, persisted
+    fingerprint index) == full-corpus pairs restricted to pairs touching a
+    new doc — no text access for the history (old_docs never passed)."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_simhash_band_index,
+        simhash_near_dups,
+        simhash_near_dups_incremental,
+    )
+
+    dup = documents.limit(8).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    docs = documents.unionByName(dup)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+
+    full = simhash_near_dups(docs, max_hamming=8).collect()
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expected = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in full
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert expected and len(expected) < len(full)
+
+    idx = build_simhash_band_index(old)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups_incremental(new, old_index=idx, max_hamming=8).collect()
+    }
+    assert got == expected
+
+
 def test_minhash_incremental_daily_loop(spark, documents, tmp_path):
     """The operational mode end-to-end: the band index round-trips through
     parquet and is APPENDED after each batch; each day pairs only the new
