@@ -661,6 +661,47 @@ def q_dedup_clusters_cc(spark, sf_dir):
     )
 
 
+def q_dedup_exact_incremental(spark, sf_dir):
+    """Delta exact dedup (datapipe/dedup.exact_duplicate_clusters_incremental):
+    clusters of old+new restricted to clusters containing a new doc, computed
+    against the persisted (doc_id, text_hash) index — historical text never
+    read.  Full SQL oracle (full clusters HAVING any new member)."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_exact_hash_index,
+        exact_duplicate_clusters_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    out = exact_duplicate_clusters_incremental(new, build_exact_hash_index(old))
+    return out.select(
+        F.col("text_hash"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("canonical_id").cast("bigint").alias("canonical_id"),
+    )
+
+
+def q_dedup_corpus_purge(spark, sf_dir):
+    """The shipped artifact of the whole dedup chain: the corpus with
+    near-duplicates PURGED (datapipe/dedup.deduplicate_corpus) — MinHash-LSH
+    pairs closed into clusters (connected components), each cluster keeps
+    its minimum-id representative, unclustered docs all survive.  Full SQL
+    oracle: DuckDB recomputes pairs + recursive-CTE closure and anti-selects
+    the non-representative members.  EAGER (embeds the CC fixpoint)."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        deduplicate_corpus,
+        minhash_lsh_pairs,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, n_hashes=16, bands=4)
+    kept = deduplicate_corpus(docs, pairs)
+    return kept.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("lang").alias("lang")
+    )
+
+
 def q_dedup_lsh_bucket_stats(spark, sf_dir):
     """The dedup-monitoring report that makes the LSH bucket cap a measured
     quantity instead of silent recall loss (datapipe/dedup.lsh_bucket_stats):
@@ -864,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_union_distinct": q_set_ops_union_distinct,
         "percentiles_by_flag": q_percentiles_by_flag,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
+        "dedup_corpus_purge": q_dedup_corpus_purge,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
@@ -1696,6 +1739,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_cc": _cc_oracle(
             _minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4)
         ),
+        "dedup_exact_incremental": """
+            SELECT md5(text) AS text_hash,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                   CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+            FROM documents GROUP BY md5(text)
+            HAVING SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) >= 1
+        """,
+        # purge = corpus minus non-representative cluster members, where the
+        # clusters are the recursive closure of the SAME recomputed pair set
+        "dedup_corpus_purge": f"""
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+            FROM documents d
+            WHERE CAST(d.doc_id AS BIGINT) NOT IN (
+              SELECT doc_id FROM (
+                {_cc_oracle(_minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4))}
+              ) WHERE doc_id != cluster_rep)
+        """,
         "sample_hash_fraction": _sample_fraction_oracle(
             {"en": 0.5, "de": 0.2}, default_fraction=0.05
         ),

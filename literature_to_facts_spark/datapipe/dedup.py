@@ -74,6 +74,63 @@ def exact_duplicate_clusters(
     )
 
 
+def build_exact_hash_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text_hash): the persisted state of incremental exact dedup —
+    append each new batch's rows after pairing it."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash")
+    )
+
+
+def exact_duplicate_clusters_incremental(
+    new_docs: DataFrame,
+    old_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-dup clusters of ``old ∪ new`` restricted to clusters containing
+    at least one NEW document (the rest were already known) — the delta mode
+    of :func:`exact_duplicate_clusters`.  Never touches historical text:
+    only the persisted (doc_id, text_hash) index.  One hash-groupBy."""
+    banded = build_exact_hash_index(new_docs, id_col, text_col).withColumn(
+        "is_new", F.lit(1)
+    ).unionByName(old_index.withColumn("is_new", F.lit(0)))
+    return (
+        banded.groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("is_new").alias("_any_new"),
+        )
+        .where(F.col("_any_new") == 1)
+        .drop("_any_new")
+    )
+
+
+def deduplicate_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """The step a dedup pipeline actually ships: PURGE near-duplicates.
+    Closes the near-dup ``pairs`` into clusters (connected components), keeps
+    each cluster's canonical representative (minimum id) plus every
+    unclustered document, drops the rest — i.e. docs minus (cluster members
+    that are not their cluster's rep), via one broadcast-able left-anti join.
+
+    EAGER like :func:`connected_components` (iterative fixpoint)."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b, max_iters=max_iters)
+    drop = cc.where(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(drop, on=id_col, how="left_anti")
+
+
 def _shingle_frame(
     docs: DataFrame, id_col: str, text_col: str, n: int, explode: bool
 ) -> DataFrame:

@@ -456,6 +456,50 @@ def test_minhash_incremental_equals_restricted_full(spark, documents):
     ), "new×old pairs must cross the boundary"
 
 
+def test_deduplicate_corpus_and_exact_incremental(spark, documents):
+    """Purge keeps exactly one representative (min id) per transitive
+    cluster plus all unclustered docs; incremental exact clusters equal the
+    full clusters restricted to those containing a new doc."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_exact_hash_index,
+        deduplicate_corpus,
+        exact_duplicate_clusters_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10, 16)], "doc_id long, text string"
+    )
+    # {10,11,12} via transitivity, {13,14} direct; 15 unclustered
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (13, 14)], "id_a long, id_b long"
+    )
+    kept = {r["doc_id"] for r in deduplicate_corpus(docs, pairs).collect()}
+    assert kept == {10, 13, 15}
+
+    dup = documents.limit(6).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = documents.unionByName(dup).select("doc_id", "text")
+    new = corpus.where(F.col("doc_id") % 5 == 0)
+    old = corpus.where(F.col("doc_id") % 5 != 0)
+    full = (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("canon"),
+            F.max(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)).alias("any_new"),
+        )
+        .where(F.col("any_new") == 1)
+        .collect()
+    )
+    expected = {(r["text_hash"], r["n"], r["canon"]) for r in full}
+    got = {
+        (r["text_hash"], r["cluster_size"], r["canonical_id"])
+        for r in exact_duplicate_clusters_incremental(
+            new, build_exact_hash_index(old)
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_simhash_incremental_equals_restricted_full(spark, documents):
     """Delta SimHash: incremental pairs over (new batch, persisted
     fingerprint index) == full-corpus pairs restricted to pairs touching a
