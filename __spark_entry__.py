@@ -663,15 +663,24 @@ def q_dedup_clusters_cc(spark, sf_dir):
 
 def q_dedup_exact_incremental(spark, sf_dir):
     """Delta exact dedup (datapipe/dedup.exact_duplicate_clusters_incremental):
-    clusters of old+new restricted to clusters containing a new doc, computed
+    clusters of old+new restricted to clusters containing a new doc AND of
+    size >= 2 (full-mode contract — fresh unique docs emit nothing), computed
     against the persisted (doc_id, text_hash) index — historical text never
-    read.  Full SQL oracle (full clusters HAVING any new member)."""
+    read.  The testdata has no byte-identical texts, so the corpus is the
+    documents table plus a deterministic shifted-id copy of every 7th doc
+    (the oracle injects the identical copies), making the output non-vacuous
+    at every scale."""
     from literature_to_facts_spark.datapipe.dedup import (
         build_exact_hash_index,
         exact_duplicate_clusters_incremental,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.where(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
     new = docs.where(F.col("doc_id") % 5 == 0)
     old = docs.where(F.col("doc_id") % 5 != 0)
     out = exact_duplicate_clusters_incremental(new, build_exact_hash_index(old))
@@ -1740,11 +1749,18 @@ def oracle_sql() -> dict[str, str]:
             _minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4)
         ),
         "dedup_exact_incremental": """
+            WITH corpus AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT) + 1000000, text FROM documents
+              WHERE doc_id % 7 = 0
+            )
             SELECT md5(text) AS text_hash,
                    CAST(COUNT(*) AS BIGINT) AS cluster_size,
                    CAST(MIN(doc_id) AS BIGINT) AS canonical_id
-            FROM documents GROUP BY md5(text)
+            FROM corpus GROUP BY md5(text)
             HAVING SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) >= 1
+               AND COUNT(*) >= 2
         """,
         # purge = corpus minus non-representative cluster members, where the
         # clusters are the recursive closure of the SAME recomputed pair set

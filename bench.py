@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -284,6 +285,12 @@ def _scaling_once(corpus_dir: str) -> dict:
         out[f"local[{cpus}]"] = json.loads(lines[-1])
     lo = out.get(f"local[{LO_CPUS}]", {})
     hi = out.get(f"local[{HI_CPUS}]", {})
+    # clean the per-run log dir on success; on any worker error keep it and
+    # record the path so the logs are findable (they are the only diagnostic)
+    if "error" in lo or "error" in hi:
+        out["log_dir"] = log_dir
+    else:
+        shutil.rmtree(log_dir, ignore_errors=True)
     if "triples_per_sec_median" in lo and "triples_per_sec_median" in hi:
         out["scaling_efficiency"] = round(
             (hi["triples_per_sec_median"] / lo["triples_per_sec_median"])
@@ -449,12 +456,19 @@ def run_headline() -> tuple[dict, dict, float, float, dict]:
         # rounds); first-run minus warm is almost entirely Janino/JIT compile,
         # which swings 2-8s on this shared VM for the codegen-heavy dedup
         # queries depending on host epoch.
+        # clearCache first: queries that persist() intermediates (IVF
+        # centroids, incremental-dedup candidates) would otherwise resolve
+        # the second run's plan-identical subtree straight from the cache —
+        # reporting cache-hit latency as "warm" and letting entries pile up
+        # across the rest of the session.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             warm[name] = round(time.time() - t0, 3)
         except Exception as e:
             warm[name] = f"error: {type(e).__name__}"
+        spark.catalog.clearCache()
     skew = {}
     if os.environ.get("SPARK_GRAFT_SKEW", "1") == "1":
         try:

@@ -92,8 +92,11 @@ def exact_duplicate_clusters_incremental(
 ) -> DataFrame:
     """Exact-dup clusters of ``old ∪ new`` restricted to clusters containing
     at least one NEW document (the rest were already known) — the delta mode
-    of :func:`exact_duplicate_clusters`.  Never touches historical text:
-    only the persisted (doc_id, text_hash) index.  One hash-groupBy."""
+    of :func:`exact_duplicate_clusters`, including its ``cluster_size >= 2``
+    contract (a batch of fresh unique docs emits NO rows; without the filter
+    every unique new doc would masquerade as a singleton 'duplicate
+    cluster').  Never touches historical text: only the persisted
+    (doc_id, text_hash) index.  One hash-groupBy."""
     banded = build_exact_hash_index(new_docs, id_col, text_col).withColumn(
         "is_new", F.lit(1)
     ).unionByName(old_index.withColumn("is_new", F.lit(0)))
@@ -104,7 +107,7 @@ def exact_duplicate_clusters_incremental(
             F.min("doc_id").alias("canonical_id"),
             F.max("is_new").alias("_any_new"),
         )
-        .where(F.col("_any_new") == 1)
+        .where((F.col("_any_new") == 1) & (F.col("cluster_size") >= 2))
         .drop("_any_new")
     )
 
@@ -250,20 +253,7 @@ def minhash_lsh_pairs(
     exactly one consumer (Spark does not exchange-reuse it across a union —
     a two-consumer shape measured 2x).
     """
-    sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
-    # the exact-text hash rides along as one extra band (a band that never
-    # false-positives): band keys 0..bands-1 come from the signature slices,
-    # band `bands` is md5(text) — one union into ONE bucket aggregation.
-    # NULL-text docs are excluded: md5(NULL) is NULL and groupBy treats NULLs
-    # as equal, so they would all collapse into one uncapped bucket emitting
-    # O(n) spurious star pairs (discarded later by the null-jaccard filter,
-    # but a skewed wasted-work bucket at scale).
-    exact_banded = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.lit(bands).alias("band"),
-        F.md5(F.col(text_col)).alias("key"),
-    )
-    banded = _banded(sigs, n_hashes, bands).unionByName(exact_banded)
+    banded = build_lsh_band_index(docs, id_col, text_col, n_gram, n_hashes, bands)
     buckets = banded.groupBy("band", "key").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids")
     )
@@ -348,6 +338,10 @@ def build_lsh_band_index(
     ever re-hashing the historical corpus.  Append the new batch's index rows
     (this function over the batch) to keep it current."""
     sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
+    # the exact-text hash rides along as one extra band (a band that never
+    # false-positives); NULL-text docs are excluded: md5(NULL) is NULL and
+    # groupBy treats NULLs as equal, so they would all collapse into one
+    # uncapped bucket emitting O(n) spurious star pairs
     exact_banded = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.lit(bands).alias("band"),
@@ -483,15 +477,8 @@ def lsh_bucket_stats(
     byte-identical — near-but-not-exact duplicates inside them are the
     recall loss this report quantifies).  Dedup monitoring at 100 TB runs
     this alongside the pair job so the cap is never a silent loss."""
-    sigs = minhash_signatures(docs, id_col, text_col, n_gram, n_hashes)
-    exact_banded = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.lit(bands).alias("band"),
-        F.md5(F.col(text_col)).alias("key"),
-    )
     sizes = (
-        _banded(sigs, n_hashes, bands)
-        .unionByName(exact_banded)
+        build_lsh_band_index(docs, id_col, text_col, n_gram, n_hashes, bands)
         .groupBy("band", "key")
         .agg(F.countDistinct("doc_id").alias("n"))
     )
@@ -612,20 +599,7 @@ def simhash_near_dups(
     flags arithmetically (sum of f_b * 2^i within the band), not by shifting
     the signed fingerprint — same portability rationale as the fingerprint.
     """
-    flags = _simhash_flags(docs, id_col, text_col)
-    keys = [
-        "(" + " + ".join(f"f{16 * j + i} * {1 << i}" for i in range(16)) + f") AS k{j}"
-        for j in range(4)
-    ]
-    sims = flags.selectExpr(
-        "doc_id", f"{_simhash_from_flags_sql()} AS simhash", *keys
-    )
-    band_structs = ", ".join(
-        f"named_struct('band', {j}, 'key', k{j})" for j in range(4)
-    )
-    banded = sims.selectExpr(
-        "doc_id", "simhash", f"explode(array({band_structs})) AS bk"
-    ).selectExpr("doc_id", "simhash", "bk.band AS band", "bk.key AS key")
+    banded = build_simhash_band_index(docs, id_col, text_col)
     buckets = (
         banded.groupBy("band", "key")
         .agg(

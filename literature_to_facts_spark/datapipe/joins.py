@@ -159,12 +159,17 @@ def interval_join(
     Long-interval guard: an interval spanning more than ``max_span_buckets``
     buckets (a year at hourly buckets = 8,760 copies) is NOT exploded —
     such outliers route through a separate branch that BROADCASTs them and
-    applies the exact range predicate directly (they must be rare/small
-    enough to broadcast, which "a few pathological intervals" are by
-    construction).  The long branch costs a second pass over ``points``
-    when long intervals exist; with AQE on, an empty long side collapses
-    the branch to an empty relation and the second scan never runs.  Set
-    ``max_span_buckets=None`` to restore unguarded explode-everything.
+    applies the exact range predicate directly.  The broadcast is
+    unconditional: the guard assumes long spans are OUTLIERS.  If most of
+    your intervals are long (multi-year spans at hourly buckets), the long
+    branch broadcasts the bulk of the table and fails loudly at Spark's
+    broadcast limit — the fix is a ``bucket_seconds`` near your median
+    interval length (which reclassifies them as short), not a bigger
+    broadcast.  The long branch costs a second pass over ``points`` when
+    long intervals exist; with AQE on, an empty long side collapses the
+    branch to an empty relation and the second scan never runs.  Set
+    ``max_span_buckets=None`` to restore unguarded explode-everything
+    (pre-round-4 behavior).
 
     Output: all point columns + all interval columns (caller aliases
     collisions away beforehand).

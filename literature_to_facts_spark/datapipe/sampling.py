@@ -64,9 +64,20 @@ def sample_fraction_by_group(
                 F.col(group_col) == val, F.lit(round(frac * _HASH_MOD))
             ).otherwise(thresh)
         return docs.where(bucket < thresh)
+    # the fractions table's group column takes its TYPE from the input frame
+    # (a hard-coded string type would break bigint group keys — or worse,
+    # silently join through an implicit cast diverging from the CASE path)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    group_type = docs.schema[group_col].dataType
     ft = docs.sparkSession.createDataFrame(
         [(val, round(frac * _HASH_MOD)) for val, frac in sorted(fractions.items())],
-        schema=f"`{group_col}` string, `_frac_thresh` bigint",
+        schema=StructType(
+            [
+                StructField(group_col, group_type),
+                StructField("_frac_thresh", LongType()),
+            ]
+        ),
     )
     return (
         docs.join(F.broadcast(ft), on=group_col, how="left")

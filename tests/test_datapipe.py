@@ -487,7 +487,7 @@ def test_deduplicate_corpus_and_exact_incremental(spark, documents):
             F.min("doc_id").alias("canon"),
             F.max(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)).alias("any_new"),
         )
-        .where(F.col("any_new") == 1)
+        .where((F.col("any_new") == 1) & (F.col("n") >= 2))
         .collect()
     )
     expected = {(r["text_hash"], r["n"], r["canon"]) for r in full}
@@ -633,7 +633,10 @@ def test_sampling_broadcast_path_matches_case_path(spark):
     )
     plan = bcast_out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert "ShuffleExchange" not in plan  # broadcast only, big side unshuffled
+    # broadcast only, big side unshuffled: a shuffle would print as
+    # "Exchange hashpartitioning" (the class name ShuffleExchangeExec never
+    # appears in plan strings — asserting on it would be vacuous)
+    assert "hashpartitioning" not in plan
 
     def bucket(doc_id: int) -> int:
         return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16) % 1_000_000
@@ -655,6 +658,18 @@ def test_sampling_broadcast_path_matches_case_path(spark):
         i for i in range(n_rows) if i % n_groups == 1 and bucket(i) < 290_000
     }
     assert {r["doc_id"] for r in small.collect()} == exp_small
+
+    # non-string group keys must survive the broadcast path (the fractions
+    # table takes the group column's TYPE from the input frame)
+    int_docs = spark.range(0, 2_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 40).alias("grp_id")
+    )
+    int_fracs = {i: 0.5 for i in range(40)}
+    int_out = sample_fraction_by_group(
+        int_docs, int_fracs, group_col="grp_id", max_case_groups=8
+    )
+    exp_int = {i for i in range(2_000) if bucket(i) < 500_000}
+    assert {r["doc_id"] for r in int_out.collect()} == exp_int
 
 
 def test_quality_filter_reason_codes(spark):
