@@ -550,7 +550,11 @@ def write_baseline_md(result: dict) -> None:
         "one-shot = first execution in the session (includes Janino/JIT "
         "codegen compile, which swings 2-8s on this shared VM for the "
         "codegen-heavy dedup queries depending on host epoch); warm = second "
-        "execution of the same plan (steady-state per-execution cost).",
+        "execution of the same plan with the cache CLEARED first "
+        "(steady-state per-execution cost — queries that persist() "
+        "intermediates, like IVF centroids and incremental-dedup candidates, "
+        "recompute them rather than reporting a cache-hit as warm; round-3 "
+        "warm numbers for those queries included the cache hit).",
         "",
         "| query | one-shot sec | warm sec |",
         "|---|---|---|",
