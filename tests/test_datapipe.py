@@ -456,6 +456,150 @@ def test_minhash_incremental_equals_restricted_full(spark, documents):
     ), "new×old pairs must cross the boundary"
 
 
+def test_temporal_joins_match_reference_model(spark):
+    """Property fuzz: asof_join (both the single-sweep and the pre-split
+    path) and interval_join (both the explode path and the long-span
+    broadcast path) match a brute-force pure-Python reference on random
+    small corpora — keys, equal timestamps, empty sides, boundary buckets
+    and all."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from literature_to_facts_spark.datapipe.joins import asof_join, interval_join
+
+    EPOCH = dt.datetime(2026, 1, 1)
+    T = lambda s: EPOCH + dt.timedelta(seconds=s)
+
+    rows = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 120)), min_size=0, max_size=18
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(left_rows=rows, right_rows=rows)
+    def check_asof(left_rows, right_rows):
+        # dedupe right on (key, ts): tie semantics among equal right rows
+        # are engine-defined, the contract query pre-dedupes the same way
+        right_rows = list({(k, s): None for k, s in right_rows})
+        left = spark.createDataFrame(
+            [(i, k, T(s)) for i, (k, s) in enumerate(left_rows)],
+            "event_id long, k long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(100 + i, k, T(s)) for i, (k, s) in enumerate(right_rows)],
+            "rid long, k long, ts timestamp",
+        )
+        expected = {}
+        for i, (k, s) in enumerate(left_rows):
+            prior = [
+                (100 + j, rs)
+                for j, (rk, rs) in enumerate(right_rows)
+                if rk == k and rs <= s
+            ]
+            expected[i] = max(prior, key=lambda p: (p[1], p[0]))[0] if prior else None
+        for split in (None, 7):
+            got = {
+                r["event_id"]: r["rid_r"]
+                for r in asof_join(
+                    left, right, on="k", right_cols=["rid"], split_seconds=split
+                ).collect()
+            }
+            assert got == expected, (split, got, expected)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        pts=rows,
+        ivs=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 120), st.integers(0, 130)),
+            min_size=0,
+            max_size=12,
+        ),
+    )
+    def check_interval(pts, ivs):
+        points = spark.createDataFrame(
+            [(i, k, T(s)) for i, (k, s) in enumerate(pts)],
+            "pid long, k long, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [(100 + i, k, T(a), T(b)) for i, (k, a, b) in enumerate(ivs)],
+            "iid long, k long, start timestamp, end timestamp",
+        )
+        expected = {
+            (i, 100 + j)
+            for i, (k, s) in enumerate(pts)
+            for j, (ik, a, b) in enumerate(ivs)
+            if ik == k and a <= s < b
+        }
+        for bucket_s, max_span in ((7, 2), (7, None), (50, 4)):
+            got = {
+                (r["pid"], r["iid"])
+                for r in interval_join(
+                    points, intervals, ts_col="ts", start_col="start",
+                    end_col="end", on="k", bucket_seconds=bucket_s,
+                    max_span_buckets=max_span,
+                ).collect()
+            }
+            assert got == expected, (bucket_s, max_span, got, expected)
+
+    check_asof()
+    check_interval()
+
+
+def test_bucketed_join_is_exchange_free(spark, documents, tmp_path):
+    """The 100 TB layout contract: two tables bucketed+sorted on the join
+    key with equal bucket counts join with ZERO Exchange and ZERO Sort —
+    the shuffle is paid once at write time, never again per query."""
+    from literature_to_facts_spark.datapipe.storage import (
+        co_located_join,
+        write_bucketed,
+    )
+
+    docs = documents.select("doc_id", "text", "lang")
+    write_bucketed(
+        docs, "t_docs_a", "doc_id", 4, sort_cols=["doc_id"],
+        path=str(tmp_path / "a"),
+    )
+    write_bucketed(
+        docs.select("doc_id", "n_chars" if "n_chars" in docs.columns else "lang"),
+        "t_docs_b", "doc_id", 4, sort_cols=["doc_id"],
+        path=str(tmp_path / "b"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = co_located_join(spark, "t_docs_a", "t_docs_b", "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == documents.count()
+        # control: the same join WITHOUT bucketing shuffles both sides
+        raw = spark.read.parquet(str(tmp_path / "a")).join(
+            spark.read.parquet(str(tmp_path / "b")), on="doc_id"
+        )
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_docs_a")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+
+
+def test_partitioned_write_prunes_scan(spark, documents, tmp_path):
+    """Directory partitioning: a filter on the partition column shows up as
+    PartitionFilters in the scan (planning-time pruning, zero I/O for the
+    pruned partitions)."""
+    from literature_to_facts_spark.datapipe.storage import write_partitioned
+
+    p = str(tmp_path / "by_lang")
+    write_partitioned(documents.select("doc_id", "text", "lang"), p, ["lang"])
+    got = spark.read.parquet(p).where(F.col("lang") == "en")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    expected = documents.where(F.col("lang") == "en").count()
+    assert got.count() == expected
+
+
 def test_deduplicate_corpus_and_exact_incremental(spark, documents):
     """Purge keeps exactly one representative (min id) per transitive
     cluster plus all unclustered docs; incremental exact clusters equal the
