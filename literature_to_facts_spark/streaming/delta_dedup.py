@@ -1,0 +1,122 @@
+"""Streaming near-duplicate detection: MinHash-LSH delta dedup as a
+Structured Streaming ``foreachBatch`` pipeline.
+
+Each micro-batch of documents emits the near-dup pairs TOUCHING that batch
+(new×new + new×batch-history, via ``datapipe.dedup.minhash_lsh_pairs_incremental``)
+and appends the batch's band-index + document rows to the persisted state —
+so an unbounded ingest stream pays per-batch cost, never a corpus re-pair.
+This is the streaming face of the same contract the batch daily loop
+(tests/test_datapipe.py::test_minhash_incremental_daily_loop) pins: the
+union of per-batch pair outputs over any batch split equals the full-corpus
+pair set exactly-once.
+
+Durability/replay design — ``foreachBatch`` is at-least-once, so EVERY write
+is keyed by ``batch_id`` and idempotent:
+
+    <state_dir>/pairs/_batch=<id>/        overwritten on replay
+    <state_dir>/band_index/_batch=<id>/   overwritten on replay
+    <state_dir>/docs/_batch=<id>/         overwritten on replay
+
+and the state reads EXCLUDE the current batch id (a replayed batch whose
+state write already succeeded must not pair against itself — new and old
+ids are contractually disjoint).  The ``_batch=`` directories double as a
+partition column, so the exclusion is a planning-time partition prune, not
+a scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from literature_to_facts_spark.datapipe.dedup import (
+    build_lsh_band_index,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
+)
+
+
+def _read_state(spark, root: str, before_batch: int) -> DataFrame | None:
+    """All `_batch=*` partitions of ``root`` strictly before ``before_batch``
+    (None when no state exists yet).  basePath keeps `_batch` visible as a
+    partition column so the < filter prunes directories at planning time."""
+    try:
+        df = (
+            spark.read.option("basePath", root)
+            .parquet(os.path.join(root, "_batch=*"))
+        )
+    except Exception:
+        return None
+    return df.where(F.col("_batch") < before_batch).drop("_batch")
+
+
+def make_delta_dedup_batch_fn(
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+):
+    """The ``foreachBatch`` function.  Kept separate from the writeStream
+    wiring so batch jobs (or tests) can drive it directly."""
+    pairs_root = os.path.join(state_dir, "pairs")
+    index_root = os.path.join(state_dir, "band_index")
+    docs_root = os.path.join(state_dir, "docs")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        old_index = _read_state(spark, index_root, batch_id)
+        old_docs = _read_state(spark, docs_root, batch_id)
+        if old_index is None or old_docs is None:
+            pairs = minhash_lsh_pairs(
+                batch, id_col, text_col, n_gram, n_hashes, bands, threshold,
+                max_bucket,
+            )
+        else:
+            pairs = minhash_lsh_pairs_incremental(
+                batch, old_docs, old_index, id_col, text_col, n_gram,
+                n_hashes, bands, threshold, max_bucket,
+            )
+        # pairs first: if we crash after this write but before the state
+        # writes, the replay overwrites the same _batch dirs (idempotent)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_root, f"_batch={batch_id}")
+        )
+        build_lsh_band_index(
+            batch, id_col, text_col, n_gram, n_hashes, bands
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_root, f"_batch={batch_id}")
+        )
+        batch.write.mode("overwrite").parquet(
+            os.path.join(docs_root, f"_batch={batch_id}")
+        )
+
+    return process
+
+
+def stream_near_dup_pairs(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+    **dedup_params,
+):
+    """Wire a streaming documents source into the delta-dedup batch fn.
+    Returns the started StreamingQuery (caller awaits/stops).  Read the
+    accumulated pairs with ``spark.read.parquet(state_dir + "/pairs")``."""
+    writer = (
+        docs_stream.writeStream.foreachBatch(
+            make_delta_dedup_batch_fn(state_dir, **dedup_params)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -345,3 +345,66 @@ def test_stateful_dedup_state_ttl_expiry(spark, tmp_path):
     got = spark.read.schema(DEDUP_OUTPUT_SCHEMA).parquet(str(out)).collect()
     alpha_urls = sorted(r["url"] for r in got if r["text"] == "alpha text")
     assert alpha_urls == ["u1", "u3"]  # re-emitted after TTL eviction
+
+
+def test_streaming_delta_dedup_exactly_once(spark, tmp_path):
+    """Streaming MinHash delta dedup (streaming/delta_dedup): a file stream
+    split into per-file micro-batches emits, per batch, the near-dup pairs
+    touching that batch; the union over batches equals the full-corpus pair
+    set exactly-once, and a REPLAYED batch (at-least-once foreachBatch)
+    overwrites its _batch dirs without duplicating or self-pairing."""
+    from pyspark.sql import functions as F
+
+    from literature_to_facts_spark.datapipe.dedup import minhash_lsh_pairs
+    from literature_to_facts_spark.streaming.delta_dedup import (
+        make_delta_dedup_batch_fn,
+        stream_near_dup_pairs,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dup = base.limit(9).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    docs = base.unionByName(dup)
+    src = tmp_path / "src"
+    src.mkdir()
+    # three source files -> three micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).toPandas().to_parquet(
+            src / f"part{i}.parquet"
+        )
+    params = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_near_dup_pairs(
+        stream, state, checkpoint=str(tmp_path / "ckpt"), **params
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(f"{state}/pairs").drop("_batch").collect()
+    )
+    full = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, **params).collect()
+    )
+    assert got == full and len(full) > 0  # exactly-once: no dupes, no gaps
+
+    # replay the LAST batch (its state writes already landed): output must
+    # be unchanged - the state read excludes _batch >= replayed id
+    last_batch = max(
+        int(r["_batch"])
+        for r in spark.read.parquet(f"{state}/pairs").select("_batch").distinct().collect()
+    )
+    replay_df = spark.read.parquet(str(src / f"part{last_batch}.parquet"))
+    make_delta_dedup_batch_fn(state, **params)(replay_df, last_batch)
+    again = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(f"{state}/pairs").drop("_batch").collect()
+    )
+    assert again == full
