@@ -477,10 +477,23 @@ def lsh_bucket_stats(
     byte-identical — near-but-not-exact duplicates inside them are the
     recall loss this report quantifies).  Dedup monitoring at 100 TB runs
     this alongside the pair job so the cap is never a silent loss."""
-    sizes = (
-        build_lsh_band_index(docs, id_col, text_col, n_gram, n_hashes, bands)
-        .groupBy("band", "key")
-        .agg(F.countDistinct("doc_id").alias("n"))
+    return lsh_bucket_stats_from_index(
+        build_lsh_band_index(docs, id_col, text_col, n_gram, n_hashes, bands),
+        bands=bands,
+        max_bucket=max_bucket,
+    )
+
+
+def lsh_bucket_stats_from_index(
+    index: DataFrame, bands: int = 8, max_bucket: int = 1000
+) -> DataFrame:
+    """:func:`lsh_bucket_stats` over an already-built band index — the
+    monitoring path for INCREMENTAL deployments, which run it over the
+    persisted index (optionally unioned with a new batch's rows) instead of
+    re-hashing the corpus.  ``bands`` must match the index's band count (the
+    exact-text band is ``band == bands`` and is exempt from the cap)."""
+    sizes = index.groupBy("band", "key").agg(
+        F.countDistinct("doc_id").alias("n")
     )
     sig_over = (F.col("band") < bands) & (F.col("n") > max_bucket)
     return sizes.agg(

@@ -600,6 +600,21 @@ def test_partitioned_write_prunes_scan(spark, documents, tmp_path):
     assert got.count() == expected
 
 
+def test_bucket_stats_from_index_matches_direct(spark, documents):
+    """The incremental-monitoring path (stats over a persisted index) must
+    equal the direct corpus-shaped report."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_lsh_band_index,
+        lsh_bucket_stats,
+        lsh_bucket_stats_from_index,
+    )
+
+    direct = lsh_bucket_stats(documents, n_hashes=16, bands=4, max_bucket=20).collect()
+    idx = build_lsh_band_index(documents, n_hashes=16, bands=4)
+    via_index = lsh_bucket_stats_from_index(idx, bands=4, max_bucket=20).collect()
+    assert [r.asDict() for r in direct] == [r.asDict() for r in via_index]
+
+
 def test_deduplicate_corpus_and_exact_incremental(spark, documents):
     """Purge keeps exactly one representative (min id) per transitive
     cluster plus all unclustered docs; incremental exact clusters equal the
