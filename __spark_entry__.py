@@ -688,6 +688,7 @@ def q_dedup_exact_incremental(spark, sf_dir):
         F.col("text_hash"),
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         F.col("canonical_id").cast("bigint").alias("canonical_id"),
+        F.array_join(F.col("members"), ",").alias("members"),
     )
 
 
@@ -1757,7 +1758,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT md5(text) AS text_hash,
                    CAST(COUNT(*) AS BIGINT) AS cluster_size,
-                   CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+                   CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+                   array_to_string(list_sort(list(doc_id)), ',') AS members
             FROM corpus GROUP BY md5(text)
             HAVING SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) >= 1
                AND COUNT(*) >= 2

@@ -96,7 +96,11 @@ def exact_duplicate_clusters_incremental(
     contract (a batch of fresh unique docs emits NO rows; without the filter
     every unique new doc would masquerade as a singleton 'duplicate
     cluster').  Never touches historical text: only the persisted
-    (doc_id, text_hash) index.  One hash-groupBy."""
+    (doc_id, text_hash) index.  One hash-groupBy.
+
+    Schema parity with full mode: ``members`` lists ALL cluster member ids
+    (historical ids come from the index, no text access), so consumers can
+    switch between the full and delta functions without a column mismatch."""
     banded = build_exact_hash_index(new_docs, id_col, text_col).withColumn(
         "is_new", F.lit(1)
     ).unionByName(old_index.withColumn("is_new", F.lit(0)))
@@ -105,6 +109,7 @@ def exact_duplicate_clusters_incremental(
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
             F.min("doc_id").alias("canonical_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
             F.max("is_new").alias("_any_new"),
         )
         .where((F.col("_any_new") == 1) & (F.col("cluster_size") >= 2))
@@ -361,6 +366,7 @@ def minhash_lsh_pairs_incremental(
     bands: int = 8,
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Delta dedup — the operational mode at 100 TB: pair a NEW batch against
     the existing corpus without re-pairing (or re-hashing) the corpus.
@@ -391,8 +397,11 @@ def minhash_lsh_pairs_incremental(
     The candidate pair set is ``persist()``-ed (it feeds both the id-list
     semi-join that limits shingling AND the verify join; without it the
     whole bucket pipeline would run twice).  It is pair-count sized; callers
-    running many batches in one long session can ``spark.catalog.clearCache()``
-    between batches.
+    running many batches in one long session should pass ``cache_registry``
+    (a list) — the persisted candidate DataFrame is appended to it so the
+    caller can ``unpersist()`` after consuming the result (the streaming
+    ``delta_dedup`` loop does this per micro-batch; without it one cached
+    DataFrame accumulates per batch for the life of the stream).
     """
     if old_index is None:
         old_index = build_lsh_band_index(
@@ -448,6 +457,8 @@ def minhash_lsh_pairs_incremental(
         .distinct()
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(candidates)
     cand_ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()

@@ -142,6 +142,7 @@ def interval_join(
     on: str | list | None = None,
     bucket_seconds: int = 3600,
     max_span_buckets: int | None = 256,
+    max_long_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Range join: every (point, interval) pair with ``start <= ts < end``
     (half-open) and matching ``on`` keys — Spark plans a bare BETWEEN join
@@ -159,17 +160,21 @@ def interval_join(
     Long-interval guard: an interval spanning more than ``max_span_buckets``
     buckets (a year at hourly buckets = 8,760 copies) is NOT exploded —
     such outliers route through a separate branch that BROADCASTs them and
-    applies the exact range predicate directly.  The broadcast is
-    unconditional: the guard assumes long spans are OUTLIERS.  If most of
-    your intervals are long (multi-year spans at hourly buckets), the long
-    branch broadcasts the bulk of the table and fails loudly at Spark's
-    broadcast limit — the fix is a ``bucket_seconds`` near your median
-    interval length (which reclassifies them as short), not a bigger
-    broadcast.  The long branch costs a second pass over ``points`` when
-    long intervals exist; with AQE on, an empty long side collapses the
-    branch to an empty relation and the second scan never runs.  Set
-    ``max_span_buckets=None`` to restore unguarded explode-everything
-    (pre-round-4 behavior).
+    applies the exact range predicate directly.  The guard assumes long
+    spans are OUTLIERS: if most of your intervals are long (multi-year spans
+    at hourly buckets), the long branch would broadcast the bulk of the
+    table — so before broadcasting, a bounded probe (``limit(n+1).count()``)
+    checks the long side against ``max_long_rows`` and raises a ValueError
+    naming the fix (a ``bucket_seconds`` near your median interval length,
+    which reclassifies those spans as short) instead of letting Spark's
+    broadcast limit produce an opaque executor OOM.  The probe makes this
+    function EAGER (one bounded count over ``intervals``) whenever the
+    span guard is active; pass ``max_long_rows=None`` to skip the probe and
+    broadcast unconditionally.  The long branch costs a second pass over
+    ``points`` when long intervals exist; with AQE on, an empty long side
+    collapses the branch to an empty relation and the second scan never
+    runs.  Set ``max_span_buckets=None`` to restore unguarded
+    explode-everything (pre-round-4 behavior).
 
     Output: all point columns + all interval columns (caller aliases
     collisions away beforehand).
@@ -195,6 +200,18 @@ def interval_join(
     if max_span_buckets is None:
         return joined
     long = valid.where(last_b - first_b >= max_span_buckets)
+    if max_long_rows is not None:
+        n_long = long.limit(max_long_rows + 1).count()
+        if n_long > max_long_rows:
+            raise ValueError(
+                f"interval_join: more than {max_long_rows} intervals span "
+                f">= {max_span_buckets} buckets of {bucket_seconds}s — the "
+                "long-outlier branch would broadcast the bulk of the "
+                "intervals table.  Long spans are not outliers in this "
+                "corpus: raise bucket_seconds toward the median interval "
+                "length (reclassifying them as short), or raise "
+                "max_long_rows if the broadcast genuinely fits."
+            )
     if keys:
         long_joined = points.join(F.broadcast(long), on=keys, how="inner")
     else:

@@ -48,6 +48,14 @@ def sample_fraction_by_group(
     rows, and samples at different fractions NEST (a 1% sample is a subset
     of the 10% sample — useful for scaling-law subsets).
 
+    Cross-version note: round-4 changed the threshold from ``int()``
+    truncation to ``round()`` — for fractions whose ``frac * 1e6`` is not
+    exact in binary (e.g. 0.29 -> 289999.999...), samples persisted by
+    round-3-or-earlier releases sit exactly one threshold bucket below
+    re-runs and are NOT row-identical at the boundary.  In-repo parity is
+    unaffected (the oracle moved in lockstep); treat persisted scaling-law
+    subsets drawn before the change as non-comparable.
+
     Small recipes (<= ``max_case_groups`` groups — language mixtures) compile
     to a CASE chain inside the scan filter.  Larger recipes (a 10k-domain
     mixture) would blow up the expression tree, so they switch to a

@@ -22,12 +22,25 @@ state write already succeeded must not pair against itself — new and old
 ids are contractually disjoint).  The ``_batch=`` directories double as a
 partition column, so the exclusion is a planning-time partition prune, not
 a scan.
+
+Exactly-once contract, precisely: the union of per-batch pair outputs is
+the full-corpus pair set with each TRUE duplicate pair emitted once, and —
+in one edge case — a superset of the full one-shot run's output: an
+exact-duplicate cluster larger than ``max_bucket`` (signature bands capped,
+so it pairs only via the exact band's canonical star) whose global minimum
+id arrives in a LATE batch re-roots the star, and earlier batches' star
+edges rooted at the then-minimum survive in the union while a fresh full
+run would root every edge at the final minimum.  Every such extra edge is
+still a true byte-identical duplicate pair, and ``connected_components``
+absorbs alternative roots into the same cluster — downstream purge output
+is identical.
 """
 
 from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,14 +54,24 @@ from literature_to_facts_spark.datapipe.dedup import (
 def _read_state(spark, root: str, before_batch: int) -> DataFrame | None:
     """All `_batch=*` partitions of ``root`` strictly before ``before_batch``
     (None when no state exists yet).  basePath keeps `_batch` visible as a
-    partition column so the < filter prunes directories at planning time."""
+    partition column so the < filter prunes directories at planning time.
+
+    Only the missing-path case means "no state yet" — every other read
+    failure (permissions, FS listing errors, a corrupt dir) PROPAGATES and
+    fails the batch.  Swallowing those would silently downgrade the batch to
+    standalone full-mode pairing, permanently losing its new×old pairs: the
+    overwritten ``_batch`` pairs dir would look committed, so a replay never
+    repairs it."""
     try:
         df = (
             spark.read.option("basePath", root)
             .parquet(os.path.join(root, "_batch=*"))
         )
-    except Exception:
-        return None
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: ""))()
+        if (cond or "").startswith("PATH_NOT_FOUND") or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
     return df.where(F.col("_batch") < before_batch).drop("_batch")
 
 
@@ -73,6 +96,7 @@ def make_delta_dedup_batch_fn(
         batch = batch_df.select(id_col, text_col)
         old_index = _read_state(spark, index_root, batch_id)
         old_docs = _read_state(spark, docs_root, batch_id)
+        cached: list = []
         if old_index is None or old_docs is None:
             pairs = minhash_lsh_pairs(
                 batch, id_col, text_col, n_gram, n_hashes, bands, threshold,
@@ -82,20 +106,28 @@ def make_delta_dedup_batch_fn(
             pairs = minhash_lsh_pairs_incremental(
                 batch, old_docs, old_index, id_col, text_col, n_gram,
                 n_hashes, bands, threshold, max_bucket,
+                cache_registry=cached,
             )
-        # pairs first: if we crash after this write but before the state
-        # writes, the replay overwrites the same _batch dirs (idempotent)
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_root, f"_batch={batch_id}")
-        )
-        build_lsh_band_index(
-            batch, id_col, text_col, n_gram, n_hashes, bands
-        ).write.mode("overwrite").parquet(
-            os.path.join(index_root, f"_batch={batch_id}")
-        )
-        batch.write.mode("overwrite").parquet(
-            os.path.join(docs_root, f"_batch={batch_id}")
-        )
+        try:
+            # pairs first: if we crash after this write but before the state
+            # writes, the replay overwrites the same _batch dirs (idempotent)
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_root, f"_batch={batch_id}")
+            )
+            build_lsh_band_index(
+                batch, id_col, text_col, n_gram, n_hashes, bands
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_root, f"_batch={batch_id}")
+            )
+            batch.write.mode("overwrite").parquet(
+                os.path.join(docs_root, f"_batch={batch_id}")
+            )
+        finally:
+            # release the per-batch candidate cache: an unbounded stream
+            # would otherwise accumulate one persisted DataFrame per
+            # micro-batch for the life of the query
+            for df in cached:
+                df.unpersist()
 
     return process
 

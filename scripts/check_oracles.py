@@ -4,7 +4,8 @@ rows/schema/value-hash equality — the external driver's correctness gate,
 runnable standalone at any scale factor.
 
 Usage: python scripts/check_oracles.py [sf_dir]   (default /root/testdata/sf0.01)
-Exit code 0 iff every query matches.
+Set SPARK_GRAFT_ONLY=name1,name2 to check a subset (iteration aid).
+Exit code 0 iff every checked query matches.
 """
 
 from __future__ import annotations
@@ -53,6 +54,9 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     queries, oracles = em.queries(), em.oracle_sql()
+    only = [s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s]
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
     n_fail = 0
     for name in sorted(queries):
         try:

@@ -644,14 +644,17 @@ def test_deduplicate_corpus_and_exact_incremental(spark, documents):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("doc_id").alias("canon"),
+            F.sort_array(F.collect_list("doc_id")).alias("mem"),
             F.max(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)).alias("any_new"),
         )
         .where((F.col("any_new") == 1) & (F.col("n") >= 2))
         .collect()
     )
-    expected = {(r["text_hash"], r["n"], r["canon"]) for r in full}
+    expected = {(r["text_hash"], r["n"], r["canon"], tuple(r["mem"])) for r in full}
+    # members includes HISTORICAL ids (from the index) — full-mode schema
+    # parity, so consumers can swap between the full and delta functions
     got = {
-        (r["text_hash"], r["cluster_size"], r["canonical_id"])
+        (r["text_hash"], r["cluster_size"], r["canonical_id"], tuple(r["members"]))
         for r in exact_duplicate_clusters_incremental(
             new, build_exact_hash_index(old)
         ).collect()
@@ -948,6 +951,39 @@ def test_interval_join_long_interval_guard(spark):
         if "Generate explode" in node:
             n_gen += 1
     assert n_gen == 1
+
+
+def test_interval_join_mostly_long_corpus_raises(spark):
+    """When long spans are the BULK (not outliers), the broadcast branch
+    must fail with an actionable error naming the bucket_seconds fix —
+    before Spark's broadcast limit produces an opaque failure."""
+    import datetime as dt
+
+    import pytest
+
+    from literature_to_facts_spark.datapipe.joins import interval_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    pts = spark.createDataFrame(
+        [(1, 7, T("2026-06-15 12:00:00"))], "pid long, k long, ts timestamp"
+    )
+    # 40 year-long intervals at hourly buckets: all land in the long branch
+    ivs = spark.range(40).selectExpr(
+        "id AS iid", "CAST(7 AS LONG) AS k",
+        "timestamp'2026-01-01 00:00:00' AS start",
+        "timestamp'2027-01-01 00:00:00' AS end",
+    )
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        interval_join(
+            pts, ivs, ts_col="ts", start_col="start", end_col="end", on="k",
+            bucket_seconds=3600, max_span_buckets=24, max_long_rows=10,
+        )
+    # raising the cap (or disabling the probe) restores the broadcast path
+    out = interval_join(
+        pts, ivs, ts_col="ts", start_col="start", end_col="end", on="k",
+        bucket_seconds=3600, max_span_buckets=24, max_long_rows=None,
+    )
+    assert out.count() == 40
 
 
 def test_asof_join_split_matches_unsplit(spark):
