@@ -883,10 +883,16 @@ def q_text_lang_id(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
+    """Both fingerprint columns are independently oracled: fp_md5 (canonical
+    content hash) AND fp_rolling (order-sensitive md5-family polynomial —
+    round 5 swapped its xxhash64 for the portable hash family so DuckDB
+    recomputes it too)."""
     from literature_to_facts_spark.datapipe.textstats import with_fingerprint
 
     return with_fingerprint(_t(spark, sf_dir, "documents")).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("fp_md5")
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("fp_md5"),
+        F.col("fp_rolling").cast("bigint").alias("fp_rolling"),
     )
 
 
@@ -1652,7 +1658,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": r"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         list_filter(string_split(lower(text), ' '), x -> x != ''),
+                         t -> CAST('0x' || substr(md5(t), 1, 13) AS BIGINT))),
+                     (acc, h) -> (31 * acc + h) % 4503599627370496) AS fp_rolling
             FROM documents
         """,
         "text_quality": """

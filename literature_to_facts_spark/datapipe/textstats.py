@@ -124,14 +124,25 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     * ``fp_md5``: md5 of the whitespace-normalized lowercased text (engine-
       portable canonical content hash);
-    * ``fp_rolling``: 64-bit rolling hash over tokens
-      (h' = rot(h) XOR xxhash64(token); pure bit ops, so ANSI-overflow-safe)
-      — order-sensitive, cheap to compute incrementally at ingest.
+    * ``fp_rolling``: 52-bit polynomial rolling hash over tokens
+      (``acc' = (31*acc + h52(token)) mod 2^52``, where h52 is the repo's
+      portable md5-derived hash family — the same family every dedup/ANN
+      operator uses, so an independent SQL engine recomputes it bit-exactly)
+      — order-sensitive, cheap to compute incrementally at ingest.  ANSI-safe
+      by construction: acc < 2^52, so 31*acc + h52 < 2^57 + 2^52 << 2^63.
+      NULL text yields a NULL fingerprint (both columns).
+
+    The round-4 variant used ``xxhash64``, which no other engine shares —
+    leaving fp_rolling the one datapipe column outside the independent-oracle
+    story; the md5-family polynomial closes that (and changes persisted
+    fp_rolling values — re-fingerprint or pin the old expression when
+    comparing against pre-round-5 outputs).
     """
     norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    h52 = "cast(conv(substr(md5(t), 1, 13), 16, 10) as bigint)"
     rolling = (
         f"aggregate({_tokens(text_col)}, 0L,"
-        f" (acc, t) -> shiftleft(acc, 5) ^ shiftright(acc, 59) ^ xxhash64(t))"
+        f" (acc, t) -> (31 * acc + {h52}) % 4503599627370496)"
     )
     return docs.withColumn("fp_md5", F.md5(F.expr(norm))).withColumn(
         "fp_rolling", F.expr(rolling)
