@@ -386,6 +386,20 @@ def minhash_lsh_pairs_incremental(
     shingled (hash join by id), not the whole history.  Contract: new ids
     must be disjoint from old ids (re-crawled urls get fresh ids upstream).
 
+    History access is PROBE-SIDE, not union-side (the round-4 form unioned
+    the new index with the whole persisted index and re-grouped — the full
+    100 TB history flowed through an Exchange every batch).  Now the new
+    batch's bucket keys are BROADCAST and semi-join-filter the history
+    index at its scan, so the only history rows that go anywhere are the
+    rows of buckets the batch actually touches; everything downstream is
+    batch-sized.  One scan of the history index per batch, zero shuffle of
+    it — and when the index is a catalog table written with
+    ``datapipe.storage.write_bucketed(..., bucket_col="key")``, the
+    touched-bucket aggregation ALSO plans with zero Exchange (bucket
+    hash-partitioning on ``key`` satisfies the (band, key) grouping —
+    plan-pinned by tests/test_datapipe.py::
+    test_minhash_incremental_bucketed_history_no_exchange).
+
     In-bucket emission enumerates new×new (triangle over the new members)
     and new×old (cross of new × old members) directly instead of expanding
     the full triangle and filtering — a bucket with 1 new and 10^3 old
@@ -394,14 +408,15 @@ def minhash_lsh_pairs_incremental(
     to star edges touching a new doc, so byte-identical spam clusters of any
     size stay uncapped.
 
-    The candidate pair set is ``persist()``-ed (it feeds both the id-list
-    semi-join that limits shingling AND the verify join; without it the
-    whole bucket pipeline would run twice).  It is pair-count sized; callers
-    running many batches in one long session should pass ``cache_registry``
-    (a list) — the persisted candidate DataFrame is appended to it so the
-    caller can ``unpersist()`` after consuming the result (the streaming
-    ``delta_dedup`` loop does this per micro-batch; without it one cached
-    DataFrame accumulates per batch for the life of the stream).
+    The candidate pair set, the new bucket aggregate and the matched bucket
+    rows are ``persist()``-ed (each has two-plus consumers; without the
+    persists the bucket pipeline — or the history scan — would run twice).
+    All are batch-sized; callers running many batches in one
+    long session should pass ``cache_registry`` (a list) — every persisted
+    DataFrame is appended to it so the caller can ``unpersist()`` after
+    consuming the result (the streaming ``delta_dedup`` loop does this per
+    micro-batch; without it cached DataFrames accumulate per batch for the
+    life of the stream).
     """
     if old_index is None:
         old_index = build_lsh_band_index(
@@ -410,19 +425,45 @@ def minhash_lsh_pairs_incremental(
     new_index = build_lsh_band_index(
         new_docs, id_col, text_col, n_gram, n_hashes, bands
     )
-    banded = new_index.withColumn("is_new", F.lit(1)).unionByName(
-        old_index.withColumn("is_new", F.lit(0))
+    newagg = (
+        new_index.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("new_ids"))
+        .persist()
     )
+    # history rows of TOUCHED buckets only: the broadcast semi-join filters
+    # the index at its scan, and the aggregation runs DIRECTLY over the
+    # filtered scan (no persist in between — an InMemoryRelation under AQE
+    # reports unknown partitioning and would force the Exchange right back)
+    touched_old = old_index.join(
+        F.broadcast(newagg.select("band", "key")), on=["band", "key"], how="left_semi"
+    )
+    old_arrays = touched_old.groupBy("band", "key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("old_ids")
+    )
+    # matched buckets stream the (distributed) old-member arrays past a
+    # broadcast of the new aggregate — old arrays are never broadcast, so a
+    # spam exact-cluster with 10^6 historical members cannot blow a driver
+    # broadcast.  matched is persisted (bucket-level, batch-bounded): it
+    # feeds both the pair emission and the new-only-bucket anti keys, and
+    # the persist keeps the history scan at exactly one pass per batch
+    matched = (
+        old_arrays.join(F.broadcast(newagg), on=["band", "key"], how="inner").persist()
+    )
+    miss = newagg.join(
+        F.broadcast(matched.select("band", "key")),
+        on=["band", "key"],
+        how="left_anti",
+    ).withColumn("old_ids", F.expr("slice(new_ids, 1, 0)"))  # empty, id-typed
+    cols = ["band", "key", "new_ids", "old_ids"]
+    bucket_rows = matched.select(*cols).unionByName(miss.select(*cols))
     buckets = (
-        banded.groupBy("band", "key")
-        .agg(
-            F.sort_array(
-                F.collect_set(F.struct(F.col("doc_id"), F.col("is_new")))
-            ).alias("members")
-        )
-        .withColumn(
-            "new_ids",
-            F.expr("transform(filter(members, m -> m.is_new = 1), m -> m.doc_id)"),
+        bucket_rows.withColumn(
+            "members",
+            F.expr(
+                "sort_array(concat("
+                " transform(old_ids, x -> named_struct('doc_id', x, 'is_new', 0)),"
+                " transform(new_ids, x -> named_struct('doc_id', x, 'is_new', 1))))"
+            ),
         )
         .where(
             (F.size("members") >= 2)
@@ -441,7 +482,7 @@ def minhash_lsh_pairs_incremental(
               transform(filter(new_ids, b -> b > a),
                         b -> named_struct('id_a', a, 'id_b', b)))),
             flatten(transform(new_ids, a ->
-              transform(transform(filter(members, m -> m.is_new = 0), m -> m.doc_id),
+              transform(old_ids,
                         b -> named_struct('id_a', least(a, b), 'id_b', greatest(a, b)))))
           )
         ELSE
@@ -458,7 +499,7 @@ def minhash_lsh_pairs_incremental(
         .persist()
     )
     if cache_registry is not None:
-        cache_registry.append(candidates)
+        cache_registry.extend([newagg, matched, candidates])
     cand_ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()

@@ -736,6 +736,123 @@ def test_minhash_incremental_daily_loop(spark, documents, tmp_path):
     assert len(full) > 0
 
 
+def test_minhash_incremental_bucketed_history_no_exchange(spark, documents, tmp_path):
+    """Composition of the delta-dedup probe with the storage layout: when
+    the persisted band index is a catalog table bucketed on `key`, the
+    history side of a delta batch plans with ZERO Exchange — the
+    touched-bucket aggregation is served from bucket locality, so at 100 TB
+    history the per-batch cost is one (semi-join-filtered) scan, no shuffle.
+    The raw-parquet control pays exactly one more Exchange hashpartitioning
+    (the same plan otherwise), and both produce identical pairs."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_lsh_band_index,
+        minhash_lsh_pairs_incremental,
+    )
+    from literature_to_facts_spark.datapipe.storage import write_bucketed
+
+    dup = documents.limit(8).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    docs = documents.unionByName(dup)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    params = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5)
+    idx = build_lsh_band_index(old, **{k: v for k, v in params.items() if k != "threshold"})
+    try:
+        write_bucketed(idx, "t_lsh_idx", "key", 4, path=str(tmp_path / "idx"))
+
+        bucketed = minhash_lsh_pairs_incremental(
+            new, old, spark.table("t_lsh_idx"), **params
+        )
+        raw = minhash_lsh_pairs_incremental(
+            new, old, spark.read.parquet(str(tmp_path / "idx")), **params
+        )
+        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        plan_r = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_b
+        n_b = plan_b.count("Exchange hashpartitioning")
+        n_r = plan_r.count("Exchange hashpartitioning")
+        # strictly fewer shuffles with the bucketed index (the history-side
+        # aggregation Exchange disappears; persisted subtrees print their
+        # cached plan per reference, so exact counts are layout-dependent)
+        assert n_b < n_r, f"bucketed={n_b} raw={n_r}\n{plan_b}"
+        # the pinned contract: the EXACT history-side fragment the probe
+        # builds (broadcast semi-join filter -> (band,key) aggregation over
+        # the catalog table) plans with ZERO Exchange — bucket
+        # hash-partitioning on `key` satisfies the (band, key) clustering
+        new_keys = build_lsh_band_index(
+            new, **{k: v for k, v in params.items() if k != "threshold"}
+        ).select("band", "key")
+        hist_agg = (
+            spark.table("t_lsh_idx")
+            .join(F.broadcast(new_keys), on=["band", "key"], how="left_semi")
+            .groupBy("band", "key")
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("old_ids"))
+        )
+        hist_plan = hist_agg._jdf.queryExecution().executedPlan().toString()
+        # the only Exchange anywhere in the fragment is inside the BROADCAST
+        # subtree (the batch's own signature groupBy) — never on the
+        # history stream: no Exchange may sit between the bucketed FileScan
+        # and the aggregation, i.e. after the last BroadcastExchange line
+        # the plan tail (the streamed side as printed) is exchange-free
+        streamed_side = hist_plan.split("BroadcastExchange")[0]
+        assert "Exchange" not in streamed_side, hist_plan
+        assert "Bucketed: true" in hist_plan
+        got_b = {(r["id_a"], r["id_b"], r["jaccard"]) for r in bucketed.collect()}
+        got_r = {(r["id_a"], r["id_b"], r["jaccard"]) for r in raw.collect()}
+        assert got_b == got_r and len(got_b) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lsh_idx")
+        spark.catalog.clearCache()
+
+
+def test_minhash_incremental_daily_loop_bucketed(spark, documents, tmp_path):
+    """The operational daily loop OVER A BUCKETED CATALOG INDEX: each day
+    appends the batch's band-index rows to the bucketed table (bucket spec
+    preserved across appends) and pairs the next batch against it via
+    spark.table — the exactly-once contract holds end to end on the layout
+    the 100 TB deployment would actually use."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_lsh_band_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from literature_to_facts_spark.datapipe.storage import write_bucketed
+
+    dup = documents.limit(9).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    docs = documents.unionByName(dup).select("doc_id", "text")
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    params = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5)
+    idx_params = {k: v for k, v in params.items() if k != "threshold"}
+    try:
+        daily = [minhash_lsh_pairs(batches[0], **params).collect()]
+        write_bucketed(
+            build_lsh_band_index(batches[0], **idx_params),
+            "t_lsh_daily", "key", 4, path=str(tmp_path / "daily_idx"),
+        )
+        seen = batches[0]
+        for day in (1, 2):
+            daily.append(
+                minhash_lsh_pairs_incremental(
+                    batches[day], seen, spark.table("t_lsh_daily"), **params
+                ).collect()
+            )
+            write_bucketed(
+                build_lsh_band_index(batches[day], **idx_params),
+                "t_lsh_daily", "key", 4, path=str(tmp_path / "daily_idx"),
+                mode="append",
+            )
+            seen = seen.unionByName(batches[day])
+        got = [(r["id_a"], r["id_b"], r["jaccard"]) for rows in daily for r in rows]
+        full = [
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(docs, **params).collect()
+        ]
+        assert sorted(got) == sorted(full)
+        assert len(full) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lsh_daily")
+        spark.catalog.clearCache()
+
+
 def test_sampling_deterministic_nested_and_exact(spark, documents):
     """Hash-fraction sampling: zero-shuffle plan, deterministic, and samples
     NEST across fractions (the 10% set contains the 5% set); top-n sampling:
