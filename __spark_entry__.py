@@ -661,6 +661,31 @@ def q_dedup_clusters_cc(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_cc_incremental(spark, sf_dir):
+    """Delta closure (datapipe/dedup.connected_components_incremental): the
+    pairs touching the new batch (doc_id % 5 == 0) fold into the persisted
+    (doc_id, cluster_rep) map — only components touched by the batch are
+    re-labeled; the ever-growing pair archive is never re-closed.  Full SQL
+    oracle: DuckDB recomputes the recursive-CTE closure over ALL pairs and
+    restricts it to components containing a new-pair endpoint — exactly the
+    delta contract.  EAGER (two CC fixpoints: the seeded state + the delta)."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        connected_components,
+        connected_components_incremental,
+        minhash_lsh_pairs,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, n_hashes=16, bands=4).persist()
+    touching = (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+    state = connected_components(pairs.where(~touching))
+    out = connected_components_incremental(pairs.where(touching), state)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_rep").cast("bigint").alias("cluster_rep"),
+    )
+
+
 def q_dedup_exact_incremental(spark, sf_dir):
     """Delta exact dedup (datapipe/dedup.exact_duplicate_clusters_incremental):
     clusters of old+new restricted to clusters containing a new doc AND of
@@ -928,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_lsh_bucket_stats": q_dedup_lsh_bucket_stats,
         "dedup_clusters_cc": q_dedup_clusters_cc,
+        "dedup_clusters_cc_incremental": q_dedup_clusters_cc_incremental,
         "sample_hash_fraction": q_sample_hash_fraction,
         "sample_stratified_topn": q_sample_stratified_topn,
         "dedup_simhash": q_dedup_simhash,
@@ -1082,6 +1108,40 @@ def _cc_oracle(pairs_sql: str) -> str:
             )
             SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_rep
             FROM closure GROUP BY node
+        """
+
+
+def _cc_incremental_oracle(
+    pairs_sql: str, touch_pred: str = "id_a % 5 = 0 OR id_b % 5 = 0"
+) -> str:
+    """Delta-closure contract: the full recursive closure over ALL pairs,
+    restricted to components containing at least one endpoint of a pair
+    matching ``touch_pred`` (the new batch)."""
+    return f"""
+            WITH RECURSIVE pairs AS ({pairs_sql}),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b AS a, id_a AS b FROM pairs),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            closure(node, reach) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT c.node, e.b FROM closure c JOIN edges e ON e.a = c.reach
+            ),
+            labels AS (
+              SELECT node AS doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_rep
+              FROM closure GROUP BY node
+            ),
+            newnodes AS (
+              SELECT DISTINCT n FROM (
+                SELECT id_a AS n FROM pairs WHERE {touch_pred}
+                UNION ALL SELECT id_b FROM pairs WHERE {touch_pred})
+            ),
+            touched AS (
+              SELECT DISTINCT l.cluster_rep AS r
+              FROM labels l JOIN newnodes nn ON l.doc_id = nn.n
+            )
+            SELECT doc_id, cluster_rep FROM labels
+            WHERE cluster_rep IN (SELECT r FROM touched)
         """
 
 
@@ -1759,6 +1819,9 @@ def oracle_sql() -> dict[str, str]:
             n_gram=3, n_hashes=16, bands=4, max_bucket=20
         ),
         "dedup_clusters_cc": _cc_oracle(
+            _minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4)
+        ),
+        "dedup_clusters_cc_incremental": _cc_incremental_oracle(
             _minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4)
         ),
         "dedup_exact_incremental": """

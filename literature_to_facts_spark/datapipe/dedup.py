@@ -931,3 +931,73 @@ def connected_components(
             "(component diameter exceeds ~2^max_iters); raise max_iters"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep"))
+
+
+def connected_components_incremental(
+    new_pairs: DataFrame,
+    cluster_state: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Delta closure — the cluster-state counterpart of
+    :func:`minhash_lsh_pairs_incremental`: fold a batch of NEW near-dup
+    pairs into a persisted ``(doc_id, cluster_rep)`` map withOUT re-closing
+    the ever-growing pair archive (the daily full :func:`connected_components`
+    over all pairs ever emitted is the same O(history) trap the probe-side
+    pairing removed for candidate generation).
+
+    Returns the updated labels for exactly the components TOUCHED by the
+    batch: every full-closure component (over old ∪ new pairs) that contains
+    at least one endpoint of ``new_pairs`` — old components merged by the
+    batch re-label to the new minimum, brand-new nodes appear, and untouched
+    components are neither read (beyond two scan-side probes) nor returned.
+    Merge into the persisted map with :func:`merged_cluster_state`.
+
+    Correctness: any path in the full pair graph between output nodes can
+    only traverse old components that contain a new-pair endpoint (old edges
+    stay inside their component; entering/leaving happens over a new edge,
+    whose endpoints are new-pair nodes) — so seeding the mini-graph with the
+    new pairs PLUS the complete membership of touched old components
+    reproduces full-closure connectivity exactly.  ``cluster_state`` rows
+    are themselves edges (doc -> rep), connectivity-equivalent to the old
+    pair archive, and the old rep (min of its component) rides along as a
+    node, so merged minima are global.  Oracled end to end (q:
+    dedup_clusters_cc_incremental — DuckDB recursive-CTE closure over ALL
+    pairs, restricted to clusters touching the batch).
+
+    Scale shape: the state is probed twice with broadcast semi-joins — by
+    ``doc_id`` (find touched reps), then by ``cluster_rep`` (pull touched
+    members) — two filtered scans, ZERO shuffle of the state; everything
+    downstream (the mini-CC fixpoint) is bounded by batch pairs + touched
+    component membership.  Store the state bucketed/partitioned on
+    ``cluster_rep`` to prune the second probe too.  EAGER like
+    :func:`connected_components` (iterative fixpoint).  Contract: new pair
+    endpoints may overlap old ids freely (that is the point), and
+    ``cluster_state`` must be a valid closure (rep = min reachable id).
+    """
+    nodes = (
+        new_pairs.select(F.explode(F.array(id_a, id_b)).alias("doc_id")).distinct()
+    )
+    touched_reps = (
+        cluster_state.join(F.broadcast(nodes), on="doc_id", how="left_semi")
+        .select("cluster_rep")
+        .distinct()
+    )
+    member_edges = cluster_state.join(
+        F.broadcast(touched_reps), on="cluster_rep", how="left_semi"
+    ).select(F.col("doc_id").alias(id_a), F.col("cluster_rep").alias(id_b))
+    edges = new_pairs.select(id_a, id_b).unionByName(member_edges)
+    return connected_components(edges, id_a=id_a, id_b=id_b, max_iters=max_iters)
+
+
+def merged_cluster_state(
+    cluster_state: DataFrame, delta_labels: DataFrame
+) -> DataFrame:
+    """The persisted-state update for :func:`connected_components_incremental`:
+    rows of touched components are replaced wholesale by the delta labels,
+    untouched rows pass through — one broadcast-able left-anti join (the
+    delta is batch-bounded), no shuffle of the state."""
+    return cluster_state.join(
+        F.broadcast(delta_labels.select("doc_id")), on="doc_id", how="left_anti"
+    ).unionByName(delta_labels.select("doc_id", "cluster_rep"))

@@ -412,6 +412,111 @@ def test_connected_components_raises_on_non_convergence(spark):
         connected_components(chain, max_iters=2)
 
 
+def test_cc_incremental_equals_restricted_full(spark):
+    """Delta closure contract: labels over (new pairs, persisted cluster
+    state) == full closure over ALL pairs restricted to components touching
+    a new-pair endpoint; merging the delta into the state reproduces the
+    full closure exactly; untouched components are not returned."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        connected_components,
+        connected_components_incremental,
+        merged_cluster_state,
+    )
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    # merges {1,2,3}+{7,8} via 3-7, extends {4,5} with 9, adds fresh {20,21}
+    new_pairs = spark.createDataFrame(
+        [(3, 7), (7, 8), (5, 9), (20, 21)], "id_a long, id_b long"
+    )
+    state = connected_components(old_pairs)
+    delta = connected_components_incremental(new_pairs, state)
+    got = {(r["doc_id"], r["cluster_rep"]) for r in delta.collect()}
+    full = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components(old_pairs.unionByName(new_pairs)).collect()
+    }
+    new_nodes = {3, 7, 8, 5, 9, 20, 21}
+    touched = {rep for n, rep in full if n in new_nodes}
+    assert got == {(n, rep) for n, rep in full if rep in touched}
+    assert not any(n in (10, 11) for n, _ in got)  # untouched comp excluded
+    merged = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in merged_cluster_state(state, delta).collect()
+    }
+    assert merged == full
+
+
+def test_cc_incremental_empty_batch_is_noop(spark):
+    from literature_to_facts_spark.datapipe.dedup import (
+        connected_components,
+        connected_components_incremental,
+        merged_cluster_state,
+    )
+
+    state = connected_components(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    )
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    delta = connected_components_incremental(empty, state)
+    assert delta.count() == 0
+    assert {
+        (r["doc_id"], r["cluster_rep"])
+        for r in merged_cluster_state(state, delta).collect()
+    } == {(1, 1), (2, 1)}
+
+
+def test_cc_incremental_daily_loop(spark, documents, tmp_path):
+    """The full operational delta chain, state round-tripping through
+    parquet: each day the new batch pairs via the incremental MinHash probe,
+    the pairs fold into the persisted cluster map via the incremental
+    closure, and after three days the map equals the full-corpus
+    connected_components over the full-corpus pair set."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_lsh_band_index,
+        connected_components,
+        connected_components_incremental,
+        merged_cluster_state,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    dup = documents.limit(9).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    docs = documents.unionByName(dup).select("doc_id", "text")
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    params = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5)
+    idx_params = {k: v for k, v in params.items() if k != "threshold"}
+    idx_path = str(tmp_path / "idx")
+    st_path = str(tmp_path / "cluster_state")
+
+    day0 = minhash_lsh_pairs(batches[0], **params)
+    connected_components(day0).write.parquet(st_path + "0")
+    build_lsh_band_index(batches[0], **idx_params).write.parquet(idx_path)
+    seen = batches[0]
+    for day in (1, 2):
+        state = spark.read.parquet(st_path + str(day - 1))
+        new_pairs = minhash_lsh_pairs_incremental(
+            batches[day], seen, spark.read.parquet(idx_path), **params
+        )
+        delta = connected_components_incremental(new_pairs, state)
+        merged_cluster_state(state, delta).write.parquet(st_path + str(day))
+        build_lsh_band_index(batches[day], **idx_params).write.mode(
+            "append"
+        ).parquet(idx_path)
+        seen = seen.unionByName(batches[day])
+
+    final = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in spark.read.parquet(st_path + "2").collect()
+    }
+    full = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components(minhash_lsh_pairs(docs, **params)).collect()
+    }
+    assert final == full and len(full) > 0
+
+
 def test_minhash_incremental_equals_restricted_full(spark, documents):
     """Delta dedup contract: incremental pairs over (new batch, old corpus +
     persisted band index) == full-corpus pairs restricted to pairs touching
