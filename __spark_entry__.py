@@ -756,6 +756,28 @@ def q_dedup_lsh_bucket_stats(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The COMPOSED curation contract (datapipe/curation.curate_corpus):
+    quality gate -> MinHash near-dup purge -> deterministic mixture sample,
+    as one operator.  Full SQL oracle: the gated CTE, the pair generation
+    (parametrized over the gated survivors), the recursive closure and the
+    hash-threshold sample compose into a single DuckDB statement — exactly
+    where column/contract drift between stages would surface.  EAGER
+    (embeds the CC fixpoint)."""
+    from literature_to_facts_spark.datapipe.curation import curate_corpus
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    out = curate_corpus(
+        docs,
+        fractions={"en": 0.5, "de": 0.2},
+        default_fraction=0.05,
+        minhash_params=dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5),
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("lang").alias("lang")
+    )
+
+
 def q_sample_hash_fraction(spark, sf_dir):
     """Zero-shuffle deterministic mixture sampling: per-group keep fractions
     via a portable hash filter (datapipe/sampling.sample_fraction_by_group).
@@ -956,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_cc_incremental": q_dedup_clusters_cc_incremental,
         "sample_hash_fraction": q_sample_hash_fraction,
         "sample_stratified_topn": q_sample_stratified_topn,
+        "curation_pipeline": q_curation_pipeline,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
@@ -1003,7 +1026,11 @@ def _minhash_oracle(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    src: str = "documents",
 ) -> str:
+    """``src`` is the table/CTE the pairs are computed over — "documents"
+    for the standalone dedup oracles, the gated-survivors CTE for the
+    composed curation pipeline."""
     rpb = n_hashes // bands
     mins = ",\n                   ".join(
         f"MIN(h1 + {s} * h2) AS m{s}" for s in range(n_hashes)
@@ -1020,7 +1047,7 @@ def _minhash_oracle(
             WITH sh AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,
                      unnest({_duck_shingles(n_gram)}) AS sh
-              FROM documents WHERE text IS NOT NULL
+              FROM {src} WHERE text IS NOT NULL
             ),
             h AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh),
             sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
@@ -1039,7 +1066,7 @@ def _minhash_oracle(
               SELECT mn AS id_a, doc_id AS id_b FROM (
                 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                        MIN(CAST(d.doc_id AS BIGINT)) OVER (PARTITION BY md5(d.text)) AS mn
-                FROM documents d WHERE d.text IS NOT NULL
+                FROM {src} d WHERE d.text IS NOT NULL
               ) WHERE doc_id > mn
             ),
             cands AS (
@@ -1852,6 +1879,29 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_fraction": _sample_fraction_oracle(
             {"en": 0.5, "de": 0.2}, default_fraction=0.05
         ),
+        # the composed curation contract: gate -> purge -> sample in ONE
+        # statement; the pair/closure fragments run over the gated CTE (the
+        # `src="kept"` parametrization), the purge anti-selects
+        # non-representative closure members, and the sample thresholds are
+        # the same round(frac*1e6) integers the engine compiles
+        "curation_pipeline": f"""
+            WITH {_QUALITY_GATED_CTE},
+            kept AS (
+              SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text, d.lang
+              FROM documents d JOIN gated g ON CAST(d.doc_id AS BIGINT) = g.doc_id
+              WHERE g.drop_reason IS NULL
+            )
+            SELECT k.doc_id, k.lang
+            FROM kept k
+            WHERE k.doc_id NOT IN (
+              SELECT doc_id FROM (
+                {_cc_oracle(_minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4, src="kept"))}
+              ) WHERE doc_id != cluster_rep)
+              AND ({_H1.format(x="CAST(k.doc_id AS VARCHAR)")}) % 1000000 <
+                  (CASE WHEN k.lang = 'de' THEN 200000
+                        WHEN k.lang = 'en' THEN 500000
+                        ELSE 50000 END)
+        """,
         "sample_stratified_topn": _sample_topn_oracle(n=7),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=8),

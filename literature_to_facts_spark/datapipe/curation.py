@@ -1,0 +1,74 @@
+"""The composed training-data curation pipeline — the artifact the datapipe
+operators exist for, chained end to end:
+
+    quality gate  ->  near-dup purge (MinHash-LSH pairs -> CC -> keep reps)
+                  ->  deterministic mixture sample
+
+Composition is where contract drift between stages hides (column renames,
+id-type mismatches, a filter applied to the wrong side of the purge), so the
+chain ships as ONE operator with ONE composed DuckDB oracle
+(q: curation_pipeline — the gated-CTE, pair-generation, recursive-closure
+and hash-threshold SQL fragments nested into a single statement).
+
+Plan shape (pinned by tests/test_datapipe.py::test_curation_pipeline_plan):
+the quality gate is pure per-row expressions and FUSES into the scans that
+feed both the pair pipeline and the purge; the mixture-sample hash filter is
+likewise narrow and Catalyst pushes it THROUGH the purge's left-anti join
+onto the scan side — so sampling adds ZERO Exchanges, and at a 10% mixture
+the anti-join shuffles 10x fewer kept-side rows.  The only shuffles in the
+whole chain are the ones pairing + closure inherently need.
+
+Scale note: the gated frame feeds two consumers (pair generation and the
+purge's left side), so its narrow filter expressions run twice — at 100 TB
+that is the right trade (two scan-fused passes) versus materializing a
+mostly-full copy of the corpus between stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from literature_to_facts_spark.datapipe.dedup import (
+    deduplicate_corpus,
+    minhash_lsh_pairs,
+)
+from literature_to_facts_spark.datapipe.sampling import sample_fraction_by_group
+from literature_to_facts_spark.datapipe.textstats import quality_filter
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    fractions: dict | None = None,
+    default_fraction: float = 0.0,
+    quality_params: dict | None = None,
+    minhash_params: dict | None = None,
+    max_iters: int = 25,
+) -> DataFrame:
+    """quality_filter(keep) -> minhash_lsh_pairs -> deduplicate_corpus ->
+    sample_fraction_by_group, with every stage's parameters passed through.
+
+    ``fractions=None`` skips the sampling stage (gate + purge only).
+    EAGER (the purge embeds the connected-components fixpoint).  Returns
+    the surviving rows with the input's columns.
+    """
+    quality_params = quality_params or {}
+    minhash_params = minhash_params or {}
+    gated = quality_filter(docs, text_col=text_col, **quality_params)
+    kept = gated.where(F.col("keep")).select(*docs.columns)
+    pairs = minhash_lsh_pairs(
+        kept, id_col=id_col, text_col=text_col, **minhash_params
+    )
+    purged = deduplicate_corpus(kept, pairs, id_col=id_col, max_iters=max_iters)
+    if fractions is None:
+        return purged
+    return sample_fraction_by_group(
+        purged,
+        fractions,
+        group_col=group_col,
+        id_col=id_col,
+        default_fraction=default_fraction,
+    )

@@ -958,6 +958,45 @@ def test_minhash_incremental_daily_loop_bucketed(spark, documents, tmp_path):
         spark.catalog.clearCache()
 
 
+def test_curation_pipeline_plan_and_containment(spark, documents):
+    """The composed gate->purge->sample chain: sampling adds ZERO Exchanges
+    (its hash filter pushes through the purge's left-anti join onto the
+    scan side, next to the fused quality gate), and the stage outputs nest:
+    sampled ⊆ purged ⊆ gated ⊆ docs, deterministically."""
+    from literature_to_facts_spark.datapipe.curation import curate_corpus
+    from literature_to_facts_spark.datapipe.textstats import quality_filter
+
+    mh = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5)
+    purged = curate_corpus(documents, fractions=None, minhash_params=mh)
+    sampled = curate_corpus(
+        documents, fractions={"en": 0.5, "de": 0.2}, default_fraction=0.05,
+        minhash_params=mh,
+    )
+    plan_p = purged._jdf.queryExecution().executedPlan().toString()
+    plan_s = sampled._jdf.queryExecution().executedPlan().toString()
+    n_p = plan_p.count("Exchange hashpartitioning")
+    n_s = plan_s.count("Exchange hashpartitioning")
+    assert n_s == n_p, f"sampling must add no shuffle: {n_p} -> {n_s}"
+    # the sample's hash-threshold predicate sits in the plan as a pushed
+    # filter (the md5-derived bucket), not above the join output only
+    assert "conv(substr(md5" in plan_s
+    p_ids = {r["doc_id"] for r in purged.collect()}
+    s_ids = {r["doc_id"] for r in sampled.collect()}
+    g_ids = {
+        r["doc_id"]
+        for r in quality_filter(documents).where(F.col("keep")).collect()
+    }
+    assert s_ids < p_ids <= g_ids and len(s_ids) > 0
+    # deterministic: re-running the chain keeps exactly the same rows
+    assert {
+        r["doc_id"]
+        for r in curate_corpus(
+            documents, fractions={"en": 0.5, "de": 0.2}, default_fraction=0.05,
+            minhash_params=mh,
+        ).collect()
+    } == s_ids
+
+
 def test_sampling_deterministic_nested_and_exact(spark, documents):
     """Hash-fraction sampling: zero-shuffle plan, deterministic, and samples
     NEST across fractions (the 10% set contains the 5% set); top-n sampling:
