@@ -556,6 +556,20 @@ def write_baseline_md(result: dict) -> None:
         "recompute them rather than reporting a cache-hit as warm; round-3 "
         "warm numbers for those queries included the cache hit).",
         "",
+        "One-shot attribution (round 5, scripts/profile_minhash_oneshot.py, "
+        "JVM-metric instrumented in bench session order): of the "
+        "dedup_minhash_lsh one-shot-minus-warm gap (~1.9-2.3 s depending on "
+        "epoch), Janino generated-class compilation is 0.2-0.3 s (35 "
+        "classes); the remainder is ~1,400-1,700 first-touch JVM class "
+        "loads plus ~10-12 s of HotSpot JIT compiler CPU competing with the "
+        "32 worker threads — per-SESSION fixed costs that amortize to zero "
+        "at deployment (paid once per executor JVM, not per query) and that "
+        "no plan change removes.  Measured one-shots straddle the 4 s bar "
+        "by epoch (3.99 s and 4.68 s in back-to-back profiled runs, "
+        "identical plans); the warm floor (~1.6 s exec) is task-scheduling "
+        "bound: sf0.1 documents is 5,000 rows / ~1.5 MB over 64 shuffle "
+        "partitions x ~8 stages.",
+        "",
         "| query | one-shot sec | warm sec |",
         "|---|---|---|",
     ]

@@ -89,6 +89,7 @@ def exact_duplicate_clusters_incremental(
     old_index: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact-dup clusters of ``old ∪ new`` restricted to clusters containing
     at least one NEW document (the rest were already known) — the delta mode
@@ -96,24 +97,56 @@ def exact_duplicate_clusters_incremental(
     contract (a batch of fresh unique docs emits NO rows; without the filter
     every unique new doc would masquerade as a singleton 'duplicate
     cluster').  Never touches historical text: only the persisted
-    (doc_id, text_hash) index.  One hash-groupBy.
+    (doc_id, text_hash) index.
+
+    PROBE-shaped (round 5): the batch's hashes broadcast-semi-join-filter
+    the index at its scan, so only historical rows whose hash the batch
+    contains go anywhere — one filtered pass over the history, zero shuffle
+    of it (and zero Exchange on the touched-hash aggregation when the index
+    is a ``write_bucketed("text_hash")`` catalog table).  The round-4 form
+    unioned the whole index and re-grouped — an O(history) Exchange per
+    batch.
 
     Schema parity with full mode: ``members`` lists ALL cluster member ids
     (historical ids come from the index, no text access), so consumers can
     switch between the full and delta functions without a column mismatch."""
-    banded = build_exact_hash_index(new_docs, id_col, text_col).withColumn(
-        "is_new", F.lit(1)
-    ).unionByName(old_index.withColumn("is_new", F.lit(0)))
-    return (
-        banded.groupBy("text_hash")
-        .agg(
-            F.count(F.lit(1)).alias("cluster_size"),
-            F.min("doc_id").alias("canonical_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-            F.max("is_new").alias("_any_new"),
+    new_agg = (
+        build_exact_hash_index(new_docs, id_col, text_col)
+        .groupBy("text_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_new_members"))
+        .persist()
+    )
+    old_agg = (
+        old_index.join(
+            F.broadcast(new_agg.select("text_hash")), on="text_hash", how="left_semi"
         )
-        .where((F.col("_any_new") == 1) & (F.col("cluster_size") >= 2))
-        .drop("_any_new")
+        .groupBy("text_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_old_members"))
+    )
+    # matched hashes stream the (distributed) old aggregate past a
+    # broadcast of the new one (a broadcast side cannot be outer-preserved,
+    # so new-only hashes come from a scalar-keys anti join), exactly the
+    # minhash/simhash probe shape
+    matched = (
+        old_agg.join(F.broadcast(new_agg), on="text_hash", how="inner").persist()
+    )
+    miss = new_agg.join(
+        F.broadcast(matched.select("text_hash")), on="text_hash", how="left_anti"
+    ).withColumn("_old_members", F.expr("slice(_new_members, 1, 0)"))
+    if cache_registry is not None:
+        cache_registry.extend([new_agg, matched])
+    cols = ["text_hash", "_new_members", "_old_members"]
+    return (
+        matched.select(*cols)
+        .unionByName(miss.select(*cols))
+        .select(
+            "text_hash",
+            (F.size("_old_members") + F.size("_new_members")).alias("cluster_size"),
+            F.sort_array(F.concat("_old_members", "_new_members")).alias("members"),
+        )
+        .withColumn("canonical_id", F.col("members")[0])
+        .where(F.col("cluster_size") >= 2)
+        .select("text_hash", "cluster_size", "canonical_id", "members")
     )
 
 
@@ -722,6 +755,7 @@ def simhash_near_dups_incremental(
     text_col: str = "text",
     max_hamming: int = 8,
     max_bucket: int = 1000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Delta SimHash dedup: ``simhash_near_dups(old ∪ new)`` restricted to
     pairs touching a new document — same contract as
@@ -729,6 +763,15 @@ def simhash_near_dups_incremental(
     hamming distances come straight from the indexed fingerprints, so the
     historical corpus text is never touched (``old_docs`` is only needed
     when ``old_index`` is None and the index must be built on the fly).
+
+    PROBE-shaped like the MinHash delta (round 5): the batch's bucket keys
+    broadcast-semi-join-filter the persisted fingerprint index at its scan
+    — one filtered pass over the history per batch, zero shuffle of it
+    (and zero Exchange on the touched-bucket aggregation when the index is
+    a ``write_bucketed(key)`` catalog table).  Old-member fingerprint
+    arrays stream past a broadcast of the new aggregate, never the other
+    way around.  ``cache_registry`` collects the internal ``persist()``
+    handles (two-consumer frames) for the caller to release per batch.
 
     The bucket cap applies to the TOTAL old+new bucket population, exactly
     as the full-mode job would see it.  New ids must be disjoint from old
@@ -738,25 +781,40 @@ def simhash_near_dups_incremental(
             raise ValueError("pass old_index (preferred) or old_docs")
         old_index = build_simhash_band_index(old_docs, id_col, text_col)
     new_index = build_simhash_band_index(new_docs, id_col, text_col)
-    banded = new_index.withColumn("is_new", F.lit(1)).unionByName(
-        old_index.withColumn("is_new", F.lit(0))
-    )
-    buckets = (
-        banded.groupBy("band", "key")
+    newagg = (
+        new_index.groupBy("band", "key")
         .agg(
             F.sort_array(
-                F.collect_set(
-                    F.struct(F.col("doc_id"), F.col("simhash"), F.col("is_new"))
-                )
-            ).alias("members")
+                F.collect_set(F.struct(F.col("doc_id"), F.col("simhash")))
+            ).alias("new_m")
         )
-        .withColumn("new_m", F.expr("filter(members, m -> m.is_new = 1)"))
+        .persist()
+    )
+    touched_old = old_index.join(
+        F.broadcast(newagg.select("band", "key")), on=["band", "key"], how="left_semi"
+    )
+    old_arrays = touched_old.groupBy("band", "key").agg(
+        F.sort_array(
+            F.collect_set(F.struct(F.col("doc_id"), F.col("simhash")))
+        ).alias("old_m")
+    )
+    matched = (
+        old_arrays.join(F.broadcast(newagg), on=["band", "key"], how="inner").persist()
+    )
+    miss = newagg.join(
+        F.broadcast(matched.select("band", "key")), on=["band", "key"], how="left_anti"
+    ).withColumn("old_m", F.expr("slice(new_m, 1, 0)"))  # empty, fp-typed
+    cols = ["band", "key", "new_m", "old_m"]
+    buckets = (
+        matched.select(*cols)
+        .unionByName(miss.select(*cols))
         .where(
-            (F.size("members") >= 2)
-            & (F.size("new_m") >= 1)
-            & (F.size("members") <= max_bucket)
+            (F.size("new_m") + F.size("old_m") >= 2)
+            & (F.size("new_m") + F.size("old_m") <= max_bucket)
         )
     )
+    if cache_registry is not None:
+        cache_registry.extend([newagg, matched])
     pair_expr = """
         concat(
           flatten(transform(new_m, a ->
@@ -764,7 +822,7 @@ def simhash_near_dups_incremental(
               'id_a', a.doc_id, 'id_b', b.doc_id,
               'hamming', bit_count(a.simhash ^ b.simhash))))),
           flatten(transform(new_m, a ->
-            transform(filter(members, m -> m.is_new = 0), b -> named_struct(
+            transform(old_m, b -> named_struct(
               'id_a', least(a.doc_id, b.doc_id), 'id_b', greatest(a.doc_id, b.doc_id),
               'hamming', bit_count(a.simhash ^ b.simhash)))))
         )

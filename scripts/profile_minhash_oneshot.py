@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Attribute the dedup_minhash_lsh ONE-SHOT latency (the round-3 <= 4 s bar)
+to its actual components, reproducing the bench session exactly: same
+warmup, same 10 preceding headline queries, same clearCache-separated warm
+run.  Metrics read from the JVM itself:
+
+* Janino time/count  — org.apache.spark.metrics.source.CodegenMetrics
+  (generated-class compilation: the thing a smaller generated aggregate
+  would reduce);
+* loaded classes     — ClassLoadingMXBean (framework first-touch);
+* JIT time           — CompilationMXBean (HotSpot compiler CPU, which
+  competes with the 32 worker threads on this shared VM).
+
+Round-5 measurement on this VM (sf0.1, local[32], bench order):
+
+    one-shot 4.68 s:  Janino 315 ms / 35 classes,
+                      1,690 JVM classes first-loaded,
+                      19.5 s JIT compiler CPU
+    warm     2.35 s:  Janino 108 ms / 6 classes,
+                      45 classes, 7.7 s JIT CPU
+
+i.e. of the ~2.3 s one-shot-minus-warm gap, generated-code compilation
+(the part plan shape controls) is ~0.3 s; the rest is first-touch class
+loading + HotSpot JIT of framework paths the query exercises first —
+per-SESSION fixed costs that amortize to zero at deployment (a 100 TB run
+pays them once per executor JVM, not per query) and that no plan-level
+change removes (the simhash lane-packing cut its share because that
+operator's cost WAS 64 codegen'd aggregates; minhash's 16 MIN aggregates
+compile in ~0.1 s).  The warm floor (~1.6 s exec) is task-scheduling bound:
+sf0.1 documents is 5,000 rows / ~1.5 MB of text spread over 64 shuffle
+partitions x ~8 stages.
+
+Usage: python scripts/profile_minhash_oneshot.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BENCH_PREFIX = [
+    "kg_mention_detection", "kg_entity_link", "kg_canonicalize_salted",
+    "kg_dict_view", "kg_valuable_filter", "sessionize_window",
+    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_local_supplier",
+    "dedup_exact",
+]
+
+
+def main() -> None:
+    from literature_to_facts_spark.config import get_spark
+    import __spark_entry__ as em
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="profile-minhash", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    jvm = spark._jvm
+
+    def snap() -> dict:
+        mf = jvm.java.lang.management.ManagementFactory
+        cls = jvm.java.lang.Class.forName(
+            "org.apache.spark.metrics.source.CodegenMetrics$"
+        )
+        mod = cls.getField("MODULE$").get(None)
+        return {
+            "loaded_classes": mf.getClassLoadingMXBean().getTotalLoadedClassCount(),
+            "jit_ms": mf.getCompilationMXBean().getTotalCompilationTime(),
+            "janino_ms": sum(mod.METRIC_COMPILATION_TIME().getSnapshot().getValues()),
+            "janino_classes": mod.METRIC_COMPILATION_TIME().getCount(),
+        }
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        em.queries()[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    # bench-identical session shape
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    em.queries()["tpch_q1_pricing"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for name in BENCH_PREFIX:
+        run(name)
+
+    s0 = snap()
+    t_one = run("dedup_minhash_lsh")
+    s1 = snap()
+    spark.catalog.clearCache()
+    t_warm = run("dedup_minhash_lsh")
+    s2 = snap()
+    d1 = {k: s1[k] - s0[k] for k in s0}
+    d2 = {k: s2[k] - s1[k] for k in s0}
+    print(f"one-shot {t_one:.3f}s  {d1}")
+    print(f"warm     {t_warm:.3f}s  {d2}")
+    print(
+        "gap attribution: janino "
+        f"{(d1['janino_ms'] - d2['janino_ms']) / 1000:.2f}s of "
+        f"{t_one - t_warm:.2f}s; remainder = class loading "
+        f"({d1['loaded_classes']} classes) + JIT CPU "
+        f"({(d1['jit_ms'] - d2['jit_ms']) / 1000:.1f}s across compiler threads)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
