@@ -1055,7 +1055,100 @@ def merged_cluster_state(
     """The persisted-state update for :func:`connected_components_incremental`:
     rows of touched components are replaced wholesale by the delta labels,
     untouched rows pass through — one broadcast-able left-anti join (the
-    delta is batch-bounded), no shuffle of the state."""
+    delta is batch-bounded), no shuffle of the state.  Writing the result
+    rewrites the WHOLE state; for an in-place update that rewrites only the
+    touched partitions of a 100 TB state table, use
+    :func:`write_cluster_state` + :func:`update_cluster_state_partitioned`."""
     return cluster_state.join(
         F.broadcast(delta_labels.select("doc_id")), on="doc_id", how="left_anti"
     ).unionByName(delta_labels.select("doc_id", "cluster_rep"))
+
+
+def _pb_expr(n_partitions: int):
+    """Partition bucket of a cluster-state row: portable md5-derived hash of
+    the REPRESENTATIVE, so a whole component lives in one partition."""
+    return F.expr(
+        f"pmod({_h52('cast(cluster_rep as string)')}, {n_partitions})"
+    )
+
+
+def write_cluster_state(
+    cluster_state: DataFrame, path: str, n_partitions: int = 256
+) -> None:
+    """Initialize the partitioned cluster-state table: (doc_id, cluster_rep)
+    directory-partitioned by ``_pb = h52(cluster_rep) % n_partitions`` —
+    components are co-located by representative, so a delta update touches
+    exactly the partitions of the components it merges."""
+    cluster_state.select("doc_id", "cluster_rep").withColumn(
+        "_pb", _pb_expr(n_partitions)
+    ).write.mode("overwrite").partitionBy("_pb").parquet(path)
+
+
+def update_cluster_state_partitioned(
+    spark,
+    path: str,
+    delta_labels: DataFrame,
+    n_partitions: int = 256,
+) -> None:
+    """Apply a :func:`connected_components_incremental` delta to the
+    partitioned state IN PLACE, rewriting ONLY the partitions that hold
+    touched rows — the write-side counterpart of the probe-side reads: at
+    100 TB state a daily batch rewrites a handful of partition directories,
+    not the corpus-sized map.
+
+    Affected partitions = where touched docs' rows CURRENTLY live (their
+    old representatives' buckets — a merged component's stale rows must be
+    purged even when its new representative hashes elsewhere) ∪ where the
+    delta rows land.  Their new contents = (old rows of those partitions
+    minus touched docs) ∪ delta; the write uses dynamic partition overwrite
+    so untouched directories are never rewritten.  ``n_partitions`` must
+    match :func:`write_cluster_state`.
+
+    Crash-safe under replay: the contents are a deterministic function of
+    (pre-batch state, delta), re-applying the same delta is a no-op
+    rewrite, and a half-written previous attempt self-heals — partitions
+    already rewritten hold post-batch labels (re-deriving the same rows),
+    partitions not yet rewritten still hold the stale representatives that
+    route them into the affected set.
+    """
+    state = spark.read.parquet(path)
+    touched = delta_labels.select("doc_id")
+    old_pb = (
+        state.join(F.broadcast(touched), on="doc_id", how="left_semi")
+        .select("_pb")
+        .distinct()
+    )
+    new_pb = delta_labels.select(_pb_expr(n_partitions).alias("_pb")).distinct()
+    pbs = [r["_pb"] for r in old_pb.unionByName(new_pb).distinct().collect()]
+    if not pbs:
+        return
+    keep = (
+        state.where(F.col("_pb").isin(pbs))
+        .join(F.broadcast(touched), on="doc_id", how="left_anti")
+        .select("doc_id", "cluster_rep", "_pb")
+    )
+    out = keep.unionByName(
+        delta_labels.select("doc_id", "cluster_rep").withColumn(
+            "_pb", _pb_expr(n_partitions)
+        )
+    )
+    # materialize before writing: the plan reads the same path it
+    # overwrites (Spark rejects self-overwrite while the scan is live);
+    # the affected-partition contents are batch-bounded
+    cp = out.localCheckpoint()
+    cp.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_pb").parquet(path)
+    # dynamic overwrite only rewrites partitions PRESENT in the written
+    # data — an affected partition whose new content is EMPTY (every row
+    # moved to the merged component's new bucket) receives nothing and
+    # would keep its stale files; delete those directories explicitly.
+    # Crash between write and delete self-heals on replay: the stale rows
+    # still route their partition into the affected set.
+    pbs_with_rows = {r["_pb"] for r in cp.select("_pb").distinct().collect()}
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for p in pbs:
+        if p not in pbs_with_rows:
+            hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_pb={p}")
+            hpath.getFileSystem(hconf).delete(hpath, True)

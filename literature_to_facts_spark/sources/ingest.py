@@ -49,7 +49,11 @@ def gcn_urls_for_range(from_gcn: int, to_gcn: int) -> list[str]:
 def gcn_range_filter(url: Column, from_gcn: int, to_gcn: int) -> Column:
     """Query-side equivalent of the id-range source: a pushable predicate
     over the documents table (``id BETWEEN`` on the url-embedded id)."""
-    gcn_id = F.regexp_extract(url, r"gcn3/(\d+)\.gcn3", 1).cast("long")
+    # try_cast, not cast: regexp_extract yields '' for non-GCN urls and
+    # Spark 4 ANSI mode makes ''::long a runtime error — conjunct order is
+    # NOT guaranteed, so the startswith guard may not short-circuit (it
+    # didn't under the uncached-plan shape; NULL from try_cast filters out)
+    gcn_id = F.regexp_extract(url, r"gcn3/(\d+)\.gcn3", 1).try_cast("long")
     return url.startswith(GCN_URL_PREFIX) & (gcn_id >= from_gcn) & (gcn_id < to_gcn)
 
 

@@ -84,12 +84,27 @@ def make_delta_dedup_batch_fn(
     bands: int = 8,
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    maintain_clusters: bool = False,
+    cluster_partitions: int = 64,
 ):
     """The ``foreachBatch`` function.  Kept separate from the writeStream
-    wiring so batch jobs (or tests) can drive it directly."""
+    wiring so batch jobs (or tests) can drive it directly.
+
+    ``maintain_clusters=True`` additionally folds each batch's pairs into a
+    partitioned cluster-state table at ``<state_dir>/clusters`` via the
+    incremental closure (``connected_components_incremental`` +
+    ``update_cluster_state_partitioned``) — the state always equals the
+    full-corpus connected components over every pair emitted so far, at
+    per-batch cost.  Unlike the three ``_batch=``-keyed stores, the cluster
+    state is updated in place; replay safety comes from determinism instead
+    of keying: re-applying a batch's pairs to a state that already absorbed
+    them is a closure no-op, and a half-written update self-heals because
+    stale representatives still route their partitions into the affected
+    set (see ``update_cluster_state_partitioned``)."""
     pairs_root = os.path.join(state_dir, "pairs")
     index_root = os.path.join(state_dir, "band_index")
     docs_root = os.path.join(state_dir, "docs")
+    clusters_root = os.path.join(state_dir, "clusters")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -128,6 +143,46 @@ def make_delta_dedup_batch_fn(
             # micro-batch for the life of the query
             for df in cached:
                 df.unpersist()
+        if maintain_clusters:
+            from literature_to_facts_spark.datapipe.dedup import (
+                connected_components,
+                connected_components_incremental,
+                update_cluster_state_partitioned,
+                write_cluster_state,
+            )
+
+            # read the just-written batch pairs back instead of re-running
+            # the (lazy) pair pipeline a second time
+            batch_pairs = spark.read.parquet(
+                os.path.join(pairs_root, f"_batch={batch_id}")
+            )
+            try:
+                cur = spark.read.parquet(clusters_root).select(
+                    "doc_id", "cluster_rep"
+                )
+                cur.schema  # force resolution inside the try
+                have_state = True
+            except AnalysisException as e:
+                cond = getattr(
+                    e, "getCondition", getattr(e, "getErrorClass", lambda: "")
+                )()
+                if (cond or "").startswith("PATH_NOT_FOUND") or (
+                    "PATH_NOT_FOUND" in str(e)
+                ):
+                    have_state = False
+                else:
+                    raise
+            if have_state:
+                delta = connected_components_incremental(batch_pairs, cur)
+                update_cluster_state_partitioned(
+                    spark, clusters_root, delta, cluster_partitions
+                )
+            else:
+                cc = connected_components(batch_pairs)
+                # an empty parquet dir cannot be re-read (no schema): only
+                # create the state once there is at least one clustered row
+                if cc.count() > 0:
+                    write_cluster_state(cc, clusters_root, cluster_partitions)
 
     return process
 

@@ -517,6 +517,80 @@ def test_cc_incremental_daily_loop(spark, documents, tmp_path):
     assert final == full and len(full) > 0
 
 
+def test_cluster_state_partitioned_update(spark, tmp_path):
+    """In-place partitioned state maintenance: a delta rewrites ONLY the
+    partitions holding touched rows (untouched partition files byte-stable),
+    purges stale rows of merged components even when the surviving
+    representative hashes into a different partition, and after two batches
+    the state equals the full closure."""
+    import os
+
+    from literature_to_facts_spark.datapipe.dedup import (
+        connected_components,
+        connected_components_incremental,
+        update_cluster_state_partitioned,
+        write_cluster_state,
+    )
+
+    path = str(tmp_path / "cstate")
+    n_pb = 8
+    old_pairs = spark.createDataFrame(
+        [(100, 101), (200, 201), (300, 301)], "id_a long, id_b long"
+    )
+    state0 = connected_components(old_pairs)
+    write_cluster_state(state0, path, n_partitions=n_pb)
+
+    def listing():
+        out = {}
+        for d in sorted(os.listdir(path)):
+            if d.startswith("_pb="):
+                full = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = listing()
+    # merge {200,201} with {300,301} (rep moves 300 -> 200, possibly across
+    # partitions) and add a fresh component; {100,101} stays untouched
+    new_pairs = spark.createDataFrame(
+        [(201, 300), (400, 401)], "id_a long, id_b long"
+    )
+    delta = connected_components_incremental(
+        new_pairs, spark.read.parquet(path).select("doc_id", "cluster_rep")
+    )
+    update_cluster_state_partitioned(spark, path, delta, n_partitions=n_pb)
+    after = listing()
+
+    got = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in spark.read.parquet(path).select("doc_id", "cluster_rep").collect()
+    }
+    full = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components(old_pairs.unionByName(new_pairs)).collect()
+    }
+    assert got == full
+    # the partition holding the untouched component {100,101} is byte-stable
+    untouched_pb = [
+        r["_pb"]
+        for r in spark.read.parquet(path).where(F.col("doc_id") == 100).collect()
+    ][0]
+    assert before[f"_pb={untouched_pb}"] == after[f"_pb={untouched_pb}"]
+    # and at least one partition changed
+    assert before != after
+
+    # replay idempotence: re-applying the same delta leaves the state equal
+    update_cluster_state_partitioned(spark, path, delta, n_partitions=n_pb)
+    again = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in spark.read.parquet(path).select("doc_id", "cluster_rep").collect()
+    }
+    assert again == full
+
+
 def test_minhash_incremental_equals_restricted_full(spark, documents):
     """Delta dedup contract: incremental pairs over (new batch, old corpus +
     persisted band index) == full-corpus pairs restricted to pairs touching
@@ -905,8 +979,11 @@ def test_minhash_incremental_bucketed_history_no_exchange(spark, documents, tmp_
         got_r = {(r["id_a"], r["id_b"], r["jaccard"]) for r in raw.collect()}
         assert got_b == got_r and len(got_b) > 0
     finally:
+        # targeted cleanup only: clearCache() would also unpersist the
+        # session-scoped cached fixtures (docs_df/documents), changing
+        # later tests' plans (which exposed the gcn_range_filter ANSI-cast
+        # bug, since fixed with try_cast)
         spark.sql("DROP TABLE IF EXISTS t_lsh_idx")
-        spark.catalog.clearCache()
 
 
 def test_minhash_incremental_daily_loop_bucketed(spark, documents, tmp_path):
@@ -955,7 +1032,6 @@ def test_minhash_incremental_daily_loop_bucketed(spark, documents, tmp_path):
         assert len(full) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_lsh_daily")
-        spark.catalog.clearCache()
 
 
 def test_curation_pipeline_plan_and_containment(spark, documents):

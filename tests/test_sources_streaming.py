@@ -374,6 +374,9 @@ def test_streaming_delta_dedup_exactly_once(spark, tmp_path):
             src / f"part{i}.parquet"
         )
     params = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5)
+    stream_params = dict(
+        params, maintain_clusters=True, cluster_partitions=8
+    )
     state = str(tmp_path / "state")
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -381,7 +384,7 @@ def test_streaming_delta_dedup_exactly_once(spark, tmp_path):
         .parquet(str(src))
     )
     q = stream_near_dup_pairs(
-        stream, state, checkpoint=str(tmp_path / "ckpt"), **params
+        stream, state, checkpoint=str(tmp_path / "ckpt"), **stream_params
     )
     q.awaitTermination(300)
 
@@ -401,10 +404,37 @@ def test_streaming_delta_dedup_exactly_once(spark, tmp_path):
         int(r["_batch"])
         for r in spark.read.parquet(f"{state}/pairs").select("_batch").distinct().collect()
     )
+    # in-stream cluster-state maintenance: the partitioned state equals the
+    # full-corpus connected components over all pairs emitted so far
+    from literature_to_facts_spark.datapipe.dedup import connected_components
+
+    cc_full = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components(
+            spark.read.parquet(f"{state}/pairs").select("id_a", "id_b")
+        ).collect()
+    }
+    cc_state = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in spark.read.parquet(f"{state}/clusters")
+        .select("doc_id", "cluster_rep")
+        .collect()
+    }
+    assert cc_state == cc_full and len(cc_full) > 0
+
     replay_df = spark.read.parquet(str(src / f"part{last_batch}.parquet"))
-    make_delta_dedup_batch_fn(state, **params)(replay_df, last_batch)
+    make_delta_dedup_batch_fn(state, **stream_params)(replay_df, last_batch)
     again = sorted(
         (r["id_a"], r["id_b"], r["jaccard"])
         for r in spark.read.parquet(f"{state}/pairs").drop("_batch").collect()
     )
     assert again == full
+    # replaying the batch re-applies its pairs to a state that already
+    # absorbed them: a closure no-op
+    cc_again = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in spark.read.parquet(f"{state}/clusters")
+        .select("doc_id", "cluster_rep")
+        .collect()
+    }
+    assert cc_again == cc_full
