@@ -29,6 +29,15 @@ partition), and has no cache dependency.
                 hot shingles (document frequency > cap) excluded
 * connected components: pairs -> clusters (min-label propagation + pointer
                 jumping, O(log diameter) iterations)
+
+Every family also ships its DELTA mode over a persisted index (``*_
+incremental`` + ``build_*_index``), all PROBE-shaped since round 5: the
+batch's keys broadcast-semi-join-filter the history index at its scan — one
+filtered pass per batch, zero shuffle of the history (zero Exchange over a
+``storage.write_bucketed`` catalog table) — and the closure itself is
+incremental too (``connected_components_incremental`` folds new pairs into
+a persisted cluster map; ``update_cluster_state_partitioned`` rewrites only
+the touched partitions of that map in place).
 """
 
 from __future__ import annotations
