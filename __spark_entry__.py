@@ -1854,9 +1854,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_incremental": """
             WITH corpus AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              WHERE text IS NOT NULL
               UNION ALL
               SELECT CAST(doc_id AS BIGINT) + 1000000, text FROM documents
-              WHERE doc_id % 7 = 0
+              WHERE doc_id % 7 = 0 AND text IS NOT NULL
             )
             SELECT md5(text) AS text_hash,
                    CAST(COUNT(*) AS BIGINT) AS cluster_size,

@@ -70,9 +70,15 @@ def exact_duplicate_clusters(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Clusters of byte-identical texts (size >= 2), smallest id is the
-    canonical representative."""
+    canonical representative.
+
+    NULL-text docs join no cluster: md5(NULL) is NULL and groupBy treats
+    NULLs as equal, so contentless documents would otherwise collapse into
+    one spurious "duplicate" cluster — the same exclusion
+    :func:`build_lsh_band_index` applies for the same reason."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
         .groupBy("text_hash")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
@@ -87,8 +93,15 @@ def build_exact_hash_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, text_hash): the persisted state of incremental exact dedup —
-    append each new batch's rows after pairing it."""
-    return docs.select(
+    append each new batch's rows after pairing it.
+
+    NULL-text docs are excluded (same contract as
+    :func:`exact_duplicate_clusters`); beyond the spurious-cluster problem,
+    a NULL hash silently breaks the probe in the delta mode — NULL join
+    keys never match a semi/inner join, so historical NULL-hash members
+    would drop out of the emitted cluster while the new batch's NULL rows
+    survive via the anti branch (wrong size, wrong canonical id)."""
+    return docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash")
     )
 

@@ -138,11 +138,12 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fp_rolling values — re-fingerprint or pin the old expression when
     comparing against pre-round-5 outputs).
     """
+    from literature_to_facts_spark.datapipe.dedup import _h52
+
     norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
-    h52 = "cast(conv(substr(md5(t), 1, 13), 16, 10) as bigint)"
     rolling = (
         f"aggregate({_tokens(text_col)}, 0L,"
-        f" (acc, t) -> (31 * acc + {h52}) % 4503599627370496)"
+        f" (acc, t) -> (31 * acc + {_h52('t')}) % 4503599627370496)"
     )
     return docs.withColumn("fp_md5", F.md5(F.expr(norm))).withColumn(
         "fp_rolling", F.expr(rolling)

@@ -51,25 +51,41 @@ from literature_to_facts_spark.datapipe.dedup import (
 )
 
 
+def _is_missing_state(e: AnalysisException) -> bool:
+    """True iff the read failure means "nothing committed here yet":
+
+    * ``PATH_NOT_FOUND`` — the directory does not exist (first batch);
+    * ``UNABLE_TO_INFER_SCHEMA`` — the directory exists but holds no
+      readable parquet footers, i.e. a crash left only an uncommitted
+      ``_temporary`` dir behind.  A committed parquet write always leaves
+      footers, so this state is equivalent to "no state"; re-raising it
+      would turn a first-batch crash into a permanent replay crash-loop.
+
+    Everything else (permissions, FS listing errors, corrupt committed
+    files) is NOT missing state and must propagate to fail the batch —
+    swallowing those would silently downgrade the batch to standalone
+    full-mode pairing, permanently losing its new×old pairs: the
+    overwritten ``_batch`` pairs dir would look committed, so a replay
+    never repairs it."""
+    cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: ""))()
+    for marker in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        if (cond or "").startswith(marker) or marker in str(e):
+            return True
+    return False
+
+
 def _read_state(spark, root: str, before_batch: int) -> DataFrame | None:
     """All `_batch=*` partitions of ``root`` strictly before ``before_batch``
-    (None when no state exists yet).  basePath keeps `_batch` visible as a
-    partition column so the < filter prunes directories at planning time.
-
-    Only the missing-path case means "no state yet" — every other read
-    failure (permissions, FS listing errors, a corrupt dir) PROPAGATES and
-    fails the batch.  Swallowing those would silently downgrade the batch to
-    standalone full-mode pairing, permanently losing its new×old pairs: the
-    overwritten ``_batch`` pairs dir would look committed, so a replay never
-    repairs it."""
+    (None when no state exists yet — see :func:`_is_missing_state`).
+    basePath keeps `_batch` visible as a partition column so the < filter
+    prunes directories at planning time."""
     try:
         df = (
             spark.read.option("basePath", root)
             .parquet(os.path.join(root, "_batch=*"))
         )
     except AnalysisException as e:
-        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: ""))()
-        if (cond or "").startswith("PATH_NOT_FOUND") or "PATH_NOT_FOUND" in str(e):
+        if _is_missing_state(e):
             return None
         raise
     return df.where(F.col("_batch") < before_batch).drop("_batch")
@@ -163,12 +179,7 @@ def make_delta_dedup_batch_fn(
                 cur.schema  # force resolution inside the try
                 have_state = True
             except AnalysisException as e:
-                cond = getattr(
-                    e, "getCondition", getattr(e, "getErrorClass", lambda: "")
-                )()
-                if (cond or "").startswith("PATH_NOT_FOUND") or (
-                    "PATH_NOT_FOUND" in str(e)
-                ):
+                if _is_missing_state(e):
                     have_state = False
                 else:
                     raise

@@ -56,6 +56,10 @@ def main() -> int:
     queries, oracles = em.queries(), em.oracle_sql()
     only = [s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s]
     if only:
+        unknown = [n for n in only if n not in queries]
+        if unknown:  # a typo must not make the gate vacuously pass
+            print(f"unknown query name(s) in SPARK_GRAFT_ONLY: {unknown}")
+            return 1
         queries = {k: v for k, v in queries.items() if k in only}
     n_fail = 0
     for name in sorted(queries):

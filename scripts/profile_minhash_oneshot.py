@@ -71,6 +71,10 @@ def main() -> None:
         return {
             "loaded_classes": mf.getClassLoadingMXBean().getTotalLoadedClassCount(),
             "jit_ms": mf.getCompilationMXBean().getTotalCompilationTime(),
+            # getCount() deltas are exact; the time sum reads a Dropwizard
+            # snapshot RESERVOIR (default 1028 entries, exponentially
+            # decaying), so treat janino_ms deltas as approximate once the
+            # session has pushed more samples than the reservoir holds
             "janino_ms": sum(mod.METRIC_COMPILATION_TIME().getSnapshot().getValues()),
             "janino_classes": mod.METRIC_COMPILATION_TIME().getCount(),
         }

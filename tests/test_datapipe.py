@@ -412,6 +412,36 @@ def test_connected_components_raises_on_non_convergence(spark):
         connected_components(chain, max_iters=2)
 
 
+def test_exact_dedup_null_text_excluded(spark):
+    """NULL-text docs join no exact-dup cluster, in BOTH modes: grouping
+    NULLs would fabricate a 'duplicate' cluster of contentless docs, and in
+    the probe-shaped delta a NULL join key silently drops historical
+    members (NULL never matches a semi/inner join) while new NULL rows
+    survive the anti branch — wrong size, wrong canonical id (round-5
+    review repro)."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_exact_hash_index,
+        exact_duplicate_clusters,
+        exact_duplicate_clusters_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (5, None), (10, None), (2, "same"), (7, "same")],
+        "doc_id long, text string",
+    )
+    full = exact_duplicate_clusters(docs).collect()
+    assert [(r["cluster_size"], r["canonical_id"], list(r["members"])) for r in full] == [
+        (2, 2, [2, 7])
+    ]
+    inc = exact_duplicate_clusters_incremental(
+        docs.where(F.col("doc_id") >= 5),
+        build_exact_hash_index(docs.where(F.col("doc_id") < 5)),
+    ).collect()
+    assert [(r["cluster_size"], r["canonical_id"], list(r["members"])) for r in inc] == [
+        (2, 2, [2, 7])
+    ]
+
+
 def test_cc_incremental_equals_restricted_full(spark):
     """Delta closure contract: labels over (new pairs, persisted cluster
     state) == full closure over ALL pairs restricted to components touching

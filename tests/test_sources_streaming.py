@@ -347,6 +347,41 @@ def test_stateful_dedup_state_ttl_expiry(spark, tmp_path):
     assert alpha_urls == ["u1", "u3"]  # re-emitted after TTL eviction
 
 
+def test_delta_dedup_state_read_classification(spark, tmp_path):
+    """_read_state's missing-state classification: absent path -> None
+    (first batch); a dir holding only an uncommitted _temporary leftover
+    from a crashed first write -> None too (re-raising would crash-loop
+    every replay); any other read failure propagates (a half-lost committed
+    state must fail the batch, not silently downgrade to full-mode
+    pairing)."""
+    import os
+
+    from literature_to_facts_spark.streaming.delta_dedup import _read_state
+
+    root = str(tmp_path / "band_index")
+    assert _read_state(spark, root, 1) is None  # path absent
+    os.makedirs(os.path.join(root, "_batch=0", "_temporary", "0"))
+    assert _read_state(spark, root, 1) is None  # crashed uncommitted write
+    # a committed state reads fine and excludes the current batch
+    df = spark.createDataFrame([(1, 0, "k")], "doc_id long, band int, key string")
+    df.write.mode("overwrite").parquet(os.path.join(root, "_batch=0"))
+    got = _read_state(spark, root, 1)
+    assert got is not None and got.count() == 1
+    assert _read_state(spark, root, 0).count() == 0  # strict < prune
+    # a corrupt committed file is NOT missing state: it must raise, not None
+    part = next(
+        f
+        for f in os.listdir(os.path.join(root, "_batch=0"))
+        if f.endswith(".parquet")
+    )
+    with open(os.path.join(root, "_batch=0", part), "wb") as fh:
+        fh.write(b"not a parquet file")
+    import pytest
+
+    with pytest.raises(Exception):
+        _read_state(spark, root, 1).collect()
+
+
 def test_streaming_delta_dedup_exactly_once(spark, tmp_path):
     """Streaming MinHash delta dedup (streaming/delta_dedup): a file stream
     split into per-file micro-batches emits, per batch, the near-dup pairs
