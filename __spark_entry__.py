@@ -596,6 +596,32 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_incremental(spark, sf_dir):
+    """Delta embedding near-dup (datapipe/similarity.
+    embedding_near_dup_pairs_incremental): the new batch (vec_id % 5 == 0)
+    pairs against the persisted hyperplane-bucket index — the fourth
+    probe-shaped delta family.  Full SQL oracle: DuckDB recomputes the
+    full-corpus bucketed pair set (inlined plane constants) and restricts
+    to pairs touching a new vector."""
+    from literature_to_facts_spark.datapipe.similarity import (
+        build_embedding_bucket_index,
+        embedding_near_dup_pairs_incremental,
+    )
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    idx = build_embedding_bucket_index(old, n_planes=4)
+    pairs = embedding_near_dup_pairs_incremental(
+        new, old, idx, threshold=0.4, n_planes=4
+    )
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.round("cosine", 4).cast("double").alias("cosine_r4"),
+    )
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     """The streaming watermarked windowed-agg operator (streaming/stateful)
     run in batch mode: tumbling 1h event-time windows over warc_ts.  The
@@ -983,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
@@ -1912,6 +1939,11 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE id_a % 5 = 0 OR id_b % 5 = 0
         """,
         "dedup_embedding_cosine": _emb_near_dup_oracle(threshold=0.4, n_planes=4),
+        "dedup_embedding_incremental": f"""
+            SELECT id_a, id_b, cosine_r4 FROM (
+              {_emb_near_dup_oracle(threshold=0.4, n_planes=4)}
+            ) WHERE id_a % 5 = 0 OR id_b % 5 = 0
+        """,
         "emb_ann_lsh": _ann_lsh_oracle(k=5, n_planes=6),
         "emb_ann_ivf": _ann_ivf_oracle(k=5, n_centroids=8, nprobe=3),
         # tumbling event-time window == epoch-aligned hour bucket

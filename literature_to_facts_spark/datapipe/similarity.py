@@ -187,6 +187,137 @@ def embedding_near_dup_pairs(
     return verified
 
 
+def build_embedding_bucket_index(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(vec_id, bucket): the hyperplane sign-bucket assignment of a corpus —
+    the persisted state of incremental embedding near-dup detection (the
+    bucket id is 64 bits of signs; embeddings stay in the corpus table and
+    are only re-read BY ID for candidate verification).  Append each new
+    batch's rows (this function over the batch) after pairing it with
+    :func:`embedding_near_dup_pairs_incremental`.  The hyperplanes are a
+    pure function of (dim, n_planes, seed) — index rows written by any run
+    with the same parameters are mutually consistent."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    planes_sql = (
+        "array(" + ",".join(
+            "array(" + ",".join(f"{x}D" for x in p) + ")" for p in planes
+        ) + ")"
+    )
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_bucket_expr(emb_col, planes_sql, n_planes)).alias("bucket"),
+    )
+
+
+def embedding_near_dup_pairs_incremental(
+    new_vectors: DataFrame,
+    old_vectors: DataFrame,
+    old_index: DataFrame | None = None,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+    max_bucket: int = 1000,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Delta embedding near-dup: ``embedding_near_dup_pairs(old ∪ new)``
+    restricted to pairs touching a new vector — the fourth delta family,
+    same contract and PROBE shape as ``dedup.minhash_lsh_pairs_incremental``:
+    the batch's bucket ids broadcast-semi-join-filter the persisted index
+    at its scan (one filtered history pass, zero history shuffle; zero
+    Exchange over a ``storage.write_bucketed("bucket")`` catalog table),
+    matched buckets stream past a broadcast of the new aggregate, new-only
+    buckets come from a scalar-keys anti join, and the bucket-size cap
+    applies to the TOTAL old+new population.  ``old_vectors`` supplies
+    embeddings for verification — only rows matching candidate ids are
+    scored (semi-join by id).  New ids must be disjoint from old ids.
+    ``cache_registry`` collects the internal ``persist()`` handles."""
+    if old_index is None:
+        old_index = build_embedding_bucket_index(
+            old_vectors, n_planes, id_col, emb_col, dim, seed
+        )
+    new_index = build_embedding_bucket_index(
+        new_vectors, n_planes, id_col, emb_col, dim, seed
+    )
+    newagg = (
+        new_index.groupBy("bucket")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("new_ids"))
+        .persist()
+    )
+    touched_old = old_index.join(
+        F.broadcast(newagg.select("bucket")), on="bucket", how="left_semi"
+    )
+    old_arrays = touched_old.groupBy("bucket").agg(
+        F.sort_array(F.collect_set("vec_id")).alias("old_ids")
+    )
+    matched = (
+        old_arrays.join(F.broadcast(newagg), on="bucket", how="inner").persist()
+    )
+    miss = newagg.join(
+        F.broadcast(matched.select("bucket")), on="bucket", how="left_anti"
+    ).withColumn("old_ids", F.expr("slice(new_ids, 1, 0)"))
+    if cache_registry is not None:
+        cache_registry.extend([newagg, matched])
+    cols = ["bucket", "new_ids", "old_ids"]
+    buckets = (
+        matched.select(*cols)
+        .unionByName(miss.select(*cols))
+        .where(
+            (F.size("new_ids") + F.size("old_ids") >= 2)
+            & (F.size("new_ids") + F.size("old_ids") <= max_bucket)
+        )
+    )
+    pair_expr = """
+        concat(
+          flatten(transform(new_ids, a ->
+            transform(filter(new_ids, b -> b > a),
+                      b -> named_struct('id_a', a, 'id_b', b)))),
+          flatten(transform(new_ids, a ->
+            transform(old_ids,
+                      b -> named_struct('id_a', least(a, b), 'id_b', greatest(a, b)))))
+        )
+    """
+    cand = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(cand)
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("vec_id")).distinct()
+    emb = (
+        old_vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+        .unionByName(
+            new_vectors.select(
+                F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+            )
+        )
+        .join(cand_ids, on="vec_id", how="left_semi")
+    )
+    return (
+        cand.join(
+            emb.withColumnRenamed("vec_id", "id_a").withColumnRenamed("embedding", "e_a"),
+            on="id_a",
+        )
+        .join(
+            emb.withColumnRenamed("vec_id", "id_b").withColumnRenamed("embedding", "e_b"),
+            on="id_b",
+        )
+        .withColumn("cosine", F.round(_dot("e_a", "e_b") / (_norm("e_a") * _norm("e_b")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _ivf_assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment via a map-side aggregate.
 

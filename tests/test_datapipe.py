@@ -412,6 +412,38 @@ def test_connected_components_raises_on_non_convergence(spark):
         connected_components(chain, max_iters=2)
 
 
+def test_embedding_incremental_equals_restricted_full(spark, embeddings):
+    """Delta embedding near-dup (fourth probe family): incremental pairs
+    over (new batch, persisted bucket index) == full-corpus pairs
+    restricted to pairs touching a new vector, with the bucket cap applied
+    to the total old+new population."""
+    from literature_to_facts_spark.datapipe.similarity import (
+        build_embedding_bucket_index,
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_incremental,
+    )
+
+    new = embeddings.where(F.col("vec_id") % 5 == 0)
+    old = embeddings.where(F.col("vec_id") % 5 != 0)
+    full = embedding_near_dup_pairs(embeddings, threshold=0.4, n_planes=4).collect()
+    new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    expected = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in full
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert expected and len(expected) < len(full)
+    idx = build_embedding_bucket_index(old, n_planes=4)
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs_incremental(
+            new, old, idx, threshold=0.4, n_planes=4
+        ).collect()
+    }
+    assert got == expected
+    assert any((a in new_ids) != (b in new_ids) for a, b, _ in got)
+
+
 def test_exact_dedup_null_text_excluded(spark):
     """NULL-text docs join no exact-dup cluster, in BOTH modes: grouping
     NULLs would fabricate a 'duplicate' cluster of contentless docs, and in
