@@ -1048,6 +1048,47 @@ def test_minhash_incremental_bucketed_history_no_exchange(spark, documents, tmp_
         spark.sql("DROP TABLE IF EXISTS t_lsh_idx")
 
 
+def test_all_probe_families_bucketed_history_no_exchange(spark, documents, embeddings, tmp_path):
+    """The zero-Exchange history fragment holds for ALL FOUR delta
+    families: (broadcast semi-join filter -> key aggregation) over a
+    write_bucketed catalog index plans with no Exchange on the streamed
+    side — bucket hash-partitioning on the key column satisfies each
+    family's grouping clustering (subset rule)."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_exact_hash_index,
+        build_simhash_band_index,
+    )
+    from literature_to_facts_spark.datapipe.similarity import (
+        build_embedding_bucket_index,
+    )
+    from literature_to_facts_spark.datapipe.storage import write_bucketed
+
+    docs = documents.limit(60)
+    emb = embeddings.limit(60)
+    cases = [
+        ("t_simhash_idx", build_simhash_band_index(docs), "key", ["band", "key"]),
+        ("t_exact_idx", build_exact_hash_index(docs), "text_hash", ["text_hash"]),
+        ("t_emb_idx", build_embedding_bucket_index(emb, n_planes=4), "bucket", ["bucket"]),
+    ]
+    try:
+        for table, idx, bucket_col, group_cols in cases:
+            write_bucketed(idx, table, bucket_col, 4, path=str(tmp_path / table))
+            t = spark.table(table)
+            probe_keys = t.limit(5).select(*group_cols)
+            frag = (
+                t.join(F.broadcast(probe_keys), on=group_cols, how="left_semi")
+                .groupBy(*group_cols)
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            plan = frag._jdf.queryExecution().executedPlan().toString()
+            streamed = plan.split("BroadcastExchange")[0]
+            assert "Exchange" not in streamed, f"{table}:\n{plan}"
+            assert "Bucketed: true" in plan, table
+    finally:
+        for table, *_ in cases:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_minhash_incremental_daily_loop_bucketed(spark, documents, tmp_path):
     """The operational daily loop OVER A BUCKETED CATALOG INDEX: each day
     appends the batch's band-index rows to the bucketed table (bucket spec
