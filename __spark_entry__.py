@@ -782,6 +782,28 @@ def q_dedup_lsh_bucket_stats(spark, sf_dir):
     )
 
 
+def q_sample_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling (datapipe/sampling.
+    sample_to_token_budget): per group, the deterministic hash-ordered
+    document prefix whose cumulative whitespace-token count stays under the
+    group's budget — the recipe form training mixtures are specified in.
+    Bucketed boundary search (no per-group single-reducer window over the
+    corpus); full SQL oracle computes the naive window prefix, which the
+    implementation must equal row-for-row."""
+    from literature_to_facts_spark.datapipe.sampling import sample_to_token_budget
+    from literature_to_facts_spark.datapipe.textstats import with_token_counts
+
+    docs = with_token_counts(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    out = sample_to_token_budget(
+        docs, {"en": 5000, "de": 2000}, weight_col="n_ws_tokens"
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("lang").alias("lang")
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The COMPOSED curation contract (datapipe/curation.curate_corpus):
     quality gate -> MinHash near-dup purge -> deterministic mixture sample,
@@ -955,6 +977,57 @@ def q_text_lang_id(spark, sf_dir):
     )
 
 
+def q_decontam_pairs(spark, sf_dir):
+    """Eval-set decontamination report (datapipe/decontam.
+    contamination_pairs): training docs (doc_id % 17 != 0) sharing word
+    4-grams with the eval split (doc_id % 17 == 0), with the shared-gram
+    count per (train, eval) pair.  The eval gram set is broadcast — one
+    pass over the training corpus, zero shuffle of it.  Full SQL oracle."""
+    from literature_to_facts_spark.datapipe.decontam import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    tr = docs.where(F.col("doc_id") % 17 != 0)
+    out = contamination_pairs(tr, ev, n_gram=4, min_overlap=1)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("eval_id").cast("bigint").alias("eval_id"),
+        F.col("n_shared_grams").cast("bigint").alias("n_shared_grams"),
+    )
+
+
+def q_decontam_purge(spark, sf_dir):
+    """The shipped decontamination artifact (datapipe/decontam.
+    decontaminate): the training split minus every flagged doc.  Full SQL
+    oracle (anti-select against the recomputed pair set)."""
+    from literature_to_facts_spark.datapipe.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    tr = docs.where(F.col("doc_id") % 17 != 0)
+    out = decontaminate(tr, ev, n_gram=4, min_overlap=1)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("lang").alias("lang")
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition signals (datapipe/textstats.
+    with_repetition): duplicate-word fraction, duplicate-bigram fraction,
+    top-word dominance — the boilerplate/degenerate-text filters
+    cross-document dedup cannot see.  Pure per-row expressions; full SQL
+    oracle."""
+    from literature_to_facts_spark.datapipe.textstats import with_repetition
+
+    out = with_repetition(_t(spark, sf_dir, "documents"), n_gram=2)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("dup_word_frac").cast("double").alias("dup_word_frac"),
+        F.col("dup_ngram_frac").cast("double").alias("dup_ngram_frac"),
+        F.col("top_word_frac").cast("double").alias("top_word_frac"),
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Both fingerprint columns are independently oracled: fp_md5 (canonical
     content hash) AND fp_rolling (order-sensitive md5-family polynomial —
@@ -1004,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_cc_incremental": q_dedup_clusters_cc_incremental,
         "sample_hash_fraction": q_sample_hash_fraction,
         "sample_stratified_topn": q_sample_stratified_topn,
+        "sample_token_budget": q_sample_token_budget,
         "curation_pipeline": q_curation_pipeline,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1020,6 +1094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_report": q_text_quality_report,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "decontam_pairs": q_decontam_pairs,
+        "decontam_purge": q_decontam_purge,
     }
 
 
@@ -1844,6 +1921,72 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN clicks r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
+        "decontam_pairs": f"""
+            WITH tr AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest({_duck_shingles(4)}) AS g
+              FROM documents WHERE doc_id % 17 != 0 AND text IS NOT NULL
+            ),
+            ev AS (
+              SELECT CAST(doc_id AS BIGINT) AS eval_id,
+                     unnest({_duck_shingles(4)}) AS g
+              FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+            )
+            SELECT tr.doc_id, ev.eval_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+            FROM tr JOIN ev ON tr.g = ev.g
+            GROUP BY tr.doc_id, ev.eval_id
+            HAVING COUNT(*) >= 1
+        """,
+        "decontam_purge": f"""
+            WITH tr_g AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest({_duck_shingles(4)}) AS g
+              FROM documents WHERE doc_id % 17 != 0 AND text IS NOT NULL
+            ),
+            ev_g AS (
+              SELECT unnest({_duck_shingles(4)}) AS g
+              FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+            FROM documents
+            WHERE doc_id % 17 != 0
+              AND CAST(doc_id AS BIGINT) NOT IN (
+                SELECT DISTINCT tr_g.doc_id FROM tr_g
+                JOIN ev_g ON tr_g.g = ev_g.g)
+        """,
+        "text_repetition": """
+            WITH t AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END AS grams
+              FROM t
+            ),
+            w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            tc AS (
+              SELECT doc_id, MAX(c) AS top FROM (
+                SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok
+              ) GROUP BY doc_id
+            )
+            SELECT g.doc_id,
+                   ROUND(CASE WHEN len(toks) = 0 THEN 0
+                         ELSE 1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                         END, 6) AS dup_word_frac,
+                   ROUND(CASE WHEN len(grams) = 0 THEN 0
+                         ELSE 1 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                         END, 6) AS dup_ngram_frac,
+                   ROUND(CASE WHEN len(toks) = 0 THEN 0
+                         ELSE CAST(tc.top AS DOUBLE) / len(toks)
+                         END, 6) AS top_word_frac
+            FROM g LEFT JOIN tc ON g.doc_id = tc.doc_id
+        """,
         "text_quality_filter": f"""
             WITH {_QUALITY_GATED_CTE}
             SELECT doc_id, (drop_reason IS NULL) AS keep, drop_reason
@@ -1931,6 +2074,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 50000 END)
         """,
         "sample_stratified_topn": _sample_topn_oracle(n=7),
+        # the naive per-group hash-ordered prefix window — the contract the
+        # bucketed boundary-search implementation must equal row-for-row
+        "sample_token_budget": f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                     len(list_filter(string_split(lower(text), ' '),
+                                     x -> x != '')) AS w,
+                     {_H1.format(x="CAST(doc_id AS VARCHAR)")} AS h
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, lang,
+                     COALESCE(SUM(w) OVER (PARTITION BY lang ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM t
+            )
+            SELECT doc_id, lang FROM c
+            WHERE cb < (CASE lang WHEN 'en' THEN 5000
+                                  WHEN 'de' THEN 2000 ELSE 0 END)
+        """,
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(max_hamming=8),
         "dedup_simhash_incremental": f"""

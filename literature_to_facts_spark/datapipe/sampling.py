@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 # 52-bit portable hash (see datapipe.dedup): DuckDB equivalent
 # CAST('0x' || substr(md5(x), 1, 13) AS BIGINT)
 _HASH_MOD = 1_000_000
+_HASH_SPACE = 1 << 52  # the hash is 13 hex chars: values in [0, 2^52)
 
 
 def _h52(col_expr: str) -> F.Column:
@@ -132,3 +133,95 @@ def sample_topn_per_group(
         .where(F.col("_rk") <= n)
         .drop("_rk", "_h")
     )
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    budgets: dict,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    default_budget: int = 0,
+    n_hash_buckets: int = 4096,
+) -> DataFrame:
+    """Mixture building by TOKEN BUDGET instead of fraction: per group, keep
+    the deterministic hash-ordered prefix of documents whose cumulative
+    ``weight_col`` stays under the group's budget (the crossing document is
+    kept, so the budget is always reached when the group can supply it).
+    ``budgets`` maps group value -> token budget; unlisted groups get
+    ``default_budget`` (0 = dropped).  This is the recipe form a training
+    mixture is actually specified in ("30B tokens of en web, 5B of de"),
+    and like the fraction sampler it is deterministic per id: re-runs and
+    other engines keep exactly the same rows, and a smaller budget's sample
+    is a strict prefix (subset) of a larger one's.
+
+    Scale shape — an exact global prefix WITHOUT a per-group single-reducer
+    window over the corpus:
+
+    1. bucket every row by the HIGH bits of the id hash (``n_hash_buckets``
+       ranges, so bucket order == hash order) and aggregate per-(group,
+       bucket) weight sums — one small shuffle;
+    2. a window over that TINY aggregate (groups x buckets rows) computes
+       each bucket's starting offset and classifies it: fully inside the
+       budget, astride the boundary, or fully outside;
+    3. rows join the broadcast bucket decisions: full buckets pass with no
+       further work, dropped buckets vanish at the scan, and ONLY the
+       single boundary bucket per group (~1/n_hash_buckets of the data)
+       pays a per-row cumulative window, seeded with the bucket offset.
+
+    The result is row-for-row identical to the naive
+    ``SUM() OVER (PARTITION BY group ORDER BY hash, id)`` prefix (the
+    DuckDB oracle computes exactly that) at a parallel cost.  Weights must
+    be non-negative; NULL weights are treated as 0.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    span = _HASH_SPACE // n_hash_buckets
+    group_type = docs.schema[group_col].dataType
+    spark = docs.sparkSession
+    bt = spark.createDataFrame(
+        [(val, int(b)) for val, b in sorted(budgets.items())],
+        schema=StructType(
+            [StructField(group_col, group_type), StructField("_budget", LongType())]
+        ),
+    )
+    base = (
+        docs.withColumn("_h", _h52(id_col))
+        .withColumn("_w", F.coalesce(F.col(weight_col).cast("long"), F.lit(0)))
+        # integer division: float division of 52-bit values can round UP
+        # across a bucket boundary before the cast truncates
+        .withColumn("_hb", F.expr(f"_h div {span}"))
+    )
+    sums = base.groupBy(group_col, "_hb").agg(F.sum("_w").alias("_bw"))
+    w_b = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_hb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    decisions = (
+        sums.withColumn("_off", F.coalesce(F.sum("_bw").over(w_b), F.lit(0)))
+        .join(F.broadcast(bt), on=group_col, how="left")
+        .withColumn("_b", F.coalesce(F.col("_budget"), F.lit(int(default_budget))))
+        .withColumn(
+            "_cls",
+            F.when(F.col("_off") + F.col("_bw") <= F.col("_b"), F.lit("full"))
+            .when(F.col("_off") < F.col("_b"), F.lit("boundary"))
+            .otherwise(F.lit("drop")),
+        )
+        .where(F.col("_cls") != "drop")
+        .select(group_col, "_hb", "_off", "_b", "_cls")
+    )
+    joined = base.join(F.broadcast(decisions), on=[group_col, "_hb"], how="inner")
+    full = joined.where(F.col("_cls") == "full")
+    w_doc = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        joined.where(F.col("_cls") == "boundary")
+        .withColumn("_cb", F.col("_off") + F.coalesce(F.sum("_w").over(w_doc), F.lit(0)))
+        .where(F.col("_cb") < F.col("_b"))
+        .drop("_cb")
+    )
+    return full.unionByName(boundary).select(*docs.columns)

@@ -150,6 +150,63 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition(
+    docs: DataFrame, text_col: str = "text", n_gram: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals — boilerplate and
+    degenerate (looping) text shows up as duplicated n-grams INSIDE one
+    document, which the cross-document dedup family cannot see:
+
+    * ``dup_word_frac``: 1 - distinct(tokens)/count(tokens);
+    * ``dup_ngram_frac``: 1 - distinct(n-grams)/count(n-grams) (word
+      ``n_gram``-grams, duplicates counted positionally);
+    * ``top_word_frac``: occurrences of the most frequent token / total
+      tokens (a single token dominating the document).
+
+    Pure per-row array expressions (no shuffle, scales as one scan); each
+    ratio is rounded to 6dp for engine-portable comparison.  Empty/NULL
+    texts yield 0 ratios (nothing repeats in nothing) — NULL text yields
+    NULL, matching the other textstats columns.
+    """
+    grams = (
+        f"CASE WHEN size(_toks) >= {n_gram} THEN "
+        f"transform(sequence(0, size(_toks) - {n_gram}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n_gram}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    # top-token count without a shuffle: sort the tokens, then the longest
+    # run of equal adjacent values is the max frequency — computed with one
+    # aggregate over the sorted array carrying (prev, run, best)
+    top_run = (
+        "aggregate(array_sort(_toks), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, t) -> named_struct("
+        " 'prev', t,"
+        " 'run', CASE WHEN acc.prev IS NOT NULL AND t = acc.prev"
+        "         THEN acc.run + 1 ELSE 1L END,"
+        " 'best', greatest(acc.best, CASE WHEN acc.prev IS NOT NULL AND t = acc.prev"
+        "         THEN acc.run + 1 ELSE 1L END)), "
+        "acc -> acc.best)"
+    )
+    return (
+        _with_tokens(docs, text_col)
+        .withColumn("_grams", F.expr(grams))
+        .selectExpr(
+            "*",
+            "round(CASE WHEN size(_toks) = 0 THEN 0D ELSE"
+            " 1D - size(array_distinct(_toks)) / size(_toks) END, 6)"
+            " AS dup_word_frac",
+            "round(CASE WHEN size(_grams) = 0 THEN 0D ELSE"
+            " 1D - size(array_distinct(_grams)) / size(_grams) END, 6)"
+            " AS dup_ngram_frac",
+            f"round(CASE WHEN size(_toks) = 0 THEN 0D ELSE"
+            f" CAST({top_run} AS DOUBLE) / size(_toks) END, 6)"
+            " AS top_word_frac",
+        )
+        .drop("_toks", "_grams")
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",

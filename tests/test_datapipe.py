@@ -1137,6 +1137,156 @@ def test_minhash_incremental_daily_loop_bucketed(spark, documents, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lsh_daily")
 
 
+def test_sample_to_token_budget(spark, documents):
+    """Token-budget mixture sampling: row-for-row identical to the naive
+    per-group hash-ordered cumulative-prefix window (which the bucketed
+    implementation exists to avoid at scale), budget reached via the
+    crossing doc, smaller budgets nest inside larger ones, unlisted groups
+    dropped, and robust to a tiny bucket count (every bucket astride or
+    full)."""
+    from pyspark.sql import Window
+
+    from literature_to_facts_spark.datapipe.sampling import (
+        _h52,
+        sample_to_token_budget,
+    )
+    from literature_to_facts_spark.datapipe.textstats import with_token_counts
+
+    docs = with_token_counts(documents.select("doc_id", "lang", "text"))
+    budgets = {"en": 5000, "de": 2000}
+
+    def naive(buds):
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        b = F.lit(None).cast("long")
+        for k, v in buds.items():
+            b = F.when(F.col("lang") == k, v).otherwise(b)
+        return {
+            r["doc_id"]
+            for r in docs.withColumn("_h", _h52("doc_id"))
+            .withColumn("_cb", F.coalesce(F.sum("n_ws_tokens").over(w), F.lit(0)))
+            .where(F.col("_cb") < F.coalesce(b, F.lit(0)))
+            .collect()
+        }
+
+    expected = naive(budgets)
+    got = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            docs, budgets, weight_col="n_ws_tokens"
+        ).collect()
+    }
+    assert got == expected and got
+    # budgets actually bind: kept token sums land in [budget, budget + max doc)
+    kept = sample_to_token_budget(docs, budgets, weight_col="n_ws_tokens")
+    sums = {
+        r["lang"]: r["s"]
+        for r in kept.groupBy("lang").agg(F.sum("n_ws_tokens").alias("s")).collect()
+    }
+    assert set(sums) == {"en", "de"}
+    for lang, b in budgets.items():
+        assert sums[lang] >= b  # crossing doc included
+    # nesting: half budgets form a subset
+    half = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            docs, {"en": 2500, "de": 1000}, weight_col="n_ws_tokens"
+        ).collect()
+    }
+    assert half < got
+    # degenerate bucket count: identical result
+    got2 = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            docs, budgets, weight_col="n_ws_tokens", n_hash_buckets=2
+        ).collect()
+    }
+    assert got2 == expected
+
+
+def test_decontamination(spark):
+    """Training docs sharing >= min_overlap distinct n-grams with any eval
+    doc are flagged (and only those); eval_df_cap drops benchmark
+    boilerplate grams; the training side joins the broadcast eval gram set
+    with no shuffle below the join (plan-pinned)."""
+    from literature_to_facts_spark.datapipe.decontam import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    tr = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated training text goes here now"),
+            (3, "answer: the quick brown fox strikes again"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "eval question about the quick brown fox"),
+            (101, "another eval item entirely different words"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = contamination_pairs(tr, ev, n_gram=4, min_overlap=1)
+    got = {(r["doc_id"], r["eval_id"], r["n_shared_grams"]) for r in pairs.collect()}
+    # docs 1 and 3 share the 4-gram "the quick brown fox" with eval 100
+    assert got == {(1, 100, 1), (3, 100, 1)}
+    kept = {r["doc_id"] for r in decontaminate(tr, ev, n_gram=4).collect()}
+    assert kept == {2, 4}
+    # min_overlap=2 requires two distinct shared grams -> nothing flagged
+    assert contamination_pairs(tr, ev, n_gram=4, min_overlap=2).count() == 0
+    # capping grams present in > 0 eval docs removes every gram -> no pairs
+    assert (
+        contamination_pairs(tr, ev, n_gram=4, min_overlap=1, eval_df_cap=0).count()
+        == 0
+    )
+    # plan: the training side streams into a BroadcastHashJoin; the ONLY
+    # shuffle anywhere is the (matched-pair-sized) count aggregation above
+    # the join — the corpus itself is never exchanged
+    # (the df already executed, so AQE prints Final + Initial sections —
+    # count in the final section only)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_repetition_metrics(spark):
+    """Degenerate looping text scores near 1, varied text near 0; empty
+    text scores 0, NULL text NULL; top_word_frac equals the dominant
+    token's share (run-length over the sorted array == true max count)."""
+    from literature_to_facts_spark.datapipe.textstats import with_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "each word here appears exactly once"),
+            (3, ""),
+            (4, None),
+            (5, "a b a b a b"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_repetition(docs, n_gram=2).collect()}
+    assert rows[1]["dup_word_frac"] == round(1 - 1 / 6, 6)
+    assert rows[1]["dup_ngram_frac"] == round(1 - 1 / 5, 6)
+    assert rows[1]["top_word_frac"] == 1.0
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_word_frac"] == round(1 / 6, 6)
+    assert rows[3]["dup_word_frac"] == 0.0 and rows[3]["top_word_frac"] == 0.0
+    assert rows[4]["dup_word_frac"] is None and rows[4]["top_word_frac"] is None
+    # "a b" x3: 6 tokens 2 distinct; 5 bigrams, 2 distinct; top token 3/6
+    assert rows[5]["dup_word_frac"] == round(1 - 2 / 6, 6)
+    assert rows[5]["dup_ngram_frac"] == round(1 - 2 / 5, 6)
+    assert rows[5]["top_word_frac"] == 0.5
+
+
 def test_curation_pipeline_plan_and_containment(spark, documents):
     """The composed gate->purge->sample chain: sampling adds ZERO Exchanges
     (its hash filter pushes through the purge's left-anti join onto the
