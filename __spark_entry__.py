@@ -826,6 +826,33 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_curation_pipeline_full(spark, sf_dir):
+    """The COMPLETE curation chain (datapipe/curation.curate_corpus with
+    every stage enabled): quality gate -> eval-set decontamination ->
+    MinHash near-dup purge -> token-budget mixture — the end-to-end recipe
+    a training corpus actually ships through, as ONE operator with ONE
+    composed DuckDB oracle (gated CTE + broadcast-gram decontam + pair
+    generation over the survivors + recursive closure + window-prefix
+    budget, nested into a single statement).  EAGER (embeds the CC
+    fixpoint)."""
+    from literature_to_facts_spark.datapipe.curation import curate_corpus
+    from literature_to_facts_spark.datapipe.textstats import with_token_counts
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    tr = with_token_counts(docs.where(F.col("doc_id") % 17 != 0))
+    out = curate_corpus(
+        tr,
+        minhash_params=dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5),
+        eval_docs=ev,
+        decontam_params=dict(n_gram=4, min_overlap=1),
+        token_budgets={"en": 3000, "de": 1200},
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("lang").alias("lang")
+    )
+
+
 def q_sample_hash_fraction(spark, sf_dir):
     """Zero-shuffle deterministic mixture sampling: per-group keep fractions
     via a portable hash filter (datapipe/sampling.sample_fraction_by_group).
@@ -1079,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_topn": q_sample_stratified_topn,
         "sample_token_budget": q_sample_token_budget,
         "curation_pipeline": q_curation_pipeline,
+        "curation_pipeline_full": q_curation_pipeline_full,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
@@ -2046,6 +2074,54 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id FROM (
                 {_cc_oracle(_minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4))}
               ) WHERE doc_id != cluster_rep)
+        """,
+        # the COMPLETE curation chain: gate -> decontam -> purge -> budget
+        # prefix, every stage's SQL fragment nested into one statement over
+        # the survivors of the previous one
+        "curation_pipeline_full": f"""
+            WITH {_QUALITY_GATED_CTE},
+            base AS (
+              SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.text,
+                     len(list_filter(string_split(lower(d.text), ' '),
+                                     x -> x != '')) AS w
+              FROM documents d WHERE d.doc_id % 17 != 0
+            ),
+            kept0 AS (
+              SELECT b.* FROM base b JOIN gated g ON b.doc_id = g.doc_id
+              WHERE g.drop_reason IS NULL
+            ),
+            ev_g AS (
+              SELECT unnest({_duck_shingles(4)}) AS g
+              FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+            ),
+            contam AS (
+              SELECT DISTINCT k.doc_id FROM (
+                SELECT doc_id, unnest({_duck_shingles(4)}) AS g
+                FROM kept0 WHERE text IS NOT NULL
+              ) k JOIN ev_g e ON k.g = e.g
+            ),
+            kept AS (
+              SELECT * FROM kept0
+              WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+            ),
+            purged AS (
+              SELECT k.doc_id, k.lang, k.w,
+                     {_H1.format(x="CAST(k.doc_id AS VARCHAR)")} AS h
+              FROM kept k
+              WHERE k.doc_id NOT IN (
+                SELECT doc_id FROM (
+                  {_cc_oracle(_minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4, src="kept"))}
+                ) WHERE doc_id != cluster_rep)
+            ),
+            c AS (
+              SELECT doc_id, lang,
+                     COALESCE(SUM(w) OVER (PARTITION BY lang ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM purged
+            )
+            SELECT doc_id, lang FROM c
+            WHERE cb < (CASE lang WHEN 'en' THEN 3000
+                                  WHEN 'de' THEN 1200 ELSE 0 END)
         """,
         "sample_hash_fraction": _sample_fraction_oracle(
             {"en": 0.5, "de": 0.2}, default_fraction=0.05

@@ -94,6 +94,14 @@ HEADLINE = [
     # round-4 operators (appended; earlier entries stay comparable)
     "dedup_minhash_incremental",
     "dedup_simhash_incremental",
+    # round-5 operators (appended; earlier entries stay comparable).
+    # curation_pipeline{,_full} and the CC/cluster-state family are
+    # deliberately NOT here: they execute eagerly (iterative fixpoint) and
+    # embed the full minhash pipeline; the correctness gate runs them.
+    "dedup_embedding_incremental",
+    "text_repetition",
+    "decontam_pairs",
+    "sample_token_budget",
 ]
 
 

@@ -47,22 +47,56 @@ def curate_corpus(
     quality_params: dict | None = None,
     minhash_params: dict | None = None,
     max_iters: int = 25,
+    eval_docs: DataFrame | None = None,
+    decontam_params: dict | None = None,
+    token_budgets: dict | None = None,
+    budget_weight_col: str = "n_ws_tokens",
 ) -> DataFrame:
-    """quality_filter(keep) -> minhash_lsh_pairs -> deduplicate_corpus ->
-    sample_fraction_by_group, with every stage's parameters passed through.
+    """quality_filter(keep) [-> decontaminate vs ``eval_docs``]
+    -> minhash_lsh_pairs -> deduplicate_corpus
+    -> sample_fraction_by_group OR sample_to_token_budget,
+    with every stage's parameters passed through.
 
-    ``fractions=None`` skips the sampling stage (gate + purge only).
+    ``eval_docs`` adds the decontamination stage (params via
+    ``decontam_params``) between the gate and the purge — contaminated docs
+    must not even participate in near-dup clustering, or a purged cluster
+    could keep a contaminated representative over a clean member.
+    ``token_budgets`` selects the token-budget mixture sampler instead of
+    ``fractions`` (mutually exclusive; ``budget_weight_col`` must exist on
+    ``docs``, e.g. from ``with_token_counts``).  ``fractions=None`` and
+    ``token_budgets=None`` skip sampling (gate [+ decontam] + purge only).
     EAGER (the purge embeds the connected-components fixpoint).  Returns
     the surviving rows with the input's columns.
     """
+    if fractions is not None and token_budgets is not None:
+        raise ValueError("pass fractions OR token_budgets, not both")
     quality_params = quality_params or {}
     minhash_params = minhash_params or {}
     gated = quality_filter(docs, text_col=text_col, **quality_params)
     kept = gated.where(F.col("keep")).select(*docs.columns)
+    if eval_docs is not None:
+        from literature_to_facts_spark.datapipe.decontam import decontaminate
+
+        kept = decontaminate(
+            kept, eval_docs, id_col=id_col, text_col=text_col,
+            **(decontam_params or {}),
+        )
     pairs = minhash_lsh_pairs(
         kept, id_col=id_col, text_col=text_col, **minhash_params
     )
     purged = deduplicate_corpus(kept, pairs, id_col=id_col, max_iters=max_iters)
+    if token_budgets is not None:
+        from literature_to_facts_spark.datapipe.sampling import (
+            sample_to_token_budget,
+        )
+
+        return sample_to_token_budget(
+            purged,
+            token_budgets,
+            group_col=group_col,
+            id_col=id_col,
+            weight_col=budget_weight_col,
+        )
     if fractions is None:
         return purged
     return sample_fraction_by_group(
