@@ -794,7 +794,7 @@ def q_sample_token_budget(spark, sf_dir):
     from literature_to_facts_spark.datapipe.textstats import with_token_counts
 
     docs = with_token_counts(
-        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        _spread(_t(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
     )
     out = sample_to_token_budget(
         docs, {"en": 5000, "de": 2000}, weight_col="n_ws_tokens"
@@ -1012,7 +1012,7 @@ def q_decontam_pairs(spark, sf_dir):
     pass over the training corpus, zero shuffle of it.  Full SQL oracle."""
     from literature_to_facts_spark.datapipe.decontam import contamination_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     ev = docs.where(F.col("doc_id") % 17 == 0)
     tr = docs.where(F.col("doc_id") % 17 != 0)
     out = contamination_pairs(tr, ev, n_gram=4, min_overlap=1)
@@ -1029,7 +1029,7 @@ def q_decontam_purge(spark, sf_dir):
     oracle (anti-select against the recomputed pair set)."""
     from literature_to_facts_spark.datapipe.decontam import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     ev = docs.where(F.col("doc_id") % 17 == 0)
     tr = docs.where(F.col("doc_id") % 17 != 0)
     out = decontaminate(tr, ev, n_gram=4, min_overlap=1)
@@ -1046,7 +1046,7 @@ def q_text_repetition(spark, sf_dir):
     oracle."""
     from literature_to_facts_spark.datapipe.textstats import with_repetition
 
-    out = with_repetition(_t(spark, sf_dir, "documents"), n_gram=2)
+    out = with_repetition(_spread(_t(spark, sf_dir, "documents")), n_gram=2)
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("dup_word_frac").cast("double").alias("dup_word_frac"),
@@ -1959,12 +1959,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(doc_id AS BIGINT) AS eval_id,
                      unnest({_duck_shingles(4)}) AS g
               FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+            ),
+            gram_pairs AS (
+              SELECT tr.doc_id, ev.eval_id,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM tr JOIN ev ON tr.g = ev.g
+              GROUP BY tr.doc_id, ev.eval_id
+              HAVING COUNT(*) >= 1
+            ),
+            short_ev AS (
+              SELECT CAST(doc_id AS BIGINT) AS eval_id, lower(text) AS ev_lt
+              FROM documents
+              WHERE doc_id % 17 = 0 AND text IS NOT NULL
+                AND len(string_split(lower(text), ' ')) < 4
+                AND length(lower(text)) > 0
+            ),
+            contain_pairs AS (
+              SELECT CAST(d.doc_id AS BIGINT) AS doc_id, s.eval_id,
+                     CAST(1 AS BIGINT) AS n
+              FROM documents d, short_ev s
+              WHERE d.doc_id % 17 != 0 AND d.text IS NOT NULL
+                AND instr(lower(d.text), s.ev_lt) >= 1
             )
-            SELECT tr.doc_id, ev.eval_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_shared_grams
-            FROM tr JOIN ev ON tr.g = ev.g
-            GROUP BY tr.doc_id, ev.eval_id
-            HAVING COUNT(*) >= 1
+            SELECT doc_id, eval_id,
+                   CAST(MAX(n) AS BIGINT) AS n_shared_grams
+            FROM (SELECT * FROM gram_pairs UNION ALL SELECT * FROM contain_pairs)
+            GROUP BY doc_id, eval_id
         """,
         "decontam_purge": f"""
             WITH tr_g AS (
@@ -1975,13 +1995,25 @@ def oracle_sql() -> dict[str, str]:
             ev_g AS (
               SELECT unnest({_duck_shingles(4)}) AS g
               FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
+            ),
+            short_ev AS (
+              SELECT lower(text) AS ev_lt FROM documents
+              WHERE doc_id % 17 = 0 AND text IS NOT NULL
+                AND len(string_split(lower(text), ' ')) < 4
+                AND length(lower(text)) > 0
+            ),
+            bad AS (
+              SELECT DISTINCT tr_g.doc_id FROM tr_g
+              JOIN ev_g ON tr_g.g = ev_g.g
+              UNION
+              SELECT DISTINCT CAST(d.doc_id AS BIGINT) FROM documents d, short_ev s
+              WHERE d.doc_id % 17 != 0 AND d.text IS NOT NULL
+                AND instr(lower(d.text), s.ev_lt) >= 1
             )
             SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
             FROM documents
             WHERE doc_id % 17 != 0
-              AND CAST(doc_id AS BIGINT) NOT IN (
-                SELECT DISTINCT tr_g.doc_id FROM tr_g
-                JOIN ev_g ON tr_g.g = ev_g.g)
+              AND CAST(doc_id AS BIGINT) NOT IN (SELECT doc_id FROM bad)
         """,
         "text_repetition": """
             WITH t AS (
@@ -1991,7 +2023,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             g AS (
               SELECT doc_id, toks,
-                     CASE WHEN len(toks) >= 2 THEN
+                     CASE WHEN toks IS NULL THEN NULL
+                          WHEN len(toks) >= 2 THEN
                        list_transform(range(1, len(toks)),
                                       i -> toks[i] || ' ' || toks[i + 1])
                      ELSE [] END AS grams
@@ -2094,11 +2127,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest({_duck_shingles(4)}) AS g
               FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL
             ),
+            short_ev AS (
+              SELECT lower(text) AS ev_lt FROM documents
+              WHERE doc_id % 17 = 0 AND text IS NOT NULL
+                AND len(string_split(lower(text), ' ')) < 4
+                AND length(lower(text)) > 0
+            ),
             contam AS (
               SELECT DISTINCT k.doc_id FROM (
                 SELECT doc_id, unnest({_duck_shingles(4)}) AS g
                 FROM kept0 WHERE text IS NOT NULL
               ) k JOIN ev_g e ON k.g = e.g
+              UNION
+              SELECT DISTINCT k2.doc_id FROM kept0 k2, short_ev s
+              WHERE k2.text IS NOT NULL
+                AND instr(lower(k2.text), s.ev_lt) >= 1
             ),
             kept AS (
               SELECT * FROM kept0

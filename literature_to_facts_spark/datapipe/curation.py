@@ -51,6 +51,7 @@ def curate_corpus(
     decontam_params: dict | None = None,
     token_budgets: dict | None = None,
     budget_weight_col: str = "n_ws_tokens",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """quality_filter(keep) [-> decontaminate vs ``eval_docs``]
     -> minhash_lsh_pairs -> deduplicate_corpus
@@ -75,12 +76,28 @@ def curate_corpus(
     gated = quality_filter(docs, text_col=text_col, **quality_params)
     kept = gated.where(F.col("keep")).select(*docs.columns)
     if eval_docs is not None:
-        from literature_to_facts_spark.datapipe.decontam import decontaminate
+        from literature_to_facts_spark.datapipe.decontam import contamination_pairs
 
-        kept = decontaminate(
-            kept, eval_docs, id_col=id_col, text_col=text_col,
-            **(decontam_params or {}),
+        # the gated `kept` frame feeds TWO consumers below (pair generation
+        # and the purge's left side) — acceptable for the narrow quality
+        # gate, but the decontamination subtree (corpus-wide gram explode +
+        # join) must not run twice: persist the FLAGGED ID SET (tiny —
+        # contamination-sized, not corpus-sized) so both consumers replay
+        # only gate + a broadcast-able anti join.  The operator is EAGER
+        # (the purge's CC fixpoint), so the persist populates on first use;
+        # pass cache_registry to release it.
+        bad = (
+            contamination_pairs(
+                kept, eval_docs, id_col=id_col, text_col=text_col,
+                **(decontam_params or {}),
+            )
+            .select(F.col("doc_id").alias(id_col))
+            .distinct()
+            .persist()
         )
+        if cache_registry is not None:
+            cache_registry.append(bad)
+        kept = kept.join(bad, on=id_col, how="left_anti")
     pairs = minhash_lsh_pairs(
         kept, id_col=id_col, text_col=text_col, **minhash_params
     )

@@ -36,8 +36,21 @@ def contamination_pairs(
     min_overlap: int = 1,
     eval_df_cap: int | None = None,
 ) -> DataFrame:
-    """(doc_id, eval_id, n_shared_grams) for every training/eval document
-    pair sharing at least ``min_overlap`` distinct word ``n_gram``-grams.
+    """(doc_id, eval_id, n_shared_grams) for every contaminated
+    training/eval document pair.  Two match modes:
+
+    * eval docs with >= ``n_gram`` tokens: share at least ``min_overlap``
+      distinct word ``n_gram``-grams (the standard overlap rule);
+    * eval docs SHORTER than ``n_gram`` tokens ('Paris', a 7-word answer
+      key): gram equality can never fire — their only gram is the whole
+      text, which no n_gram-token training gram equals — so they match by
+      SUBSTRING CONTAINMENT in the lowercased training text instead
+      (``n_shared_grams = 1``; full containment of an eval item is
+      categorical contamination, exempt from ``min_overlap``).  The short
+      set is benchmark-bounded and broadcasts; the containment join is a
+      BroadcastNestedLoopJoin over it — fine because the broadcast side is
+      a handful of short strings.
+
     NULL-text rows on either side contribute nothing."""
     tr = _shingle_frame(
         docs.where(F.col(text_col).isNotNull()), id_col, text_col, n_gram,
@@ -57,11 +70,30 @@ def contamination_pairs(
         ev = ev.join(F.broadcast(hot), on="sh", how="left_anti")
     # per-doc grams are already distinct (_shingle_frame array_distinct),
     # so count(*) after the gram join counts DISTINCT shared grams
-    return (
+    gram_pairs = (
         tr.join(F.broadcast(ev), on="sh")
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .where(F.col("n_shared_grams") >= min_overlap)
+    )
+    short_ev = eval_docs.where(F.col(eval_text_col).isNotNull()).selectExpr(
+        f"{eval_id_col} AS eval_id", f"lower({eval_text_col}) AS _ev_lt"
+    ).where(
+        F.expr(f"size(split(lower({eval_text_col}), ' ')) < {n_gram}")
+        & (F.length("_ev_lt") > 0)
+    )
+    contain_pairs = (
+        docs.where(F.col(text_col).isNotNull())
+        .selectExpr(f"{id_col} AS doc_id", f"lower({text_col}) AS _tr_lt")
+        .join(F.broadcast(short_ev), F.expr("instr(_tr_lt, _ev_lt) >= 1"))
+        .select(
+            "doc_id", "eval_id", F.lit(1).cast("long").alias("n_shared_grams")
+        )
+    )
+    return (
+        gram_pairs.unionByName(contain_pairs)
+        .groupBy("doc_id", "eval_id")
+        .agg(F.max("n_shared_grams").alias("n_shared_grams"))
     )
 
 

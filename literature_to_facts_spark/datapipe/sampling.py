@@ -204,7 +204,12 @@ def sample_to_token_budget(
         .withColumn("_b", F.coalesce(F.col("_budget"), F.lit(int(default_budget))))
         .withColumn(
             "_cls",
-            F.when(F.col("_off") + F.col("_bw") <= F.col("_b"), F.lit("full"))
+            # strict <: a bucket whose cumulative sum lands EXACTLY on the
+            # budget may end with zero-weight rows (empty/NULL text) whose
+            # cum-before equals the budget — the naive prefix drops those,
+            # so the exact-boundary bucket must route through the per-row
+            # window, not pass wholesale
+            F.when(F.col("_off") + F.col("_bw") < F.col("_b"), F.lit("full"))
             .when(F.col("_off") < F.col("_b"), F.lit("boundary"))
             .otherwise(F.lit("drop")),
         )

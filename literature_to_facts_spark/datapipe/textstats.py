@@ -168,8 +168,12 @@ def with_repetition(
     texts yield 0 ratios (nothing repeats in nothing) — NULL text yields
     NULL, matching the other textstats columns.
     """
+    # explicit NULL arm: without it a NULL token array falls through to the
+    # empty-array ELSE, making dup_ngram_frac 0.0 while the sibling ratios
+    # are NULL — an inconsistent "clean" signal for an unknown document
     grams = (
-        f"CASE WHEN size(_toks) >= {n_gram} THEN "
+        f"CASE WHEN _toks IS NULL THEN CAST(NULL AS array<string>) "
+        f"WHEN size(_toks) >= {n_gram} THEN "
         f"transform(sequence(0, size(_toks) - {n_gram}), "
         f"i -> concat_ws(' ', slice(_toks, i + 1, {n_gram}))) "
         f"ELSE CAST(array() AS array<string>) END"

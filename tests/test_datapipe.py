@@ -1207,6 +1207,45 @@ def test_sample_to_token_budget(spark, documents):
     assert got2 == expected
 
 
+def test_sample_to_token_budget_exact_boundary_zero_weight(spark):
+    """Round-5 review repro: when a bucket's cumulative sum lands EXACTLY
+    on the budget, trailing zero-weight rows (empty/NULL text) have
+    cum-before == budget and must be DROPPED (strict prefix) — a wholesale
+    'full' bucket classification kept them."""
+    from pyspark.sql import Window
+
+    from literature_to_facts_spark.datapipe.sampling import (
+        _h52,
+        sample_to_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "g", 50 if i <= 10 else 0) for i in range(1, 15)],
+        "doc_id long, lang string, w long",
+    )
+    budget = {"g": 100}
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = {
+        r["doc_id"]
+        for r in docs.withColumn("_h", _h52("doc_id"))
+        .withColumn("_cb", F.coalesce(F.sum("w").over(w), F.lit(0)))
+        .where(F.col("_cb") < 100)
+        .collect()
+    }
+    for nb in (1, 2, 4096):
+        got = {
+            r["doc_id"]
+            for r in sample_to_token_budget(
+                docs, budget, weight_col="w", n_hash_buckets=nb
+            ).collect()
+        }
+        assert got == naive, f"n_hash_buckets={nb}"
+
+
 def test_decontamination(spark):
     """Training docs sharing >= min_overlap distinct n-grams with any eval
     doc are flagged (and only those); eval_df_cap drops benchmark
@@ -1256,6 +1295,21 @@ def test_decontamination(spark):
     assert "BroadcastHashJoin" in final
     assert final.count("Exchange hashpartitioning") == 1
 
+    # short eval items (< n_gram tokens) match by CONTAINMENT: gram
+    # equality can never fire for them (round-5 review finding) — and
+    # containment is exempt from min_overlap (categorical contamination)
+    ev2 = spark.createDataFrame(
+        [(200, "training text"), (201, "zz qq")], "doc_id long, text string"
+    )
+    got2 = {
+        (r["doc_id"], r["eval_id"])
+        for r in contamination_pairs(tr, ev2, n_gram=4, min_overlap=2).collect()
+    }
+    assert got2 == {(2, 200)}  # 'training text' ⊂ doc 2; 'zz qq' nowhere
+    assert {r["doc_id"] for r in decontaminate(tr, ev2, n_gram=4).collect()} == {
+        1, 3, 4,
+    }
+
 
 def test_repetition_metrics(spark):
     """Degenerate looping text scores near 1, varied text near 0; empty
@@ -1281,6 +1335,7 @@ def test_repetition_metrics(spark):
     assert rows[2]["top_word_frac"] == round(1 / 6, 6)
     assert rows[3]["dup_word_frac"] == 0.0 and rows[3]["top_word_frac"] == 0.0
     assert rows[4]["dup_word_frac"] is None and rows[4]["top_word_frac"] is None
+    assert rows[4]["dup_ngram_frac"] is None  # consistent NULL, not 0.0
     # "a b" x3: 6 tokens 2 distinct; 5 bigrams, 2 distinct; top token 3/6
     assert rows[5]["dup_word_frac"] == round(1 - 2 / 6, 6)
     assert rows[5]["dup_ngram_frac"] == round(1 - 2 / 5, 6)
