@@ -1069,6 +1069,119 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+# -- shared parameters for the round-5 text-cleaning / mixture queries: the
+# -- generated oracles interpolate THESE SAME constants, so operator params
+# -- and oracle SQL cannot drift (the CLAUDE.md sync invariant).
+_LINE_DEDUP_MIN_DF = 2
+_LINE_DEDUP_MIN_CHARS = 10
+_MIXTURE_TOKEN_BUDGET = 200_000
+
+# Deterministic PII synthesis: the corpus text carries no real PII, so the
+# query plants one email + phone + IPv4 on every third document (engine-
+# portable string ops only).  {c1}..{c4} are the engine's string-cast exprs.
+_PII_SUFFIX = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', {c1}, "
+    "'@example.com or +12 345-678-', lpad({c2}, 4, '0'), "
+    "' ip 10.0.', {c3}, '.', {c4}) ELSE '' END"
+)
+_PII_SUFFIX_SPARK = _PII_SUFFIX.format(
+    c1="cast(doc_id as string)",
+    c2="cast(doc_id % 10000 as string)",
+    c3="cast(doc_id % 256 as string)",
+    c4="cast(doc_id % 250 as string)",
+)
+_PII_SUFFIX_DUCK = _PII_SUFFIX.format(
+    c1="CAST(doc_id AS VARCHAR)",
+    c2="CAST(doc_id % 10000 AS VARCHAR)",
+    c3="CAST(doc_id % 256 AS VARCHAR)",
+    c4="CAST(doc_id % 250 AS VARCHAR)",
+)
+
+
+def q_text_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup (datapipe/textclean.line_dedup):
+    every line occurring in >= 2 distinct documents is removed from ALL of
+    them; short lines (< 10 trimmed chars) never participate.  The corpus
+    text is single-line, so the query first splits sentences onto lines
+    (replace '. ' -> '.\\n' — engine-portable), giving the operator a real
+    multi-line corpus with genuinely shared boilerplate sentences.  Full SQL
+    oracle recomputes the md5-keyed frequency table end-to-end."""
+    from literature_to_facts_spark.datapipe.textclean import line_dedup
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id", "replace(text, '. ', concat('.', chr(10))) AS text"
+    )
+    out = line_dedup(
+        docs, min_df=_LINE_DEDUP_MIN_DF, min_line_chars=_LINE_DEDUP_MIN_CHARS
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text",
+        "n_lines",
+        "n_dropped",
+    )
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII detection + masking (datapipe/textclean.pii_redact): emails, IPv4
+    addresses and phone numbers counted on the original text and masked
+    sequentially.  RE2-compatible ASCII regexes so Spark's java.util.regex
+    and DuckDB's RE2 agree match-for-match; the PII itself is synthesized
+    deterministically (every third doc).  Pure per-row expressions — zero
+    shuffle."""
+    from literature_to_facts_spark.datapipe.textclean import pii_redact
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"concat(text, {_PII_SUFFIX_SPARK}) AS text"
+    )
+    out = pii_redact(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "has_pii",
+        "clean_text",
+    )
+
+
+def q_sample_mixture_weights(spark, sf_dir):
+    """Temperature mixture reweighting (datapipe/sampling.mixture_weights,
+    alpha=0.5): per-language token mass -> sqrt-temperature weight -> keep
+    fraction under a total token budget.  IEEE-exact arithmetic only
+    (sqrt + integer micro-units), so DuckDB recomputes the identical
+    fractions."""
+    from literature_to_facts_spark.datapipe.sampling import mixture_weights
+
+    return mixture_weights(
+        _t(spark, sf_dir, "documents"),
+        token_budget=_MIXTURE_TOKEN_BUDGET,
+        group_col="lang",
+        weight_col="n_chars",
+        alpha=0.5,
+    ).select("lang", "n_docs", "n_tokens", "weight_micro", "sample_fraction")
+
+
+def q_sample_mixture_temperature(spark, sf_dir):
+    """The applied form of mixture_weights (datapipe/sampling.
+    sample_by_temperature): the per-group fractions broadcast-join back onto
+    the corpus as a deterministic hash filter — the corpus is never
+    shuffled, and the recipe is one lazy plan (no driver collect)."""
+    from literature_to_facts_spark.datapipe.sampling import sample_by_temperature
+
+    out = sample_by_temperature(
+        _t(spark, sf_dir, "documents"),
+        token_budget=_MIXTURE_TOKEN_BUDGET,
+        group_col="lang",
+        id_col="doc_id",
+        weight_col="n_chars",
+        alpha=0.5,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("lang").alias("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_melt": q_kg_triples_melt,
@@ -1125,6 +1238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "decontam_pairs": q_decontam_pairs,
         "decontam_purge": q_decontam_purge,
+        "text_line_dedup": q_text_line_dedup,
+        "text_pii_redact": q_text_pii_redact,
+        "sample_mixture_weights": q_sample_mixture_weights,
+        "sample_mixture_temperature": q_sample_mixture_temperature,
     }
 
 
@@ -1593,6 +1710,62 @@ _QUALITY_GATED_CTE = """t AS (
                           ELSE NULL END AS drop_reason
               FROM m
             )"""
+
+
+def _pii_oracle() -> str:
+    """DuckDB recomputation of pii_redact over the synthesized corpus: the
+    regexes come straight from textclean.PII_PATTERNS (RE2-compatible by
+    contract), so pattern edits propagate to the oracle automatically."""
+    from literature_to_facts_spark.datapipe.textclean import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    clean = "text"
+    for _, pat, mask in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{mask}', 'g')"
+    return f"""
+        WITH p AS (
+          SELECT doc_id, concat(text, {_PII_SUFFIX_DUCK}) AS text FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(len(regexp_extract_all(text, '{pats["email"]}')), 0)
+                    AS BIGINT) AS n_email,
+               CAST(coalesce(len(regexp_extract_all(text, '{pats["ipv4"]}')), 0)
+                    AS BIGINT) AS n_ipv4,
+               CAST(coalesce(len(regexp_extract_all(text, '{pats["phone"]}')), 0)
+                    AS BIGINT) AS n_phone,
+               (len(regexp_extract_all(text, '{pats["email"]}')) > 0
+                OR len(regexp_extract_all(text, '{pats["ipv4"]}')) > 0
+                OR len(regexp_extract_all(text, '{pats["phone"]}')) > 0) AS has_pii,
+               {clean} AS clean_text
+        FROM p
+    """
+
+
+def _mixture_weights_oracle() -> str:
+    """mixture_weights(alpha=0.5) recomputed end-to-end: sqrt is correctly
+    rounded under IEEE-754 and the weights are exact integer micro-units, so
+    the fractions are bit-identical (see datapipe/sampling.py)."""
+    return f"""
+        WITH g AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang
+        ),
+        w AS (
+          SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                         AS BIGINT) AS weight_micro
+          FROM g
+        ),
+        s AS (SELECT *, SUM(weight_micro) OVER () AS w_sum FROM w)
+        SELECT lang, n_docs, n_tokens, weight_micro,
+               CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE least(CAST(1.0 AS DOUBLE),
+                      round((CAST({_MIXTURE_TOKEN_BUDGET} AS DOUBLE)
+                             * CAST(weight_micro AS DOUBLE))
+                            / (CAST(w_sum AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+                            6)) END AS sample_fraction
+        FROM s
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2236,5 +2409,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events
             GROUP BY 1, 2
+        """,
+        "text_line_dedup": f"""
+            WITH m AS (
+              SELECT doc_id, replace(text, '. ', '.' || chr(10)) AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, u.pos AS pos, u.line AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+                    FROM m WHERE text IS NOT NULL),
+                   UNNEST(list_transform(range(1, len(parts) + 1),
+                          i -> {{'pos': i, 'line': parts[i]}})) AS t(u)
+            ),
+            keyed AS (
+              SELECT doc_id, pos, line,
+                     CASE WHEN length(trim(line)) >= {_LINE_DEDUP_MIN_CHARS}
+                          THEN {_H1.format(x="line")} END AS key_e
+              FROM lines
+            ),
+            freq AS (
+              SELECT key_e AS fkey FROM keyed WHERE key_e IS NOT NULL
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_LINE_DEDUP_MIN_DF}
+            )
+            SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+                   coalesce(string_agg(CASE WHEN f.fkey IS NULL THEN k.line END,
+                                       chr(10) ORDER BY k.pos), '') AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(f.fkey) AS BIGINT) AS n_dropped
+            FROM keyed k LEFT JOIN freq f ON k.key_e = f.fkey
+            GROUP BY k.doc_id
+        """,
+        "text_pii_redact": _pii_oracle(),
+        "sample_mixture_weights": _mixture_weights_oracle(),
+        "sample_mixture_temperature": f"""
+            WITH fr AS (
+              SELECT lang,
+                     CAST(FLOOR(sample_fraction * 1000000 + 0.5) AS BIGINT) AS t
+              FROM ({_mixture_weights_oracle()})
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang AS lang
+            FROM documents d JOIN fr USING (lang)
+            WHERE {_H1.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000 < fr.t
         """,
     }

@@ -230,3 +230,115 @@ def sample_to_token_budget(
         .drop("_cb")
     )
     return full.unionByName(boundary).select(*docs.columns)
+
+
+def mixture_weights(
+    docs: DataFrame,
+    token_budget: int,
+    group_col: str = "lang",
+    weight_col: str = "n_chars",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-training
+    recipe: sample group g with probability proportional to p_g^alpha, so
+    low-resource groups are up-sampled relative to their natural share).
+
+    Returns one row per group: ``(group_col, n_docs, n_tokens, weight_micro,
+    sample_fraction)`` where ``sample_fraction`` is the per-group keep
+    fraction that makes the EXPECTED sampled token mass proportional to
+    ``n_tokens ** alpha`` under a total budget of ``token_budget`` tokens
+    (capped at 1.0 — a group cannot supply more than it has; the cap means
+    the realized total can undershoot the budget when a small group's
+    target exceeds its size, which is the standard behaviour).
+
+    Bit-portability (the reason ``alpha`` is restricted): general ``p**alpha``
+    goes through libm ``pow``, which differs in the last ulp across engines
+    and would break the DuckDB oracle.  The three supported temperatures
+    use only IEEE-exact operations — ``sqrt`` (correctly rounded by
+    IEEE-754), multiplication and division — with weights snapped to exact
+    integer micro-units (the IVF Lloyd-means pattern), so every engine
+    computes the identical fractions:
+
+    * ``alpha=0.5`` — ``weight_micro = FLOOR(sqrt(n_tokens) * 1e6 + 0.5)``
+    * ``alpha=1.0`` — natural share (``weight_micro = n_tokens * 1e6``)
+    * ``alpha=0.0`` — uniform over groups (``weight_micro = 1e6``)
+
+    Scale: one partial-aggregated shuffle carrying one row per (group,
+    map-partition), then a window over the tiny per-group frame for the
+    weight-sum denominator.  The corpus itself is touched once.
+    """
+    if alpha == 0.5:
+        w_expr = "cast(floor(sqrt(cast(_grp_tokens as double)) * 1000000 + 0.5) as bigint)"
+    elif alpha == 1.0:
+        w_expr = "_grp_tokens * cast(1000000 as bigint)"
+    elif alpha == 0.0:
+        w_expr = "cast(1000000 as bigint)"
+    else:
+        raise ValueError(
+            "alpha must be one of 0.5, 1.0, 0.0 (IEEE-exact temperatures; "
+            f"general pow() is not bit-portable across engines), got {alpha}"
+        )
+    grouped = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.col(weight_col).cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("_grp_tokens"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        grouped.selectExpr(group_col, "n_docs", "_grp_tokens", f"{w_expr} AS weight_micro")
+        .withColumn("_w_sum", F.sum("weight_micro").over(w_all))
+        .selectExpr(
+            group_col,
+            "n_docs",
+            "_grp_tokens AS n_tokens",
+            "weight_micro",
+            # target_g = budget * w_g / sum(w); fraction = min(1, target/n_tokens).
+            # Integer inputs, one mult + one div (each exactly rounded), then a
+            # 6dp round: identical in every IEEE engine evaluating this tree.
+            "CASE WHEN _grp_tokens = 0 THEN cast(0.0 as double) ELSE least("
+            f"  cast(1.0 as double), round((cast({int(token_budget)} as double)"
+            "   * cast(weight_micro as double))"
+            "   / (cast(_w_sum as double) * cast(_grp_tokens as double)), 6)"
+            ") END AS sample_fraction",
+        )
+    )
+
+
+def sample_by_temperature(
+    docs: DataFrame,
+    token_budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Apply :func:`mixture_weights` as a deterministic hash sample: keep a
+    row iff ``hash(id) mod 1e6 < round(sample_fraction * 1e6)`` — the same
+    keep rule (and the same nesting property) as
+    :func:`sample_fraction_by_group`, with the fractions COMPUTED from the
+    corpus instead of hand-specified.
+
+    Fully declarative: the per-group fractions stay a (tiny) DataFrame that
+    broadcast-joins back onto the corpus — no driver collect, so the whole
+    recipe is one lazy plan.  Scale cost: one aggregate over the corpus for
+    the weights, one broadcast hash-probe per row for the filter; the corpus
+    is never shuffled.
+    """
+    weights = mixture_weights(
+        docs,
+        token_budget=token_budget,
+        group_col=group_col,
+        weight_col=weight_col,
+        alpha=alpha,
+    ).selectExpr(
+        group_col,
+        "cast(floor(sample_fraction * 1000000 + 0.5) as bigint) AS _frac_micro",
+    )
+    bucket = F.pmod(_h52(id_col), F.lit(_HASH_MOD))
+    return (
+        docs.join(F.broadcast(weights), on=group_col, how="inner")
+        .where(bucket < F.col("_frac_micro"))
+        .drop("_frac_micro")
+        .select(*docs.columns)
+    )

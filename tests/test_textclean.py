@@ -1,0 +1,298 @@
+"""Tests for datapipe/textclean (line dedup + PII redaction) and the
+temperature-mixture samplers in datapipe/sampling."""
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _h52(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+BOILER = "This cookie banner appears everywhere."
+UNIQ = {
+    1: "Document one says something original here.",
+    2: "Document two has its own unique content.",
+    3: "Document three is entirely boilerplate free.",
+}
+
+
+@pytest.fixture(scope="module")
+def line_docs(spark):
+    rows = [
+        (1, f"{BOILER}\n{UNIQ[1]}\n--"),
+        (2, f"{UNIQ[2]}\n{BOILER}\n--"),
+        # doc 3: boilerplate repeated INSIDE one doc — counts once toward
+        # df, but every occurrence is removed
+        (3, f"{BOILER}\n{BOILER}\n{UNIQ[3]}"),
+        # doc 4: all lines frequent -> clean_text ''
+        (4, BOILER),
+        (5, None),
+        # doc 6: empty text -> one empty (short, kept) line
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_line_dedup_semantics(spark, line_docs):
+    from literature_to_facts_spark.datapipe.textclean import line_dedup
+
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(line_docs, min_df=2, min_line_chars=10).collect()
+    }
+    # NULL text excluded entirely
+    assert set(out) == {1, 2, 3, 4, 6}
+    # the shared long line is removed from every document; the short '--'
+    # separator is frequent too (docs 1+2) but below min_line_chars -> kept
+    assert out[1]["clean_text"] == f"{UNIQ[1]}\n--"
+    assert out[1]["n_lines"] == 3 and out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == f"{UNIQ[2]}\n--"
+    # in-document repetition: both occurrences removed
+    assert out[3]["clean_text"] == UNIQ[3]
+    assert out[3]["n_lines"] == 3 and out[3]["n_dropped"] == 2
+    # everything dropped -> empty string (not NULL)
+    assert out[4]["clean_text"] == "" and out[4]["n_dropped"] == 1
+    # empty text -> one kept empty line
+    assert out[6]["clean_text"] == "" and out[6]["n_lines"] == 1
+    assert out[6]["n_dropped"] == 0
+
+
+def test_line_dedup_df_counts_documents_not_occurrences(spark):
+    """A line occurring twice in ONE document only does not reach min_df=2."""
+    from literature_to_facts_spark.datapipe.textclean import line_dedup
+
+    ln = "A line repeated twice within a single document."
+    docs = spark.createDataFrame([(1, f"{ln}\n{ln}")], ["doc_id", "text"])
+    row = line_dedup(docs, min_df=2, min_line_chars=10).collect()[0]
+    assert row["clean_text"] == f"{ln}\n{ln}" and row["n_dropped"] == 0
+
+
+def test_line_dedup_min_df_validation(spark, line_docs):
+    from literature_to_facts_spark.datapipe.textclean import line_dedup
+
+    with pytest.raises(ValueError, match="min_df"):
+        line_dedup(line_docs, min_df=1)
+
+
+def test_line_dedup_broadcast_path_matches_and_saves_a_shuffle(spark, line_docs):
+    from literature_to_facts_spark.datapipe.textclean import line_dedup
+
+    base = line_dedup(line_docs, min_df=2, min_line_chars=10)
+    bcast = line_dedup(line_docs, min_df=2, min_line_chars=10, broadcast_frequent=True)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, bcast.collect()))
+    # default: 4 exchanges — count(DISTINCT doc) is two-phase (key,id then
+    # key), plus the lines-by-key join shuffle, plus doc reassembly;
+    # broadcast drops the lines-by-key shuffle (the exploded corpus is never
+    # shuffled by line key)
+    p_base = base._jdf.queryExecution().executedPlan().toString()
+    p_bcast = bcast._jdf.queryExecution().executedPlan().toString()
+    f_base = p_base.split("== Initial Plan ==")[0]
+    f_bcast = p_bcast.split("== Initial Plan ==")[0]
+    assert f_base.count("Exchange hashpartitioning") == 4
+    assert "BroadcastHashJoin" in f_bcast
+    assert f_bcast.count("Exchange hashpartitioning") == 3
+
+
+# ---------------------------------------------------------------------------
+# pii_redact
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_semantics(spark):
+    from literature_to_facts_spark.datapipe.textclean import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice.b@sub.example.org now"),
+            (2, "server at 192.168.0.1 and also 10.0.0.255."),
+            (3, "call +41 22 767 8914 or 555-123-4567 today"),
+            (4, "a numeric-TLD address a@1.2.3.4 is an ip, not an email"),
+            (5, "nothing to see"),
+            (6, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["clean_text"] == "mail <EMAIL> now"
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["clean_text"] == "server at <IP> and also <IP>."
+    assert out[3]["n_phone"] == 2
+    assert out[3]["clean_text"] == "call <PHONE> or <PHONE> today"
+    # the email pattern requires an alphabetic TLD, so a@1.2.3.4 is NOT an
+    # email — only its ip is detected (and masked)
+    assert out[4]["n_email"] == 0 and out[4]["n_ipv4"] == 1
+    assert out[4]["clean_text"] == "a numeric-TLD address a@<IP> is an ip, not an email"
+    assert out[5]["has_pii"] is False and out[5]["clean_text"] == "nothing to see"
+    assert out[6]["n_email"] == 0 and out[6]["has_pii"] is False
+    assert out[6]["clean_text"] is None
+
+
+def test_pii_redact_zero_shuffle_plan(spark):
+    from literature_to_facts_spark.datapipe.textclean import pii_redact
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = pii_redact(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pii_cross_engine_fuzz(spark):
+    """Seeded fuzz: Java regex (Spark) and RE2 (DuckDB) must agree on counts
+    AND the redacted text — the RE2-compatible-subset contract of
+    PII_PATTERNS."""
+    import duckdb
+
+    from literature_to_facts_spark.datapipe.textclean import PII_PATTERNS, pii_redact
+
+    rng = random.Random(4242)
+    snippets = [
+        "bob@example.com",
+        "x.y+z@a-b.co",
+        "@not.an.email",
+        "1.2.3.4",
+        "999.999.999.999",
+        "1.2.3.4.5",
+        "+12 345-678-9012",
+        "+123456789",
+        "555-123-4567",
+        "5551234567",
+        "word",
+        "a@b",
+        "127.0.0.1:8080",
+        "+1 2",
+        "émile@café.fr",
+        "12.34",
+        "...",
+        "call+41 22 767 8914now",
+    ]
+    rows = []
+    for i in range(150):
+        n = rng.randint(0, 6)
+        rows.append((i, " ".join(rng.choice(snippets) for _ in range(n))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"], r["clean_text"])
+        for r in pii_redact(docs).collect()
+    }
+    con = duckdb.connect()
+    clean = "text"
+    for _, pat, mask in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{mask}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"SELECT doc_id, {counts}, {clean} AS clean_text FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mixture_weights / sample_by_temperature
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    rows = []
+    i = 0
+    for lang, n, chars in [("en", 40, 1000), ("de", 10, 400), ("xx", 2, 0)]:
+        for _ in range(n):
+            rows.append((i, lang, chars))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+
+
+def test_mixture_weights_alpha_half(spark, mix_docs):
+    from literature_to_facts_spark.datapipe.sampling import mixture_weights
+
+    out = {
+        r["lang"]: r
+        for r in mixture_weights(mix_docs, token_budget=10_000, alpha=0.5).collect()
+    }
+    toks = {"en": 40_000, "de": 4_000, "xx": 0}
+    w = {g: math.floor(math.sqrt(t) * 1e6 + 0.5) for g, t in toks.items()}
+    s = sum(w.values())
+    for g in toks:
+        assert out[g]["n_tokens"] == toks[g]
+        assert out[g]["weight_micro"] == w[g]
+        if toks[g] == 0:
+            assert out[g]["sample_fraction"] == 0.0
+        else:
+            expect = min(1.0, round(10_000.0 * w[g] / (float(s) * toks[g]), 6))
+            assert out[g]["sample_fraction"] == expect
+    # sqrt temperature up-samples the small group relative to natural share
+    assert out["de"]["sample_fraction"] > out["en"]["sample_fraction"]
+
+
+def test_mixture_weights_other_alphas(spark, mix_docs):
+    from literature_to_facts_spark.datapipe.sampling import mixture_weights
+
+    nat = {
+        r["lang"]: r["sample_fraction"]
+        for r in mixture_weights(mix_docs, token_budget=10_000, alpha=1.0).collect()
+    }
+    # alpha=1: expected kept tokens proportional to group mass -> equal
+    # fractions for every non-empty group (budget/total)
+    assert nat["en"] == nat["de"] == round(10_000 / 44_000, 6)
+    uni = {
+        r["lang"]: r
+        for r in mixture_weights(mix_docs, token_budget=10_000, alpha=0.0).collect()
+    }
+    assert uni["en"]["weight_micro"] == uni["xx"]["weight_micro"] == 1_000_000
+    with pytest.raises(ValueError, match="alpha"):
+        mixture_weights(mix_docs, token_budget=10_000, alpha=0.7)
+
+
+def test_sample_by_temperature_keep_rule_and_plan(spark, mix_docs):
+    from literature_to_facts_spark.datapipe.sampling import (
+        mixture_weights,
+        sample_by_temperature,
+    )
+
+    out = sample_by_temperature(mix_docs, token_budget=10_000, alpha=0.5)
+    kept = {r["doc_id"] for r in out.collect()}
+    fr = {
+        r["lang"]: round(r["sample_fraction"] * 1e6)
+        for r in mixture_weights(mix_docs, token_budget=10_000, alpha=0.5).collect()
+    }
+    for row in mix_docs.collect():
+        keep = _h52(str(row["doc_id"])) % 1_000_000 < fr[row["lang"]]
+        assert (row["doc_id"] in kept) == keep
+    assert out.columns == mix_docs.columns
+    # corpus side is never shuffled: the only Exchange hashpartitioning is
+    # the tiny per-group aggregate feeding the broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_sample_by_temperature_nests(spark, mix_docs):
+    """A smaller budget's sample is a subset of a larger one's (same hash
+    order per id, monotone fractions)."""
+    from literature_to_facts_spark.datapipe.sampling import sample_by_temperature
+
+    small = {
+        r["doc_id"]
+        for r in sample_by_temperature(mix_docs, token_budget=5_000).collect()
+    }
+    large = {
+        r["doc_id"]
+        for r in sample_by_temperature(mix_docs, token_budget=20_000).collect()
+    }
+    assert small <= large
