@@ -1145,6 +1145,34 @@ def q_text_pii_redact(spark, sf_dir):
     )
 
 
+def q_text_line_dedup_incremental(spark, sf_dir):
+    """Delta line dedup (datapipe/textclean.line_dedup_incremental — the
+    fifth probe-shaped incremental family): the new batch (doc_id % 5 == 0)
+    cleaned against COMBINED old+new line frequencies using only the
+    persisted (line_key, df) index — history text never re-split.  Oracle =
+    the full-corpus line dedup restricted to the new batch's ids."""
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_line_frequency_index,
+        line_dedup_incremental,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id", "replace(text, '. ', concat('.', chr(10))) AS text"
+    )
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    idx = build_line_frequency_index(old, min_line_chars=_LINE_DEDUP_MIN_CHARS)
+    out = line_dedup_incremental(
+        new, idx, min_df=_LINE_DEDUP_MIN_DF, min_line_chars=_LINE_DEDUP_MIN_CHARS
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text",
+        "n_lines",
+        "n_dropped",
+    )
+
+
 def q_sample_mixture_weights(spark, sf_dir):
     """Temperature mixture reweighting (datapipe/sampling.mixture_weights,
     alpha=0.5): per-language token mass -> sqrt-temperature weight -> keep
@@ -1239,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_pairs": q_decontam_pairs,
         "decontam_purge": q_decontam_purge,
         "text_line_dedup": q_text_line_dedup,
+        "text_line_dedup_incremental": q_text_line_dedup_incremental,
         "text_pii_redact": q_text_pii_redact,
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_mixture_temperature": q_sample_mixture_temperature,
@@ -1710,6 +1739,44 @@ _QUALITY_GATED_CTE = """t AS (
                           ELSE NULL END AS drop_reason
               FROM m
             )"""
+
+
+def _line_dedup_oracle(restrict: str | None = None) -> str:
+    """Full-corpus CCNet line dedup over the sentence-per-line synthesized
+    corpus; ``restrict`` filters the OUTPUT rows only (frequencies always
+    come from the whole corpus) — the incremental query's contract."""
+    where = f"HAVING {restrict}" if restrict else ""
+    return f"""
+        WITH m AS (
+          SELECT doc_id, replace(text, '. ', '.' || chr(10)) AS text
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, u.pos AS pos, u.line AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+                FROM m WHERE text IS NOT NULL),
+               UNNEST(list_transform(range(1, len(parts) + 1),
+                      i -> {{'pos': i, 'line': parts[i]}})) AS t(u)
+        ),
+        keyed AS (
+          SELECT doc_id, pos, line,
+                 CASE WHEN length(trim(line)) >= {_LINE_DEDUP_MIN_CHARS}
+                      THEN {_H1.format(x="line")} END AS key_e
+          FROM lines
+        ),
+        freq AS (
+          SELECT key_e AS fkey FROM keyed WHERE key_e IS NOT NULL
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_LINE_DEDUP_MIN_DF}
+        )
+        SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+               coalesce(string_agg(CASE WHEN f.fkey IS NULL THEN k.line END,
+                                   chr(10) ORDER BY k.pos), '') AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(f.fkey) AS BIGINT) AS n_dropped
+        FROM keyed k LEFT JOIN freq f ON k.key_e = f.fkey
+        GROUP BY k.doc_id
+        {where}
+    """
 
 
 def _pii_oracle() -> str:
@@ -2410,36 +2477,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
-        "text_line_dedup": f"""
-            WITH m AS (
-              SELECT doc_id, replace(text, '. ', '.' || chr(10)) AS text
-              FROM documents
-            ),
-            lines AS (
-              SELECT doc_id, u.pos AS pos, u.line AS line
-              FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
-                    FROM m WHERE text IS NOT NULL),
-                   UNNEST(list_transform(range(1, len(parts) + 1),
-                          i -> {{'pos': i, 'line': parts[i]}})) AS t(u)
-            ),
-            keyed AS (
-              SELECT doc_id, pos, line,
-                     CASE WHEN length(trim(line)) >= {_LINE_DEDUP_MIN_CHARS}
-                          THEN {_H1.format(x="line")} END AS key_e
-              FROM lines
-            ),
-            freq AS (
-              SELECT key_e AS fkey FROM keyed WHERE key_e IS NOT NULL
-              GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_LINE_DEDUP_MIN_DF}
-            )
-            SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
-                   coalesce(string_agg(CASE WHEN f.fkey IS NULL THEN k.line END,
-                                       chr(10) ORDER BY k.pos), '') AS clean_text,
-                   CAST(count(*) AS BIGINT) AS n_lines,
-                   CAST(count(f.fkey) AS BIGINT) AS n_dropped
-            FROM keyed k LEFT JOIN freq f ON k.key_e = f.fkey
-            GROUP BY k.doc_id
-        """,
+        "text_line_dedup": _line_dedup_oracle(),
+        "text_line_dedup_incremental": _line_dedup_oracle(restrict="k.doc_id % 5 = 0"),
         "text_pii_redact": _pii_oracle(),
         "sample_mixture_weights": _mixture_weights_oracle(),
         "sample_mixture_temperature": f"""

@@ -102,6 +102,9 @@ HEADLINE = [
     "text_repetition",
     "decontam_pairs",
     "sample_token_budget",
+    "text_line_dedup",
+    "text_pii_redact",
+    "sample_mixture_temperature",
 ]
 
 

@@ -260,19 +260,31 @@ def mixture_weights(
     computes the identical fractions:
 
     * ``alpha=0.5`` — ``weight_micro = FLOOR(sqrt(n_tokens) * 1e6 + 0.5)``
-    * ``alpha=1.0`` — natural share (``weight_micro = n_tokens * 1e6``)
-    * ``alpha=0.0`` — uniform over groups (``weight_micro = 1e6``)
+    * ``alpha=1.0`` — natural share (``weight_micro = n_tokens``; the
+      fraction uses only the ratio w/sum(w), so no 1e6 scale — which would
+      overflow BIGINT under ANSI mode past ~9e12 total tokens)
+    * ``alpha=0.0`` — uniform over groups (``weight_micro = 1``)
+
+    Rows whose group value is NULL aggregate into a NULL-group weight row
+    like any other group, but :func:`sample_by_temperature`'s join can never
+    match them (NULL != NULL in SQL), so they are never sampled — identical
+    semantics in the DuckDB oracle.
 
     Scale: one partial-aggregated shuffle carrying one row per (group,
     map-partition), then a window over the tiny per-group frame for the
     weight-sum denominator.  The corpus itself is touched once.
     """
+    # The fraction formula uses only the RATIO w_g / sum(w), so each alpha
+    # picks whatever integer scale keeps it exact AND overflow-safe under
+    # ANSI mode: micro-units capture sqrt's fractional part; alpha=1/0 are
+    # already integers, and scaling alpha=1 by 1e6 would overflow BIGINT at
+    # corpus sizes past ~9e12 tokens (1e14-token groups are real at 100 TB).
     if alpha == 0.5:
         w_expr = "cast(floor(sqrt(cast(_grp_tokens as double)) * 1000000 + 0.5) as bigint)"
     elif alpha == 1.0:
-        w_expr = "_grp_tokens * cast(1000000 as bigint)"
+        w_expr = "_grp_tokens"
     elif alpha == 0.0:
-        w_expr = "cast(1000000 as bigint)"
+        w_expr = "cast(1 as bigint)"
     else:
         raise ValueError(
             "alpha must be one of 0.5, 1.0, 0.0 (IEEE-exact temperatures; "

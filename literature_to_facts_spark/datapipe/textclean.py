@@ -10,11 +10,16 @@ fully DuckDB-oracled:
   than ``min_line_chars`` after trim never participate (they are kept
   verbatim — dropping every blank line or ``---`` separator would destroy
   document structure, which is also CCNet's rule).
+* :func:`line_dedup_incremental` / :func:`build_line_frequency_index` — the
+  delta mode (fifth probe-shaped incremental family): a new batch is cleaned
+  against COMBINED old+new line frequencies using only a persisted
+  (line_key, df) index — history text is never re-split, and the history
+  side of the probe plans with zero Exchange over a bucketed catalog table.
 * :func:`pii_redact` — regex detection + masking of emails, IPv4 addresses
   and phone numbers, with per-document match counts computed on the
   ORIGINAL text (the counts are an audit artifact; masking is sequential,
-  emails first, so an address like ``a@1.2.3.4`` is counted by both the
-  email and IPv4 counters but masked once, as an email).
+  and the email pattern requires an alphabetic TLD, so ``a@1.2.3.4``
+  counts as an IPv4 hit, not an email).
 
 Portability contract (the repo-wide invariant): line keys use the md5-derived
 52-bit hash family (DuckDB recomputes them bit-exactly) and every regex is
@@ -61,6 +66,54 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def _lines(
+    docs: DataFrame, id_col: str, text_col: str, min_line_chars: int
+) -> DataFrame:
+    """(_id, _pos, _line, _key) exploded line instances; ``_key`` is the
+    md5-family 52-bit line hash, NULL for lines below ``min_line_chars``
+    (NULL never matches a join, so short lines bypass both the frequency
+    count and the removal join without a separate branch)."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        )
+        .selectExpr(
+            "_id",
+            "_pos",
+            "_line",
+            f"CASE WHEN length(trim(_line)) >= {int(min_line_chars)}"
+            f" THEN {_h52('_line')} END AS _key",
+        )
+    )
+
+
+def _reassemble(flagged: DataFrame, id_col: str) -> DataFrame:
+    """Per-document ordered reassembly of surviving lines (rows whose
+    ``_fkey`` is NULL); dropped lines still count in ``n_dropped``."""
+    return flagged.groupBy(F.col("_id").alias(id_col)).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    # collect_list skips NULLs: dropped lines vanish here
+                    # but still count below.
+                    F.collect_list(
+                        F.when(
+                            F.col("_fkey").isNull(),
+                            F.struct(F.col("_pos"), F.col("_line")),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count(F.col("_fkey")).cast("bigint").alias("n_dropped"),
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -93,22 +146,7 @@ def line_dedup(
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
-    lines = (
-        docs.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
-        )
-        .selectExpr(
-            "_id",
-            "_pos",
-            "_line",
-            # NULL key for short lines: NULL never matches a join, so they
-            # bypass both the frequency count and the removal join.
-            f"CASE WHEN length(trim(_line)) >= {int(min_line_chars)}"
-            f" THEN {_h52('_line')} END AS _key",
-        )
-    )
+    lines = _lines(docs, id_col, text_col, min_line_chars)
     freq = (
         lines.where(F.col("_key").isNotNull())
         .groupBy("_key")
@@ -119,29 +157,113 @@ def line_dedup(
     if broadcast_frequent:
         freq = F.broadcast(freq)
     flagged = lines.join(freq, lines["_key"] == freq["_fkey"], "left")
+    return _reassemble(flagged, id_col)
+
+
+def build_line_frequency_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """(line_key, df): one batch's per-line distinct-document counts of
+    eligible lines — the PERSISTED STATE of incremental line dedup.
+
+    APPEND-ONLY state (the delta-family convention): each batch appends its
+    own partial counts, so a line seen by k batches has k rows; probes SUM
+    the touched rows.  Summing per-batch distinct-document counts equals the
+    distinct count over the union because batch doc-id sets are disjoint
+    (the same contract every incremental family here relies on: re-crawled
+    documents get fresh ids upstream).  Write it with
+    ``datapipe.storage.write_bucketed(..., bucket_col="line_key")`` and the
+    per-batch probe aggregation plans with zero Exchange on the history
+    side (plan-pinned, same composition as the minhash band index)."""
     return (
-        flagged.groupBy(F.col("_id").alias(id_col))
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        # collect_list skips NULLs: dropped lines vanish here
-                        # but still count below.
-                        F.collect_list(
-                            F.when(
-                                F.col("_fkey").isNull(),
-                                F.struct(F.col("_pos"), F.col("_line")),
-                            )
-                        )
-                    ),
-                    lambda s: s["_line"],
-                ),
-            ).alias("clean_text"),
-            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            F.count(F.col("_fkey")).cast("bigint").alias("n_dropped"),
-        )
+        _lines(docs, id_col, text_col, min_line_chars)
+        .where(F.col("_key").isNotNull())
+        .groupBy(F.col("_key").alias("line_key"))
+        .agg(F.countDistinct("_id").cast("bigint").alias("df"))
     )
+
+
+def line_dedup_incremental(
+    new_docs: DataFrame,
+    old_index: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    min_line_chars: int = 10,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Delta line dedup: ``line_dedup(old ∪ new)`` RESTRICTED to the NEW
+    batch's documents — the operational mode at 100 TB, where re-splitting
+    the historical corpus per batch is the O(history) trap.
+
+    Line frequencies are computed over the COMBINED corpus (a line with one
+    historical and one new occurrence reaches ``min_df=2`` and is dropped
+    from the new document), but only new documents are re-emitted.  Like
+    every delta mode here the already-shipped history is immutable: a line
+    that becomes frequent only because of this batch is NOT retroactively
+    removed from historical documents (run the full :func:`line_dedup` for
+    a from-scratch rebuild).  History text is NEVER touched — only the
+    persisted :func:`build_line_frequency_index` rows (``old_index=None``
+    means no history yet: the first batch degenerates to full mode over the
+    batch).
+
+    PROBE-shaped (the five-family round-5 pattern): the batch's line keys
+    are BROADCAST and semi-join-filter the history index at its scan — only
+    index rows for lines the batch actually contains go anywhere, the
+    touched-key SUM runs directly on the filtered scan (no persist in
+    between — an InMemoryRelation under AQE reports unknown partitioning
+    and would force the Exchange back), and matched keys stream the
+    (distributed) old counts past a broadcast of the batch aggregate;
+    batch-only keys come from a scalar-keys anti join (a broadcast side can
+    never be outer-preserved).  Zero shuffle of the history, and zero
+    Exchange anywhere on its side over a ``write_bucketed("line_key")``
+    catalog table (plan-pinned).
+
+    The batch's exploded lines feed two consumers (the frequency aggregate
+    and the reassembly join); upstream is a narrow scan + split, so two
+    scan-fused passes beat materializing the exploded batch.  ``new_freq``
+    and ``matched`` are persisted (batch-sized, multiple consumers) and
+    appended to ``cache_registry`` when given so long-session callers can
+    unpersist per batch."""
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    if old_index is None:
+        old_index = new_docs.sparkSession.createDataFrame(
+            [], "line_key bigint, df bigint"
+        )
+    lines = _lines(new_docs, id_col, text_col, min_line_chars)
+    new_freq = (
+        lines.where(F.col("_key").isNotNull())
+        .groupBy(F.col("_key").alias("line_key"))
+        .agg(F.countDistinct("_id").cast("bigint").alias("_new_df"))
+        .persist()
+    )
+    touched_old = old_index.join(
+        F.broadcast(new_freq.select("line_key")), on="line_key", how="left_semi"
+    )
+    old_agg = touched_old.groupBy("line_key").agg(F.sum("df").alias("_old_df"))
+    matched = (
+        old_agg.join(F.broadcast(new_freq), on="line_key", how="inner").persist()
+    )
+    miss = new_freq.join(
+        F.broadcast(matched.select("line_key")), on="line_key", how="left_anti"
+    ).withColumn("_old_df", F.lit(0).cast("bigint"))
+    if cache_registry is not None:
+        cache_registry.extend([new_freq, matched])
+    cols = ["line_key", "_old_df", "_new_df"]
+    frequent = (
+        matched.select(*cols)
+        .unionByName(miss.select(*cols))
+        .where(F.col("_old_df") + F.col("_new_df") >= F.lit(int(min_df)))
+        .select(F.col("line_key").alias("_fkey"))
+    )
+    flagged = lines.join(
+        F.broadcast(frequent), lines["_key"] == F.col("_fkey"), "left"
+    )
+    return _reassemble(flagged, id_col)
 
 
 def pii_redact(

@@ -253,7 +253,7 @@ def test_mixture_weights_other_alphas(spark, mix_docs):
         r["lang"]: r
         for r in mixture_weights(mix_docs, token_budget=10_000, alpha=0.0).collect()
     }
-    assert uni["en"]["weight_micro"] == uni["xx"]["weight_micro"] == 1_000_000
+    assert uni["en"]["weight_micro"] == uni["xx"]["weight_micro"] == 1
     with pytest.raises(ValueError, match="alpha"):
         mixture_weights(mix_docs, token_budget=10_000, alpha=0.7)
 
@@ -282,6 +282,24 @@ def test_sample_by_temperature_keep_rule_and_plan(spark, mix_docs):
     assert final.count("Exchange hashpartitioning") == 1
 
 
+def test_sample_by_temperature_null_group_never_sampled(spark):
+    from literature_to_facts_spark.datapipe.sampling import (
+        mixture_weights,
+        sample_by_temperature,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", 100), (2, None, 100), (3, None, 100)],
+        ["doc_id", "lang", "n_chars"],
+    )
+    # the NULL group aggregates a weight row like any other ...
+    w = {r["lang"]: r for r in mixture_weights(docs, token_budget=50).collect()}
+    assert None in w and w[None]["n_docs"] == 2
+    # ... but the join can never match it, so its docs are never kept
+    kept = {r["doc_id"] for r in sample_by_temperature(docs, token_budget=1_000_000).collect()}
+    assert kept <= {1}
+
+
 def test_sample_by_temperature_nests(spark, mix_docs):
     """A smaller budget's sample is a subset of a larger one's (same hash
     order per id, monotone fractions)."""
@@ -296,3 +314,143 @@ def test_sample_by_temperature_nests(spark, mix_docs):
         for r in sample_by_temperature(mix_docs, token_budget=20_000).collect()
     }
     assert small <= large
+
+
+# ---------------------------------------------------------------------------
+# line_dedup_incremental (fifth probe-shaped delta family)
+# ---------------------------------------------------------------------------
+
+LN_CROSS = "A boilerplate line shared across the batch boundary."
+LN_OLD = "A line that was already frequent in the history."
+LN_NEW = "A line duplicated only inside the new batch itself."
+
+
+@pytest.fixture(scope="module")
+def delta_line_docs(spark):
+    rows = [
+        # history (ids % 5 != 0)
+        (1, f"{LN_CROSS}\n{UNIQ[1]}"),
+        (2, f"{LN_OLD}\nhistory doc two content line."),
+        (3, f"{LN_OLD}\nhistory doc three content line."),
+        (4, "history doc four is entirely unique text."),
+        # new batch (ids % 5 == 0)
+        (5, f"{LN_CROSS}\nnew doc five has its own line."),
+        (10, f"{LN_OLD}\n{LN_NEW}"),
+        (15, f"{LN_NEW}\nnew doc fifteen unique content."),
+        (20, "new doc twenty is fresh and unique."),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_line_dedup_incremental_equals_full_restricted(spark, delta_line_docs):
+    """Contract: full-corpus line_dedup restricted to the new batch's ids —
+    covering a line frequent only ACROSS the boundary (1 old + 1 new), one
+    already frequent in history alone, and one frequent only in-batch."""
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_line_frequency_index,
+        line_dedup,
+        line_dedup_incremental,
+    )
+
+    new = delta_line_docs.where(F.col("doc_id") % 5 == 0)
+    old = delta_line_docs.where(F.col("doc_id") % 5 != 0)
+    idx = build_line_frequency_index(old)
+    got = line_dedup_incremental(new, idx)
+    want = line_dedup(delta_line_docs).where(F.col("doc_id") % 5 == 0)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # spot-check the three scenarios
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert rows[5]["clean_text"] == "new doc five has its own line."  # cross-boundary dropped
+    assert rows[10]["clean_text"] == ""  # both lines frequent (old-frequent + in-batch dup)
+    assert rows[10]["n_dropped"] == 2
+    assert rows[20]["n_dropped"] == 0
+
+
+def test_line_dedup_incremental_first_batch(spark, delta_line_docs):
+    """old_index=None degenerates to full mode over the batch."""
+    from literature_to_facts_spark.datapipe.textclean import (
+        line_dedup,
+        line_dedup_incremental,
+    )
+
+    new = delta_line_docs.where(F.col("doc_id") % 5 == 0)
+    got = line_dedup_incremental(new, None)
+    want = line_dedup(new)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_line_dedup_incremental_two_batch_loop(spark, delta_line_docs, tmp_path):
+    """Operational loop: the index round-trips through parquet appends and
+    batch 2 sees batch 1's counts (the cross-boundary line is dropped from
+    the batch-2 doc even though each batch alone holds one occurrence)."""
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_line_frequency_index,
+        line_dedup_incremental,
+    )
+
+    path = str(tmp_path / "line_idx")
+    b1 = delta_line_docs.where(F.col("doc_id").isin(1, 2, 3, 4))
+    b2 = delta_line_docs.where(F.col("doc_id") % 5 == 0)
+    build_line_frequency_index(b1).write.mode("overwrite").parquet(path)
+    out2 = {
+        r["doc_id"]: r
+        for r in line_dedup_incremental(b2, spark.read.parquet(path)).collect()
+    }
+    assert out2[5]["clean_text"] == "new doc five has its own line."
+    build_line_frequency_index(b2).write.mode("append").parquet(path)
+    # a third batch holding one more LN_CROSS occurrence sees df=2 history
+    b3 = spark.createDataFrame([(25, f"{LN_CROSS}\nbatch three line.")], ["doc_id", "text"])
+    out3 = line_dedup_incremental(b3, spark.read.parquet(path)).collect()[0]
+    assert out3["clean_text"] == "batch three line." and out3["n_dropped"] == 1
+
+
+def test_line_dedup_incremental_bucketed_history_no_exchange(spark, delta_line_docs, tmp_path):
+    """Storage-layout composition: over a write_bucketed("line_key") catalog
+    table, the history side of the probe (broadcast semi-join filter ->
+    touched-key SUM) plans with ZERO Exchange — same pin as the other four
+    delta families."""
+    from literature_to_facts_spark.datapipe.storage import write_bucketed
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_line_frequency_index,
+        line_dedup_incremental,
+    )
+
+    new = delta_line_docs.where(F.col("doc_id") % 5 == 0)
+    old = delta_line_docs.where(F.col("doc_id") % 5 != 0)
+    idx = build_line_frequency_index(old)
+    try:
+        write_bucketed(idx, "t_line_idx", "line_key", 4, path=str(tmp_path / "idx"))
+        bucketed = line_dedup_incremental(new, spark.table("t_line_idx"))
+        raw = line_dedup_incremental(new, spark.read.parquet(str(tmp_path / "idx")))
+        assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, raw.collect()))
+        # the pinned fragment: semi-filtered bucketed scan -> SUM by line_key
+        batch_keys = build_line_frequency_index(new).select("line_key")
+        hist_agg = (
+            spark.table("t_line_idx")
+            .join(F.broadcast(batch_keys), on="line_key", how="left_semi")
+            .groupBy("line_key")
+            .agg(F.sum("df").alias("_old_df"))
+        )
+        hist_plan = hist_agg._jdf.queryExecution().executedPlan().toString()
+        streamed_side = hist_plan.split("BroadcastExchange")[0]
+        assert "Exchange" not in streamed_side, hist_plan
+        assert "Bucketed: true" in hist_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_line_idx")
+
+
+def test_line_dedup_incremental_cache_registry(spark, delta_line_docs):
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_line_frequency_index,
+        line_dedup_incremental,
+    )
+
+    new = delta_line_docs.where(F.col("doc_id") % 5 == 0)
+    old = delta_line_docs.where(F.col("doc_id") % 5 != 0)
+    reg = []
+    out = line_dedup_incremental(new, build_line_frequency_index(old), cache_registry=reg)
+    out.collect()
+    assert len(reg) == 2
+    for df in reg:
+        assert df.storageLevel.useMemory
+        df.unpersist()
