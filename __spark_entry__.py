@@ -1789,22 +1789,29 @@ def _pii_oracle() -> str:
     clean = "text"
     for _, pat, mask in PII_PATTERNS:
         clean = f"regexp_replace({clean}, '{pat}', '{mask}', 'g')"
+    # NULL parity: '||' propagates NULL like Spark's concat (DuckDB's
+    # concat() SKIPS NULL args and would turn a NULL-text doc into a
+    # suffix-only doc with planted PII); has_pii derives from the
+    # coalesced counts so NULL text reads false, matching pii_redact.
     return f"""
         WITH p AS (
-          SELECT doc_id, concat(text, {_PII_SUFFIX_DUCK}) AS text FROM documents
+          SELECT doc_id, text || ({_PII_SUFFIX_DUCK}) AS text FROM documents
+        ),
+        c AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(coalesce(len(regexp_extract_all(text, '{pats["email"]}')), 0)
+                      AS BIGINT) AS n_email,
+                 CAST(coalesce(len(regexp_extract_all(text, '{pats["ipv4"]}')), 0)
+                      AS BIGINT) AS n_ipv4,
+                 CAST(coalesce(len(regexp_extract_all(text, '{pats["phone"]}')), 0)
+                      AS BIGINT) AS n_phone,
+                 {clean} AS clean_text
+          FROM p
         )
-        SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               CAST(coalesce(len(regexp_extract_all(text, '{pats["email"]}')), 0)
-                    AS BIGINT) AS n_email,
-               CAST(coalesce(len(regexp_extract_all(text, '{pats["ipv4"]}')), 0)
-                    AS BIGINT) AS n_ipv4,
-               CAST(coalesce(len(regexp_extract_all(text, '{pats["phone"]}')), 0)
-                    AS BIGINT) AS n_phone,
-               (len(regexp_extract_all(text, '{pats["email"]}')) > 0
-                OR len(regexp_extract_all(text, '{pats["ipv4"]}')) > 0
-                OR len(regexp_extract_all(text, '{pats["phone"]}')) > 0) AS has_pii,
-               {clean} AS clean_text
-        FROM p
+        SELECT doc_id, n_email, n_ipv4, n_phone,
+               (n_email > 0 OR n_ipv4 > 0 OR n_phone > 0) AS has_pii,
+               clean_text
+        FROM c
     """
 
 

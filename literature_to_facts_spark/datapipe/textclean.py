@@ -270,32 +270,36 @@ def pii_redact(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    output_col: str = "clean_text",
 ) -> DataFrame:
     """Detect and mask emails / IPv4 addresses / phone numbers.
 
     Adds ``n_email``, ``n_ipv4``, ``n_phone`` (match counts on the ORIGINAL
-    text), ``has_pii`` and ``clean_text`` (masks applied sequentially in
-    ``PII_PATTERNS`` order).  NULL text passes through with zero counts and
-    NULL ``clean_text``.  Pure per-row expressions — zero shuffle.
+    text), ``has_pii`` and ``output_col`` (masks applied sequentially in
+    ``PII_PATTERNS`` order).  NULL text passes through with zero counts,
+    ``has_pii`` false and a NULL ``output_col``.  Pure per-row expressions —
+    zero shuffle.
+
+    Output columns REPLACE same-named input columns (``withColumns``
+    semantics) rather than duplicating them, so chaining after
+    :func:`line_dedup` — whose output is also named ``clean_text`` — yields
+    one unambiguous column: ``pii_redact(line_dedup(docs),
+    text_col="clean_text")`` redacts the deduped text in place.
     """
-    counts = [
-        F.coalesce(
-            F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0)
-        )
+    counts = {
+        f"n_{name}": F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0))
         .cast("bigint")
-        .alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
-    ]
+    }
     clean = F.col(text_col)
     for _, pat, mask in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, mask)
-    out = docs.select(
-        "*",
-        *counts,
-        clean.alias("clean_text"),
-    )
     flag = None
-    for name, _, _ in PII_PATTERNS:
-        c = F.col(f"n_{name}") > 0
+    for name in counts:
+        c = F.col(name) > 0
         flag = c if flag is None else (flag | c)
-    return out.withColumn("has_pii", flag)
+    return (
+        docs.withColumns(counts)
+        .withColumn(output_col, clean)
+        .withColumn("has_pii", flag)
+    )

@@ -454,3 +454,50 @@ def test_line_dedup_incremental_cache_registry(spark, delta_line_docs):
     for df in reg:
         assert df.storageLevel.useMemory
         df.unpersist()
+
+
+def test_pii_redact_chains_after_line_dedup(spark, line_docs):
+    """The natural composition — line dedup then PII redaction — must yield
+    ONE unambiguous clean_text column (output columns replace same-named
+    inputs)."""
+    from literature_to_facts_spark.datapipe.textclean import line_dedup, pii_redact
+
+    deduped = line_dedup(line_docs, min_df=2, min_line_chars=10)
+    out = pii_redact(deduped, text_col="clean_text")
+    assert out.columns.count("clean_text") == 1
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["clean_text"] == f"{UNIQ[1]}\n--"
+    # and an explicit output_col leaves the input column alone
+    out2 = pii_redact(deduped, text_col="clean_text", output_col="redacted")
+    assert "redacted" in out2.columns and out2.columns.count("clean_text") == 1
+
+
+def test_pii_oracle_null_text_parity(spark):
+    """The entry-query synthesis (concat in Spark) and the oracle synthesis
+    ('||' in DuckDB) must agree on NULL-text docs: Spark's concat propagates
+    NULL while DuckDB's concat() SKIPS NULL args — the oracle uses '||'
+    precisely so a NULL-text doc (even one with doc_id % 3 == 0) stays NULL
+    on both sides instead of sprouting planted PII in DuckDB only."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from literature_to_facts_spark.datapipe.textclean import pii_redact
+
+    rows = [(3, None), (6, "plain text"), (9, "see 10.1.2.3"), (2, None)]
+    sdocs = spark.createDataFrame(rows, ["doc_id", "text"]).selectExpr(
+        "doc_id", f"concat(text, {em._PII_SUFFIX_SPARK}) AS text"
+    )
+    got = [
+        (r["doc_id"], r["n_email"], r["n_ipv4"], r["n_phone"], r["has_pii"], r["clean_text"])
+        for r in pii_redact(sdocs)
+        .select("doc_id", "n_email", "n_ipv4", "n_phone", "has_pii", "clean_text")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(em._pii_oracle()).fetchall()
+    assert sorted(got) == sorted(want)
+    by_id = {t[0]: t for t in got}
+    assert by_id[3][1:] == (0, 0, 0, False, None)  # NULL text, %3==0: no planted PII
+    assert by_id[9][2] == 2 and by_id[9][4] is True  # own ip + planted suffix
