@@ -853,6 +853,38 @@ def q_curation_pipeline_full(spark, sf_dir):
     )
 
 
+def q_curation_pipeline_cleaned(spark, sf_dir):
+    """The cleaned curation chain (round 5): sentence-per-line synthesis with
+    planted PII -> cross-document line dedup -> PII masking -> quality gate
+    -> MinHash closure purge -> hash-fraction mixture sample, all inside
+    datapipe/curation.curate_corpus (line_dedup_params + pii=True) — and all
+    recomputed by ONE composed DuckDB oracle.  Boilerplate removal precedes
+    the gate and the signatures (it changes both), masking precedes the
+    gate so the shipped sample is redacted.  EAGER (embeds the CC
+    fixpoint)."""
+    from literature_to_facts_spark.datapipe.curation import curate_corpus
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id",
+        "lang",
+        "concat(replace(text, '. ', concat('.', chr(10))),"
+        f" {_PII_SUFFIX_SPARK}) AS text",
+    )
+    out = curate_corpus(
+        docs,
+        fractions={"en": 0.5, "de": 0.2},
+        default_fraction=0.05,
+        minhash_params=dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5),
+        line_dedup_params=dict(
+            min_df=_LINE_DEDUP_MIN_DF, min_line_chars=_LINE_DEDUP_MIN_CHARS
+        ),
+        pii=True,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("lang").alias("lang")
+    )
+
+
 def q_sample_hash_fraction(spark, sf_dir):
     """Zero-shuffle deterministic mixture sampling: per-group keep fractions
     via a portable hash filter (datapipe/sampling.sample_fraction_by_group).
@@ -1248,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": q_sample_token_budget,
         "curation_pipeline": q_curation_pipeline,
         "curation_pipeline_full": q_curation_pipeline_full,
+        "curation_pipeline_cleaned": q_curation_pipeline_cleaned,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
@@ -1706,11 +1739,16 @@ def _ann_ivf_oracle(
 
 # shared CTE chain for the quality gate (filter + per-reason report oracles
 # must gate identically — one definition, two SELECT tails)
-_QUALITY_GATED_CTE = """t AS (
+def _quality_gated_cte(src: str = "documents") -> str:
+    """The quality-gate CTE chain (t -> m -> gated), parametrized over the
+    source relation so composed pipelines can gate CLEANED text (the
+    curation_pipeline_cleaned oracle gates the line-deduped + PII-redacted
+    CTE instead of raw documents)."""
+    return f"""t AS (
               SELECT doc_id,
                      list_filter(string_split(lower(text), ' '), x -> x != '') AS toks,
                      text
-              FROM documents
+              FROM {src}
             ),
             m AS (
               SELECT doc_id,
@@ -1812,6 +1850,77 @@ def _pii_oracle() -> str:
                (n_email > 0 OR n_ipv4 > 0 OR n_phone > 0) AS has_pii,
                clean_text
         FROM c
+    """
+
+
+def _duck_pii_clean_chain(col: str) -> str:
+    """The sequential mask chain over ``col``, patterns verbatim from
+    textclean.PII_PATTERNS."""
+    from literature_to_facts_spark.datapipe.textclean import PII_PATTERNS
+
+    clean = col
+    for _, pat, mask in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{mask}', 'g')"
+    return clean
+
+
+def _curation_cleaned_oracle() -> str:
+    """The five-stage cleaned curation chain in ONE statement: sentence-split
+    + planted-PII synthesis -> cross-document line dedup -> PII masking ->
+    quality gate -> MinHash closure purge -> hash-fraction mixture sample.
+    Every fragment is the same SQL the stage's standalone oracle uses
+    (line-dedup CTEs, PII chain from PII_PATTERNS, the parametrized gated
+    CTE, the closure over ``src="kept"``), so stage drift surfaces here."""
+    return f"""
+        WITH m0 AS (
+          SELECT doc_id, lang,
+                 replace(text, '. ', '.' || chr(10)) || ({_PII_SUFFIX_DUCK}) AS text
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, lang, u.pos AS pos, u.line AS line
+          FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS parts
+                FROM m0 WHERE text IS NOT NULL),
+               UNNEST(list_transform(range(1, len(parts) + 1),
+                      i -> {{'pos': i, 'line': parts[i]}})) AS t(u)
+        ),
+        keyed AS (
+          SELECT doc_id, lang, pos, line,
+                 CASE WHEN length(trim(line)) >= {_LINE_DEDUP_MIN_CHARS}
+                      THEN {_H1.format(x="line")} END AS key_e
+          FROM lines
+        ),
+        lfreq AS (
+          SELECT key_e AS fkey FROM keyed WHERE key_e IS NOT NULL
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_LINE_DEDUP_MIN_DF}
+        ),
+        cleaned AS (
+          SELECT CAST(k.doc_id AS BIGINT) AS doc_id, min(k.lang) AS lang,
+                 coalesce(string_agg(CASE WHEN f.fkey IS NULL THEN k.line END,
+                                     chr(10) ORDER BY k.pos), '') AS text0
+          FROM keyed k LEFT JOIN lfreq f ON k.key_e = f.fkey
+          GROUP BY k.doc_id
+        ),
+        red AS (
+          SELECT doc_id, lang, {_duck_pii_clean_chain("text0")} AS text
+          FROM cleaned
+        ),
+        {_quality_gated_cte(src="red")},
+        kept AS (
+          SELECT r.doc_id, r.text, r.lang
+          FROM red r JOIN gated g ON r.doc_id = g.doc_id
+          WHERE g.drop_reason IS NULL
+        )
+        SELECT k.doc_id, k.lang
+        FROM kept k
+        WHERE k.doc_id NOT IN (
+          SELECT doc_id FROM (
+            {_cc_oracle(_minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4, src="kept"))}
+          ) WHERE doc_id != cluster_rep)
+          AND ({_H1.format(x="CAST(k.doc_id AS VARCHAR)")}) % 1000000 <
+              (CASE WHEN k.lang = 'de' THEN 200000
+                    WHEN k.lang = 'en' THEN 500000
+                    ELSE 50000 END)
     """
 
 
@@ -2296,12 +2405,12 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN tc ON g.doc_id = tc.doc_id
         """,
         "text_quality_filter": f"""
-            WITH {_QUALITY_GATED_CTE}
+            WITH {_quality_gated_cte()}
             SELECT doc_id, (drop_reason IS NULL) AS keep, drop_reason
             FROM gated
         """,
         "text_quality_report": f"""
-            WITH {_QUALITY_GATED_CTE}
+            WITH {_quality_gated_cte()}
             SELECT COALESCE(drop_reason, 'kept') AS reason,
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM gated GROUP BY 1
@@ -2359,7 +2468,7 @@ def oracle_sql() -> dict[str, str]:
         # prefix, every stage's SQL fragment nested into one statement over
         # the survivors of the previous one
         "curation_pipeline_full": f"""
-            WITH {_QUALITY_GATED_CTE},
+            WITH {_quality_gated_cte()},
             base AS (
               SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.text,
                      len(list_filter(string_split(lower(d.text), ' '),
@@ -2422,7 +2531,7 @@ def oracle_sql() -> dict[str, str]:
         # non-representative closure members, and the sample thresholds are
         # the same round(frac*1e6) integers the engine compiles
         "curation_pipeline": f"""
-            WITH {_QUALITY_GATED_CTE},
+            WITH {_quality_gated_cte()},
             kept AS (
               SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text, d.lang
               FROM documents d JOIN gated g ON CAST(d.doc_id AS BIGINT) = g.doc_id
@@ -2440,6 +2549,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 50000 END)
         """,
         "sample_stratified_topn": _sample_topn_oracle(n=7),
+        "curation_pipeline_cleaned": _curation_cleaned_oracle(),
         # the naive per-group hash-ordered prefix window — the contract the
         # bucketed boundary-search implementation must equal row-for-row
         "sample_token_budget": f"""

@@ -52,11 +52,22 @@ def curate_corpus(
     token_budgets: dict | None = None,
     budget_weight_col: str = "n_ws_tokens",
     cache_registry: list | None = None,
+    line_dedup_params: dict | None = None,
+    pii: bool = False,
 ) -> DataFrame:
-    """quality_filter(keep) [-> decontaminate vs ``eval_docs``]
+    """[line_dedup ->] [pii_redact ->] quality_filter(keep)
+    [-> decontaminate vs ``eval_docs``]
     -> minhash_lsh_pairs -> deduplicate_corpus
     -> sample_fraction_by_group OR sample_to_token_budget,
     with every stage's parameters passed through.
+
+    ``line_dedup_params`` (a dict, may be empty) enables cross-document
+    line dedup as the FIRST stage — boilerplate removal changes the quality
+    ratios and the MinHash signatures, so it must precede both; non-text
+    columns ride through the reassembly as first() aggregates (zero extra
+    shuffle).  ``pii=True`` masks emails/IPs/phones in place next — before
+    the gate, so the masks (not the raw PII) are what quality scoring and
+    near-dup hashing see, and the shipped sample is redacted.
 
     ``eval_docs`` adds the decontamination stage (params via
     ``decontam_params``) between the gate and the purge — contaminated docs
@@ -73,6 +84,25 @@ def curate_corpus(
         raise ValueError("pass fractions OR token_budgets, not both")
     quality_params = quality_params or {}
     minhash_params = minhash_params or {}
+    if line_dedup_params is not None:
+        from literature_to_facts_spark.datapipe.textclean import line_dedup
+
+        # carry every non-text column through the reassembly aggregate
+        # (constant per doc) — reattaching via a join-by-id would cost a
+        # corpus-wide Exchange for nothing
+        carry = tuple(c for c in docs.columns if c not in (id_col, text_col))
+        docs = line_dedup(
+            docs, id_col=id_col, text_col=text_col, carry_cols=carry,
+            **line_dedup_params,
+        ).select(
+            F.col(id_col), F.col("clean_text").alias(text_col), *carry
+        )
+    if pii:
+        from literature_to_facts_spark.datapipe.textclean import pii_redact
+
+        docs = pii_redact(
+            docs, id_col=id_col, text_col=text_col, output_col=text_col
+        ).drop("n_email", "n_ipv4", "n_phone", "has_pii")
     gated = quality_filter(docs, text_col=text_col, **quality_params)
     kept = gated.where(F.col("keep")).select(*docs.columns)
     if eval_docs is not None:

@@ -67,17 +67,23 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def _lines(
-    docs: DataFrame, id_col: str, text_col: str, min_line_chars: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_chars: int,
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """(_id, _pos, _line, _key) exploded line instances; ``_key`` is the
-    md5-family 52-bit line hash, NULL for lines below ``min_line_chars``
-    (NULL never matches a join, so short lines bypass both the frequency
-    count and the removal join without a separate branch)."""
+    """(_id, _pos, _line, _key[, carry...]) exploded line instances;
+    ``_key`` is the md5-family 52-bit line hash, NULL for lines below
+    ``min_line_chars`` (NULL never matches a join, so short lines bypass
+    both the frequency count and the removal join without a separate
+    branch)."""
     return (
         docs.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("_id"),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+            *[F.col(c) for c in carry_cols],
         )
         .selectExpr(
             "_id",
@@ -85,13 +91,19 @@ def _lines(
             "_line",
             f"CASE WHEN length(trim(_line)) >= {int(min_line_chars)}"
             f" THEN {_h52('_line')} END AS _key",
+            *carry_cols,
         )
     )
 
 
-def _reassemble(flagged: DataFrame, id_col: str) -> DataFrame:
+def _reassemble(flagged: DataFrame, id_col: str, carry_cols: tuple = ()) -> DataFrame:
     """Per-document ordered reassembly of surviving lines (rows whose
-    ``_fkey`` is NULL); dropped lines still count in ``n_dropped``."""
+    ``_fkey`` is NULL); dropped lines still count in ``n_dropped``.
+    ``carry_cols`` ride through as ``first()`` aggregates — constant per
+    document by construction (they were exploded from one row), so this
+    reattaches passthrough columns with ZERO extra shuffle (the naive
+    alternative, joining clean text back onto the corpus by id, costs a
+    corpus-wide Exchange)."""
     return flagged.groupBy(F.col("_id").alias(id_col)).agg(
         F.concat_ws(
             "\n",
@@ -111,6 +123,7 @@ def _reassemble(flagged: DataFrame, id_col: str) -> DataFrame:
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.count(F.col("_fkey")).cast("bigint").alias("n_dropped"),
+        *[F.first(F.col(c)).alias(c) for c in carry_cols],
     )
 
 
@@ -121,6 +134,7 @@ def line_dedup(
     min_df: int = 2,
     min_line_chars: int = 10,
     broadcast_frequent: bool = False,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Remove every line occurring in >= ``min_df`` distinct documents.
 
@@ -146,7 +160,7 @@ def line_dedup(
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
-    lines = _lines(docs, id_col, text_col, min_line_chars)
+    lines = _lines(docs, id_col, text_col, min_line_chars, carry_cols)
     freq = (
         lines.where(F.col("_key").isNotNull())
         .groupBy("_key")
@@ -157,7 +171,7 @@ def line_dedup(
     if broadcast_frequent:
         freq = F.broadcast(freq)
     flagged = lines.join(freq, lines["_key"] == freq["_fkey"], "left")
-    return _reassemble(flagged, id_col)
+    return _reassemble(flagged, id_col, carry_cols)
 
 
 def build_line_frequency_index(
@@ -194,6 +208,7 @@ def line_dedup_incremental(
     min_df: int = 2,
     min_line_chars: int = 10,
     cache_registry: list | None = None,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Delta line dedup: ``line_dedup(old ∪ new)`` RESTRICTED to the NEW
     batch's documents — the operational mode at 100 TB, where re-splitting
@@ -234,7 +249,7 @@ def line_dedup_incremental(
         old_index = new_docs.sparkSession.createDataFrame(
             [], "line_key bigint, df bigint"
         )
-    lines = _lines(new_docs, id_col, text_col, min_line_chars)
+    lines = _lines(new_docs, id_col, text_col, min_line_chars, carry_cols)
     new_freq = (
         lines.where(F.col("_key").isNotNull())
         .groupBy(F.col("_key").alias("line_key"))
@@ -263,7 +278,7 @@ def line_dedup_incremental(
     flagged = lines.join(
         F.broadcast(frequent), lines["_key"] == F.col("_fkey"), "left"
     )
-    return _reassemble(flagged, id_col)
+    return _reassemble(flagged, id_col, carry_cols)
 
 
 def pii_redact(

@@ -501,3 +501,48 @@ def test_pii_oracle_null_text_parity(spark):
     by_id = {t[0]: t for t in got}
     assert by_id[3][1:] == (0, 0, 0, False, None)  # NULL text, %3==0: no planted PII
     assert by_id[9][2] == 2 and by_id[9][4] is True  # own ip + planted suffix
+
+
+def test_curate_corpus_cleaned_stages_equal_manual(spark):
+    """curate_corpus(line_dedup_params, pii=True) == the hand-chained
+    stages — the composition contract for the two new pre-stages (carry
+    columns survive, masking happens before the gate)."""
+    from literature_to_facts_spark.datapipe.curation import curate_corpus
+    from literature_to_facts_spark.datapipe.textclean import line_dedup, pii_redact
+
+    rows = []
+    for i in range(30):
+        # distinct bodies (most 3-gram shingles carry i) so the near-dup
+        # purge keeps most docs; the shared BOILER line still exercises
+        # line dedup and each email line exercises masking
+        body = (
+            f"Sentence {i} about {i * i} unique content the quick item"
+            f" {i * 31} goes onward beyond the number {i} here."
+        )
+        extra = f"\nwrite to user{i}@example.com for more details today."
+        rows.append((i, "en" if i % 3 else "de", f"{BOILER}\n{body}{extra}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    params = dict(
+        fractions={"en": 0.8, "de": 0.8},
+        minhash_params=dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5),
+    )
+    got = curate_corpus(
+        docs, line_dedup_params=dict(min_df=2, min_line_chars=10), pii=True, **params
+    )
+    manual_clean = line_dedup(
+        docs, min_df=2, min_line_chars=10, carry_cols=("lang",)
+    ).select("doc_id", F.col("clean_text").alias("text"), "lang")
+    manual = curate_corpus(
+        pii_redact(manual_clean, output_col="text").drop(
+            "n_email", "n_ipv4", "n_phone", "has_pii"
+        ),
+        **params,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, manual.collect()))
+    # the carried lang column survived and the boilerplate line is gone from
+    # the shipped text; every email is masked
+    out = {r["doc_id"]: r for r in got.collect()}
+    assert out and all(r["lang"] in ("en", "de") for r in out.values())
+    assert all(BOILER not in r["text"] for r in out.values())
+    assert all("@example.com" not in r["text"] for r in out.values())
+    assert all("<EMAIL>" in r["text"] for r in out.values())
