@@ -1205,6 +1205,33 @@ def q_text_line_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_corpus_snapshot_diff(spark, sf_dir):
+    """Dataset versioning (datapipe/storage.snapshot_diff): added / removed /
+    changed documents between two corpus snapshots, comparing only id + text
+    hash (the text itself never flows through the join).  Snapshots are
+    synthesized deterministically: old = doc_id % 11 != 0, new = doc_id %
+    13 != 0 with every 7th doc's text perturbed.  Full SQL oracle (DuckDB
+    FULL OUTER JOIN recomputes the same md5 hashes)."""
+    from literature_to_facts_spark.datapipe.storage import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') ELSE text END AS text",
+        )
+    )
+    out = snapshot_diff(old, new)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "status",
+        "old_hash",
+        "new_hash",
+    )
+
+
 def q_sample_mixture_weights(spark, sf_dir):
     """Temperature mixture reweighting (datapipe/sampling.mixture_weights,
     alpha=0.5): per-language token mass -> sqrt-temperature weight -> keep
@@ -1301,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_purge": q_decontam_purge,
         "text_line_dedup": q_text_line_dedup,
         "text_line_dedup_incremental": q_text_line_dedup_incremental,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "text_pii_redact": q_text_pii_redact,
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_mixture_temperature": q_sample_mixture_temperature,
@@ -2595,6 +2623,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "text_line_dedup": _line_dedup_oracle(),
+        # '||' not concat(): NULL-propagating like Spark's concat, so a
+        # NULL-text doc perturbs to NULL (unchanged), matching snapshot_diff
+        "corpus_snapshot_diff": """
+            WITH o AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS old_hash
+              FROM documents WHERE doc_id % 11 != 0
+            ),
+            n AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                              ELSE text END) AS new_hash
+              FROM documents WHERE doc_id % 13 != 0
+            ),
+            j AS (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                     o.old_hash, n.new_hash,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN o.old_hash IS DISTINCT FROM n.new_hash THEN 'changed'
+                          END AS status
+              FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id, status, old_hash, new_hash FROM j
+            WHERE status IS NOT NULL
+        """,
         "text_line_dedup_incremental": _line_dedup_oracle(restrict="k.doc_id % 5 = 0"),
         "text_pii_redact": _pii_oracle(),
         "sample_mixture_weights": _mixture_weights_oracle(),

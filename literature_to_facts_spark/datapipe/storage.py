@@ -78,3 +78,97 @@ def co_located_join(
     tests/test_datapipe.py::test_bucketed_join_is_exchange_free."""
     keys = [on] if isinstance(on, str) else list(on)
     return spark.table(left_table).join(spark.table(right_table), on=keys)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """SIZE-BALANCED export: the ship step of a curated corpus.
+
+    A curated corpus is consumed by a trainer that wants uniform shards;
+    writing whatever partitioning the last shuffle left behind produces a
+    long tail of tiny files plus a few giants (the purge's anti-join and
+    the samplers skew partition sizes badly).  This assigns each row a
+    ``shard`` column — the portable md5-derived hash of ``id_col`` mod
+    ``n_shards``, uniform regardless of id or key skew and deterministic
+    per row (the same doc always lands in the same shard for a given
+    ``n_shards``, so re-exports are file-stable) — and writes one
+    ``shard=k/`` directory with exactly ONE parquet file each: the
+    pre-write ``repartition`` on the shard column puts every row of a
+    shard value in a single task (a bare ``repartition(n, expr)`` hashes
+    the expression VALUE to pick a partition, so shard k does not land in
+    partition k — but it does put all of shard k in ONE partition, which
+    is exactly the one-file-per-directory property partitionBy needs).
+
+    Scale: one full Exchange of the output — unavoidable for balanced
+    shards, and the output of a curation chain is the SAMPLED corpus
+    (typically a small fraction of the input), so this is the cheapest
+    shuffle in the pipeline.  Balance is binomial: shard sizes concentrate
+    within ~1 % of mean for shards of 10^6+ rows.
+    """
+    from pyspark.sql import functions as F
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.expr(
+        f"pmod(cast(conv(substr(md5(cast({id_col} as string)), 1, 13), 16, 10)"
+        f" as bigint), {int(n_shards)})"
+    )
+    (
+        df.withColumn("shard", shard)
+        .repartition(int(n_shards), F.col("shard"))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus versioning: what changed between two snapshots.
+
+    Returns ``(id_col, status, old_hash, new_hash)`` for every document
+    that was ``added`` (id only in ``new``), ``removed`` (only in ``old``)
+    or ``changed`` (both, different ``md5(text)``; NULL text hashes as
+    NULL — a NULL->NULL document is unchanged, a NULL->text transition is
+    a change).  Unchanged documents are NOT emitted — the diff artifact is
+    what an auditor or an incremental re-train actually reads, and at
+    100 TB emitting the unchanged majority would make the diff as big as
+    the corpus.
+
+    Scale: one full outer join on ``id_col`` (both sides shuffle by id —
+    inherent for an id-keyed diff); only the id and the 32-byte text hash
+    flow through it, never the text.
+    """
+    from pyspark.sql import functions as F
+
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("old_hash")
+    ).withColumn("_in_old", F.lit(1))
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("new_hash")
+    ).withColumn("_in_new", F.lit(1))
+    return (
+        o.join(n, on="_id", how="full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(
+                ~(
+                    F.col("old_hash").eqNullSafe(F.col("new_hash"))
+                ),
+                F.lit("changed"),
+            ),
+        )
+        .where(F.col("status").isNotNull())
+        .select(F.col("_id").alias(id_col), "status", "old_hash", "new_hash")
+    )
