@@ -69,6 +69,17 @@ def curate_corpus(
     the gate, so the masks (not the raw PII) are what quality scoring and
     near-dup hashing see, and the shipped sample is redacted.
 
+    Two line-dedup caveats: (1) NULL-text documents are DROPPED when the
+    stage is enabled (line_dedup's contract — there is nothing to clean),
+    whereas the base chain lets them through the gate and the purge; a
+    corpus that ships NULL-text rows deliberately must filter or fill them
+    first.  (2) ``token_budgets`` weights charge whatever
+    ``budget_weight_col`` the input carries — token counts computed BEFORE
+    cleaning overcharge boilerplate-heavy docs against their group budget;
+    recompute counts on the cleaned text (run ``with_token_counts`` after
+    this function, or pre-clean separately) when budgets must reflect
+    shipped token mass.
+
     ``eval_docs`` adds the decontamination stage (params via
     ``decontam_params``) between the gate and the purge — contaminated docs
     must not even participate in near-dup clustering, or a purged cluster
@@ -89,20 +100,35 @@ def curate_corpus(
 
         # carry every non-text column through the reassembly aggregate
         # (constant per doc) — reattaching via a join-by-id would cost a
-        # corpus-wide Exchange for nothing
+        # corpus-wide Exchange for nothing.  Names that collide with the
+        # reassembly's own outputs/internals fail loudly: silently
+        # duplicating clean_text would surface as AMBIGUOUS_REFERENCE
+        # three stages later.
         carry = tuple(c for c in docs.columns if c not in (id_col, text_col))
+        reserved = {"clean_text", "n_lines", "n_dropped",
+                    "_id", "_pos", "_line", "_key", "_fkey"}
+        clash = sorted(reserved & set(carry))
+        if clash:
+            raise ValueError(
+                f"input columns {clash} collide with line_dedup's output; "
+                "rename them before enabling line_dedup_params"
+            )
         docs = line_dedup(
             docs, id_col=id_col, text_col=text_col, carry_cols=carry,
             **line_dedup_params,
         ).select(
-            F.col(id_col), F.col("clean_text").alias(text_col), *carry
+            F.col(id_col), F.col("clean_text").alias(text_col),
+            *[F.col(c) for c in carry],
         )
     if pii:
-        from literature_to_facts_spark.datapipe.textclean import pii_redact
+        from literature_to_facts_spark.datapipe.textclean import (
+            PII_PATTERNS,
+            pii_redact,
+        )
 
         docs = pii_redact(
             docs, id_col=id_col, text_col=text_col, output_col=text_col
-        ).drop("n_email", "n_ipv4", "n_phone", "has_pii")
+        ).drop(*[f"n_{name}" for name, _, _ in PII_PATTERNS], "has_pii")
     gated = quality_filter(docs, text_col=text_col, **quality_params)
     kept = gated.where(F.col("keep")).select(*docs.columns)
     if eval_docs is not None:

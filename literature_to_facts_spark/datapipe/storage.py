@@ -112,16 +112,20 @@ def write_sharded(
     """
     from pyspark.sql import functions as F
 
+    from literature_to_facts_spark.datapipe.dedup import _h52
+
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    shard = F.expr(
-        f"pmod(cast(conv(substr(md5(cast({id_col} as string)), 1, 13), 16, 10)"
-        f" as bigint), {int(n_shards)})"
-    )
+    shard = F.expr(f"pmod({_h52(f'cast({id_col} as string)')}, {int(n_shards)})")
     (
         df.withColumn("shard", shard)
         .repartition(int(n_shards), F.col("shard"))
         .write.mode(mode)
+        # a re-export is a FULL export: pin static overwrite so a session
+        # running with partitionOverwriteMode=dynamic (which this repo's
+        # incremental-state machinery sets) cannot leave stale shard=k/
+        # dirs behind when n_shards shrinks between exports
+        .option("partitionOverwriteMode", "static")
         .partitionBy("shard")
         .parquet(path)
     )

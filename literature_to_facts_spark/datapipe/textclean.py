@@ -83,15 +83,16 @@ def _lines(
         .select(
             F.col(id_col).alias("_id"),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+            # F.col, not selectExpr interpolation: carry names may be SQL
+            # reserved words or non-identifiers ('order', 'page-count')
             *[F.col(c) for c in carry_cols],
         )
-        .selectExpr(
-            "_id",
-            "_pos",
-            "_line",
-            f"CASE WHEN length(trim(_line)) >= {int(min_line_chars)}"
-            f" THEN {_h52('_line')} END AS _key",
-            *carry_cols,
+        .withColumn(
+            "_key",
+            F.expr(
+                f"CASE WHEN length(trim(_line)) >= {int(min_line_chars)}"
+                f" THEN {_h52('_line')} END"
+            ),
         )
     )
 

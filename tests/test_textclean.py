@@ -546,3 +546,22 @@ def test_curate_corpus_cleaned_stages_equal_manual(spark):
     assert all(BOILER not in r["text"] for r in out.values())
     assert all("@example.com" not in r["text"] for r in out.values())
     assert all("<EMAIL>" in r["text"] for r in out.values())
+
+
+def test_curate_corpus_carry_guards(spark):
+    """Reserved-name carry columns fail loudly; reserved-WORD carry columns
+    (SQL keywords) work — they ride F.col, never selectExpr."""
+    from literature_to_facts_spark.datapipe.curation import curate_corpus
+    from literature_to_facts_spark.datapipe.textclean import line_dedup
+
+    clash = spark.createDataFrame(
+        [(1, "long enough line of text here.", "x")],
+        ["doc_id", "text", "clean_text"],
+    )
+    with pytest.raises(ValueError, match="clean_text"):
+        curate_corpus(clash, line_dedup_params={})
+    kw = spark.createDataFrame(
+        [(1, "long enough line of text here.", "k")], ["doc_id", "text", "order"]
+    )
+    out = line_dedup(kw, carry_cols=("order",)).collect()
+    assert out[0]["order"] == "k"
