@@ -1232,6 +1232,43 @@ def q_corpus_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_kg_triples_delta(spark, sf_dir):
+    """Incremental KG maintenance (engine/delta.delta_reextract): the new
+    snapshot's mention triples from the OLD triple store + a snapshot diff
+    + re-extraction of ONLY added/changed documents (changed docs gain a
+    ' updated batch v2' suffix — which adds a 'batch' mention, so both
+    failure modes are oracle-visible: keeping stale triples AND failing to
+    re-extract).  The diff id sets broadcast, so the triple store is
+    filtered at its scan with zero shuffle.  Oracle = full extraction over
+    the new corpus (the from-scratch result the delta must equal)."""
+    from literature_to_facts_spark.datapipe.storage import snapshot_diff
+    from literature_to_facts_spark.engine.delta import delta_reextract
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 13 != 0).selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' updated batch v2')"
+        " ELSE text END AS text",
+    )
+
+    def extract(d):
+        return (
+            d.select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col("text"), F.lit("(spark|window|merge|batch)"), F.lit(1)
+                    )
+                ).alias("mention"),
+            )
+            .groupBy("doc_id", "mention")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_times"))
+        )
+
+    return delta_reextract(extract(old), snapshot_diff(old, new), new, extract)
+
+
 def q_sample_mixture_weights(spark, sf_dir):
     """Temperature mixture reweighting (datapipe/sampling.mixture_weights,
     alpha=0.5): per-language token mass -> sqrt-temperature weight -> keep
@@ -1329,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         "text_line_dedup_incremental": q_text_line_dedup_incremental,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "kg_triples_delta": q_kg_triples_delta,
         "text_pii_redact": q_text_pii_redact,
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_mixture_temperature": q_sample_mixture_temperature,
@@ -2620,6 +2658,23 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events
+            GROUP BY 1, 2
+        """,
+        "kg_triples_delta": """
+            WITH n AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' updated batch v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 13 != 0
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, mention,
+                   CAST(count(*) AS BIGINT) AS n_times
+            FROM (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '(spark|window|merge|batch)', 1))
+                       AS mention
+              FROM n
+            )
             GROUP BY 1, 2
         """,
         "text_line_dedup": _line_dedup_oracle(),
