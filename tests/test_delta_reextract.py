@@ -99,3 +99,36 @@ def test_delta_store_side_is_broadcast_filtered(spark, snapshots):
     # subtree, none between the store aggregate and the join
     final = plan.split("== Initial Plan ==")[0]
     assert "left_anti, BuildRight" in final.replace("LeftAnti", "left_anti")
+
+
+def test_delta_reextract_real_extractor_battery(spark, corpus, sides):
+    """Cross-module proof: delta_reextract composed with the REAL extraction
+    engine (extract_triples over the GCN/ATel/arXiv battery) and a
+    url-keyed snapshot_diff equals from-scratch extraction of the new
+    snapshot — the kg_construct operational loop end to end."""
+    from literature_to_facts_spark.datapipe.storage import snapshot_diff
+    from literature_to_facts_spark.engine.delta import delta_reextract
+    from literature_to_facts_spark.engine.pipeline import extract_triples
+
+    pdf = corpus.documents.reset_index(drop=True)
+    old_pd = pdf[pdf.index % 9 != 0]  # every 9th doc is "added" later
+    new_pd = pdf[pdf.index % 7 != 0].copy()  # every 7th doc removed
+    # every 5th surviving doc changes: text AND html move together so the
+    # corpus text==decode(html) invariant holds for the changed snapshot
+    chg = new_pd.index % 5 == 0
+    new_pd.loc[chg, "text"] = new_pd.loc[chg, "text"] + "\nGRB 210101A detected."
+    new_pd.loc[chg, "html"] = new_pd.loc[chg, "html"].map(
+        lambda b: b + b"\nGRB 210101A detected."
+    )
+    old = spark.createDataFrame(old_pd)
+    new = spark.createDataFrame(new_pd)
+
+    def extract(d):
+        return extract_triples(spark, d, sides)
+
+    diff = snapshot_diff(old, new, id_col="url", text_col="text")
+    statuses = {r["status"] for r in diff.collect()}
+    assert statuses == {"added", "removed", "changed"}  # all three exercised
+    got = delta_reextract(extract(old), diff, new, extract, id_col="url")
+    want = extract(new)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
