@@ -1244,7 +1244,7 @@ def q_kg_triples_delta(spark, sf_dir):
     from literature_to_facts_spark.datapipe.storage import snapshot_diff
     from literature_to_facts_spark.engine.delta import delta_reextract
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     old = docs.where(F.col("doc_id") % 11 != 0).select("doc_id", "text")
     new = docs.where(F.col("doc_id") % 13 != 0).selectExpr(
         "doc_id",

@@ -126,6 +126,14 @@ def curate_corpus(
             pii_redact,
         )
 
+        pii_cols = {f"n_{name}" for name, _, _ in PII_PATTERNS} | {"has_pii"}
+        clash = sorted(pii_cols & set(docs.columns))
+        if clash:
+            raise ValueError(
+                f"input columns {clash} collide with pii_redact's outputs "
+                "(they would be replaced then dropped); rename them before "
+                "enabling pii=True"
+            )
         docs = pii_redact(
             docs, id_col=id_col, text_col=text_col, output_col=text_col
         ).drop(*[f"n_{name}" for name, _, _ in PII_PATTERNS], "has_pii")

@@ -121,10 +121,11 @@ def write_sharded(
         df.withColumn("shard", shard)
         .repartition(int(n_shards), F.col("shard"))
         .write.mode(mode)
-        # a re-export is a FULL export: pin static overwrite so a session
-        # running with partitionOverwriteMode=dynamic (which this repo's
-        # incremental-state machinery sets) cannot leave stale shard=k/
-        # dirs behind when n_shards shrinks between exports
+        # a re-export is a FULL export: pin static overwrite so an
+        # externally-configured partitionOverwriteMode=dynamic session
+        # cannot leave stale shard=k/ dirs behind when n_shards shrinks
+        # between exports (the repo's own incremental-state machinery sets
+        # dynamic per-write via .option(), which never leaks here)
         .option("partitionOverwriteMode", "static")
         .partitionBy("shard")
         .parquet(path)

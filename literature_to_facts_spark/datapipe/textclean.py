@@ -66,6 +66,23 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+# names _lines/_reassemble emit (or use internally): a carry column with one
+# of these names would be silently REPLACED (withColumn/aggregate alias), so
+# both public entry points reject them loudly.
+_RESERVED_LINE_COLS = frozenset(
+    {"_id", "_pos", "_line", "_key", "_fkey", "clean_text", "n_lines", "n_dropped"}
+)
+
+
+def _check_carry(carry_cols: tuple) -> None:
+    clash = sorted(_RESERVED_LINE_COLS & set(carry_cols))
+    if clash:
+        raise ValueError(
+            f"carry_cols {clash} collide with line_dedup's output/internal "
+            "columns; rename them first"
+        )
+
+
 def _lines(
     docs: DataFrame,
     id_col: str,
@@ -161,6 +178,7 @@ def line_dedup(
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
+    _check_carry(carry_cols)
     lines = _lines(docs, id_col, text_col, min_line_chars, carry_cols)
     freq = (
         lines.where(F.col("_key").isNotNull())
@@ -250,6 +268,7 @@ def line_dedup_incremental(
         old_index = new_docs.sparkSession.createDataFrame(
             [], "line_key bigint, df bigint"
         )
+    _check_carry(carry_cols)
     lines = _lines(new_docs, id_col, text_col, min_line_chars, carry_cols)
     new_freq = (
         lines.where(F.col("_key").isNotNull())

@@ -40,6 +40,7 @@ def delta_reextract(
     extract_fn: Callable[[DataFrame], DataFrame],
     id_col: str = "doc_id",
     broadcast_diff: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The new snapshot's triples from the old store + a diff + the new
     corpus, extracting only added/changed documents.
@@ -54,10 +55,31 @@ def delta_reextract(
     the operational daily delta (batch-sized); pass False for a bulk diff
     that would not fit a broadcast, paying the id shuffle instead.
     """
-    stale = diff.where(F.col("status").isin("removed", "changed")).select(id_col)
-    fresh = diff.where(F.col("status").isin("added", "changed")).select(id_col)
+    # The diff feeds TWO consumers (stale anti-keys and fresh semi-keys);
+    # Catalyst pushes each join's status predicate into its own build
+    # subtree, so the builds diverge and an unpersisted snapshot_diff input
+    # would run its full-outer join TWICE.  Persist the diff-sized
+    # (id, status) projection instead — both broadcasts read the cache and
+    # the diff computes once (pinned: the operator-plan test asserts both
+    # build sides are InMemoryTableScans).  Batch-sized by the daily-delta
+    # assumption; long-session callers pass ``cache_registry`` to
+    # unpersist per batch, the same lifecycle as the incremental dedup
+    # families.
+    ids = diff.select(F.col(id_col).alias("_diff_id"), F.col("status")).persist()
+    if cache_registry is not None:
+        cache_registry.append(ids)
     if broadcast_diff:
-        stale, fresh = F.broadcast(stale), F.broadcast(fresh)
-    kept = old_triples.join(stale, on=id_col, how="left_anti")
-    re_extracted = extract_fn(new_docs.join(fresh, on=id_col, how="left_semi"))
-    return kept.unionByName(re_extracted)
+        ids = F.broadcast(ids)
+    kept = old_triples.join(
+        ids,
+        (old_triples[id_col] == ids["_diff_id"])
+        & ids["status"].isin("removed", "changed"),
+        "left_anti",
+    )
+    delta_docs = new_docs.join(
+        ids,
+        (new_docs[id_col] == ids["_diff_id"])
+        & ids["status"].isin("added", "changed"),
+        "left_semi",
+    )
+    return kept.unionByName(extract_fn(delta_docs))

@@ -81,24 +81,31 @@ def test_delta_does_not_reextract_unchanged_docs(spark, snapshots):
 
 
 def test_delta_store_side_is_broadcast_filtered(spark, snapshots):
-    """With broadcast_diff (the daily-delta mode) the triple store is
-    filtered via broadcast joins — no Exchange hashpartitioning on the
-    store's anti-join side beyond what extraction itself needs."""
+    """The OPERATOR's own plan (broadcast_diff=True, the daily-delta mode):
+    both the store's anti join and the corpus's semi join are
+    BroadcastHashJoins, and the shared (id, status) diff projection is
+    built once — the second consumer reads a ReusedExchange, so an
+    unpersisted snapshot_diff input runs its full-outer join once."""
     from literature_to_facts_spark.datapipe.storage import snapshot_diff
     from literature_to_facts_spark.engine.delta import delta_reextract
 
     old, new = snapshots
-    store = _extract(old)
-    diff = snapshot_diff(old, new)
-    stale = diff.where(F.col("status").isin("removed", "changed")).select("doc_id")
-    kept = store.join(F.broadcast(stale), on="doc_id", how="left_anti")
-    plan = kept._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
-    # the anti join itself adds no shuffle of the store: every Exchange in
-    # the fragment belongs to the store's own aggregation or the broadcast
-    # subtree, none between the store aggregate and the join
-    final = plan.split("== Initial Plan ==")[0]
-    assert "left_anti, BuildRight" in final.replace("LeftAnti", "left_anti")
+    out = delta_reextract(
+        _extract(old), snapshot_diff(old, new), new, _extract,
+        broadcast_diff=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert "LeftSemi, BuildRight" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the diff computes ONCE: Catalyst pushes each join's status predicate
+    # into its own build subtree (no ReusedExchange possible), so the
+    # operator persists the (id, status) projection — both build sides
+    # must read the cache, not re-run the full-outer diff join
+    # (persisted subtrees print their cached plan per reference, so the
+    # FullOuter text may still appear under InMemoryRelation — the scan
+    # count is the reliable pin)
+    assert plan.count("InMemoryTableScan") >= 2, plan
 
 
 def test_delta_reextract_real_extractor_battery(spark, corpus, sides):
