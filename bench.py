@@ -105,6 +105,8 @@ HEADLINE = [
     "text_line_dedup",
     "text_pii_redact",
     "sample_mixture_temperature",
+    "corpus_snapshot_diff",
+    "kg_triples_delta",
 ]
 
 
