@@ -1269,6 +1269,25 @@ def q_kg_triples_delta(spark, sf_dir):
     return delta_reextract(extract(old), snapshot_diff(old, new), new, extract)
 
 
+_BLOCKLIST_TERMS = ["merge", "batch"]
+
+
+def q_text_blocklist_filter(spark, sf_dir):
+    """C4-style token blocklist (datapipe/textstats.blocklist_filter):
+    distinct blocked terms per doc + flag, exact-token case-insensitive
+    matching (substring hits deliberately excluded).  Pure per-row
+    expressions — zero shuffle; full SQL oracle (DuckDB list_intersect
+    dedups exactly like Spark's array_intersect)."""
+    from literature_to_facts_spark.datapipe.textstats import blocklist_filter
+
+    out = blocklist_filter(_t(spark, sf_dir, "documents"), _BLOCKLIST_TERMS)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_blocked_terms",
+        "blocked",
+    )
+
+
 def q_sample_mixture_weights(spark, sf_dir):
     """Temperature mixture reweighting (datapipe/sampling.mixture_weights,
     alpha=0.5): per-language token mass -> sqrt-temperature weight -> keep
@@ -1367,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup_incremental": q_text_line_dedup_incremental,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "kg_triples_delta": q_kg_triples_delta,
+        "text_blocklist_filter": q_text_blocklist_filter,
         "text_pii_redact": q_text_pii_redact,
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_mixture_temperature": q_sample_mixture_temperature,
@@ -2676,6 +2696,16 @@ def oracle_sql() -> dict[str, str]:
               FROM n
             )
             GROUP BY 1, 2
+        """,
+        "text_blocklist_filter": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(len(list_intersect(
+                     list_filter(string_split(lower(text), ' '), t -> t != ''),
+                     ['batch', 'merge'])), 0) AS BIGINT) AS n_blocked_terms,
+                   coalesce(len(list_intersect(
+                     list_filter(string_split(lower(text), ' '), t -> t != ''),
+                     ['batch', 'merge'])), 0) > 0 AS blocked
+            FROM documents
         """,
         "text_line_dedup": _line_dedup_oracle(),
         # '||' not concat(): NULL-propagating like Spark's concat, so a

@@ -251,3 +251,34 @@ def quality_filter(
     return q.withColumn("drop_reason", reason).withColumn(
         "keep", F.col("drop_reason").isNull()
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: list,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style token blocklist: flag documents containing any blocked term.
+
+    Adds ``n_blocked_terms`` (DISTINCT blocklist terms present in the
+    document's lowercased whitespace tokens — both engines' array
+    intersection dedups, so the count is term-distinct, not
+    occurrence-count) and ``blocked``.  NULL text -> 0 / false.  Matching
+    is exact-token, case-insensitive — the C4 rule; substring hits
+    ("class" vs "ass") deliberately do NOT match.
+
+    Scale: a pure per-row expression (token projection + array_intersect
+    against an inline literal array) — zero shuffle, scan-fused.  Sized for
+    blocklists up to a few thousand terms (the inline array rides the
+    expression tree); a 10^5-term list should instead explode tokens and
+    broadcast-semi-join the term table (one extra narrow join, still no
+    corpus shuffle).
+    """
+    arr = "array(" + ",".join("'" + t.lower().replace("'", "\\'") + "'" for t in sorted(set(terms))) + ")"
+    out = _with_tokens(docs, text_col).withColumn(
+        "n_blocked_terms",
+        F.coalesce(
+            F.expr(f"size(array_intersect(_toks, {arr}))"), F.lit(0)
+        ).cast("bigint"),
+    )
+    return out.withColumn("blocked", F.col("n_blocked_terms") > 0).drop("_toks")

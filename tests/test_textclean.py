@@ -565,3 +565,27 @@ def test_curate_corpus_carry_guards(spark):
     )
     out = line_dedup(kw, carry_cols=("order",)).collect()
     assert out[0]["order"] == "k"
+
+
+def test_blocklist_filter_semantics(spark):
+    from literature_to_facts_spark.datapipe.textstats import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the Merge ran a batch job"),  # case-insensitive, 2 terms
+            (2, "merge merge merge"),  # distinct terms, not occurrences
+            (3, "submerged batches"),  # substrings do NOT match
+            (4, None),
+            (5, "clean text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in blocklist_filter(docs, ["merge", "BATCH"]).collect()}
+    assert out[1]["n_blocked_terms"] == 2 and out[1]["blocked"] is True
+    assert out[2]["n_blocked_terms"] == 1
+    assert out[3]["n_blocked_terms"] == 0 and out[3]["blocked"] is False
+    assert out[4]["n_blocked_terms"] == 0 and out[4]["blocked"] is False
+    assert out[5]["blocked"] is False
+    # zero shuffle
+    plan = blocklist_filter(docs, ["merge"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
