@@ -96,18 +96,19 @@ def curate_corpus(
     quality_params = quality_params or {}
     minhash_params = minhash_params or {}
     if line_dedup_params is not None:
-        from literature_to_facts_spark.datapipe.textclean import line_dedup
+        from literature_to_facts_spark.datapipe.textclean import (
+            _RESERVED_LINE_COLS,
+            line_dedup,
+        )
 
         # carry every non-text column through the reassembly aggregate
         # (constant per doc) — reattaching via a join-by-id would cost a
         # corpus-wide Exchange for nothing.  Names that collide with the
-        # reassembly's own outputs/internals fail loudly: silently
-        # duplicating clean_text would surface as AMBIGUOUS_REFERENCE
-        # three stages later.
+        # reassembly's own outputs/internals fail loudly with pipeline-
+        # specific guidance (the SAME set line_dedup itself guards —
+        # imported, so the two checks cannot drift).
         carry = tuple(c for c in docs.columns if c not in (id_col, text_col))
-        reserved = {"clean_text", "n_lines", "n_dropped",
-                    "_id", "_pos", "_line", "_key", "_fkey"}
-        clash = sorted(reserved & set(carry))
+        clash = sorted(_RESERVED_LINE_COLS & set(carry))
         if clash:
             raise ValueError(
                 f"input columns {clash} collide with line_dedup's output; "

@@ -216,7 +216,22 @@ def sample_to_token_budget(
         .where(F.col("_cls") != "drop")
         .select(group_col, "_hb", "_off", "_b", "_cls")
     )
-    joined = base.join(F.broadcast(decisions), on=[group_col, "_hb"], how="inner")
+    # eqNullSafe on the group key: a NULL group is a legitimate group (it
+    # flowed through the aggregate, the offset window and the default-budget
+    # coalesce above) — a bare equi-join would silently drop every
+    # NULL-group row no matter its budget, diverging from the naive
+    # window-prefix contract
+    dec = F.broadcast(
+        decisions.withColumnRenamed(group_col, "_dec_g").withColumnRenamed(
+            "_hb", "_dec_hb"
+        )
+    )
+    joined = base.join(
+        dec,
+        base[group_col].eqNullSafe(F.col("_dec_g"))
+        & (base["_hb"] == F.col("_dec_hb")),
+        "inner",
+    ).drop("_dec_g", "_dec_hb")
     full = joined.where(F.col("_cls") == "full")
     w_doc = (
         Window.partitionBy(group_col)

@@ -274,7 +274,17 @@ def blocklist_filter(
     broadcast-semi-join the term table (one extra narrow join, still no
     corpus shuffle).
     """
-    arr = "array(" + ",".join("'" + t.lower().replace("'", "\\'") + "'" for t in sorted(set(terms))) + ")"
+    # escape backslashes BEFORE quotes: a raw backslash inside the SQL
+    # string literal would be read as an escape sequence, silently turning
+    # the compiled term into something the caller never passed
+    arr = (
+        "array("
+        + ",".join(
+            "'" + t.lower().replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for t in sorted(set(terms))
+        )
+        + ")"
+    )
     out = _with_tokens(docs, text_col).withColumn(
         "n_blocked_terms",
         F.coalesce(

@@ -589,3 +589,49 @@ def test_blocklist_filter_semantics(spark):
     # zero shuffle
     plan = blocklist_filter(docs, ["merge"])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_blocklist_filter_backslash_terms(spark):
+    """A blocklist term containing a backslash must match a token that is
+    exactly that term (SQL-literal escaping round-trips)."""
+    from literature_to_facts_spark.datapipe.textstats import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "path a\\b here"), (2, "term o'clock quoted")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["n_blocked_terms"]
+        for r in blocklist_filter(docs, ["a\\b", "o'clock"]).collect()
+    }
+    assert out[1] == 1 and out[2] == 1
+
+
+def test_sample_token_budget_null_group_gets_default(spark):
+    """A NULL group is a legitimate group: with default_budget > 0 its rows
+    must flow through the bucketed prefix exactly like the naive window
+    prefix would keep them (round-5 review finding: the decisions equi-join
+    silently dropped every NULL-group row)."""
+    from literature_to_facts_spark.datapipe.sampling import sample_to_token_budget
+
+    docs = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 10), (3, None, 10), (4, None, 10)],
+        ["doc_id", "lang", "n_tokens"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            docs, {"en": 15}, default_budget=100
+        ).collect()
+    }
+    # en: 15-token budget keeps the boundary-crossing prefix (both docs'
+    # cum-before < 15 only for the first; the crossing doc is kept -> the
+    # hash-ordered first two docs depend on hash order, budget 15 keeps 2
+    # docs' worth? cum-before of 2nd = 10 < 15 -> both kept); NULL group:
+    # default budget 100 keeps both
+    assert {3, 4} <= kept
+    # and a zero default still drops unlisted groups
+    kept0 = {
+        r["doc_id"]
+        for r in sample_to_token_budget(docs, {"en": 15}, default_budget=0).collect()
+    }
+    assert kept0 & {3, 4} == set()
