@@ -1269,6 +1269,18 @@ def q_kg_triples_delta(spark, sf_dir):
     return delta_reextract(extract(old), snapshot_diff(old, new), new, extract)
 
 
+def q_text_token_topk(spark, sf_dir):
+    """Corpus heavy hitters (datapipe/textstats.token_topk): top-20 tokens
+    by occurrence with document counts.  The Zipf-skewed token distribution
+    is handled by map-side partial aggregation (the shuffle carries
+    vocab-sized partials, not token instances) + TakeOrderedAndProject —
+    no salting, no global sort.  Full SQL oracle; deterministic token
+    tie-break."""
+    from literature_to_facts_spark.datapipe.textstats import token_topk
+
+    return token_topk(_spread(_t(spark, sf_dir, "documents")), k=20)
+
+
 _BLOCKLIST_TERMS = ["merge", "batch"]
 
 
@@ -1387,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "kg_triples_delta": q_kg_triples_delta,
         "text_blocklist_filter": q_text_blocklist_filter,
+        "text_token_topk": q_text_token_topk,
         "text_pii_redact": q_text_pii_redact,
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_mixture_temperature": q_sample_mixture_temperature,
@@ -2706,6 +2719,21 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(string_split(lower(text), ' '), t -> t != ''),
                      ['batch', 'merge'])), 0) > 0 AS blocked
             FROM documents
+        """,
+        "text_token_topk": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x != '')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ),
+            c AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM t GROUP BY 1
+            )
+            SELECT token, n_occurrences, n_docs FROM c
+            ORDER BY n_occurrences DESC, token ASC LIMIT 20
         """,
         "text_line_dedup": _line_dedup_oracle(),
         # '||' not concat(): NULL-propagating like Spark's concat, so a

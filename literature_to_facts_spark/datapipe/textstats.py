@@ -292,3 +292,37 @@ def blocklist_filter(
         ).cast("bigint"),
     )
     return out.withColumn("blocked", F.col("n_blocked_terms") > 0).drop("_toks")
+
+
+def token_topk(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide heavy hitters: the ``k`` most frequent whitespace tokens
+    (lowercased, empty-filtered) with occurrence and document counts —
+    vocabulary/boilerplate audit stats every corpus report ships.
+
+    Scale shape: the token distribution is maximally skewed (Zipf — 'the'
+    appears in every doc), which is exactly where map-side partial
+    aggregation wins: the explode feeds ``groupBy(token)`` whose partial
+    HashAggregate collapses each partition's hot tokens to ONE row before
+    the Exchange, so the shuffle carries vocab-sized data per partition, not
+    token-instance-sized, and no single reducer sees the raw 'the' stream
+    (the salting the canonicalize operator needs is unnecessary here —
+    partial aggregation IS the skew handling for algebraic aggregates).
+    The final top-k is a ``TakeOrderedAndProject`` over the vocab-sized
+    aggregate — no global sort.  Deterministic tie-break on the token.
+    """
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.expr(_tokens(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("_doc").cast("bigint").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(int(k))

@@ -635,3 +635,26 @@ def test_sample_token_budget_null_group_gets_default(spark):
         for r in sample_to_token_budget(docs, {"en": 15}, default_budget=0).collect()
     }
     assert kept0 & {3, 4} == set()
+
+
+def test_token_topk_semantics_and_plan(spark):
+    from literature_to_facts_spark.datapipe.textstats import token_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the alpha beta"),
+            (2, "the alpha gamma"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = token_topk(docs, k=3).collect()
+    assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in rows] == [
+        ("the", 4, 2),
+        ("alpha", 2, 2),
+        ("beta", 1, 1),  # tie with gamma broken by token asc
+    ]
+    plan = token_topk(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+    # top-k without a global sort, skew handled by map-side partials
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
