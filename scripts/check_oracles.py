@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 import duckdb
 
@@ -62,7 +63,9 @@ def main() -> int:
             return 1
         queries = {k: v for k, v in queries.items() if k in only}
     n_fail = 0
+    t_total = time.monotonic()
     for name in sorted(queries):
+        t0 = time.monotonic()
         try:
             sdf = queries[name](spark, sf_dir)
             srows = sdf.collect()
@@ -78,11 +81,17 @@ def main() -> int:
             n_fail += 1
             continue
         status = "ok  " if ok else "FAIL"
-        print(f"{status} {name}: rows={len(srows)} cols={cols_ok} vals={vals_ok}")
+        print(
+            f"{status} {name}: rows={len(srows)} cols={cols_ok} vals={vals_ok}"
+            f" sec={time.monotonic() - t0:.2f}"
+        )
         if not ok:
             n_fail += 1
     spark.stop()
-    print(f"{len(queries) - n_fail}/{len(queries)} queries match at {sf_dir}")
+    print(
+        f"{len(queries) - n_fail}/{len(queries)} queries match at {sf_dir}"
+        f" in {time.monotonic() - t_total:.1f}s"
+    )
     return 1 if n_fail else 0
 
 
