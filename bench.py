@@ -684,7 +684,29 @@ def main() -> None:
         "kg_pipeline": kg,
     }
     write_baseline_md(result)
+    with open(os.path.join(REPO, "BENCH", "last_full.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    # Full detail on a non-final line (humans / logs); the FINAL stdout line
+    # must stay under the driver's 2000-char tail capture or it records
+    # parsed=null (BENCH_r05.json did).  Degrade per-query rounding until the
+    # compact line fits with headroom.
     print(json.dumps(result))
+    hi = kg.get(f"local[{HI_CPUS}]", {}) if isinstance(kg, dict) else {}
+    compact = {
+        "metric": "headline_query_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "eff": kg.get("scaling_efficiency") if isinstance(kg, dict) else None,
+        "tps": hi.get("triples_per_sec_median"),
+        "queries": {},
+    }
+    for nd in (2, 1):
+        compact["queries"] = {k: round(v, nd) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1800:
+            break
+    print(line)
 
 
 if __name__ == "__main__":
