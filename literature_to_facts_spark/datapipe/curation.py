@@ -34,7 +34,10 @@ from literature_to_facts_spark.datapipe.dedup import (
     minhash_lsh_pairs,
 )
 from literature_to_facts_spark.datapipe.sampling import sample_fraction_by_group
-from literature_to_facts_spark.datapipe.textstats import quality_filter
+from literature_to_facts_spark.datapipe.textstats import (
+    QUALITY_GATE_COLS,
+    quality_filter,
+)
 
 
 def curate_corpus(
@@ -95,6 +98,16 @@ def curate_corpus(
         raise ValueError("pass fractions OR token_budgets, not both")
     quality_params = quality_params or {}
     minhash_params = minhash_params or {}
+    # same loud-failure contract as the line_dedup / pii stages: an input
+    # column named like a gate output (e.g. 'keep') would be silently
+    # replaced by quality_filter and re-emitted with gate values via
+    # select(*docs.columns)
+    clash = sorted(QUALITY_GATE_COLS & {c for c in docs.columns if c != text_col})
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with quality_filter's outputs; "
+            "rename them before calling curate_corpus"
+        )
     if line_dedup_params is not None:
         from literature_to_facts_spark.datapipe.textclean import (
             _RESERVED_LINE_COLS,

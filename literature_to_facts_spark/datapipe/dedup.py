@@ -1168,9 +1168,34 @@ def update_cluster_state_partitioned(
     # Crash between write and delete self-heals on replay: the stale rows
     # still route their partition into the affected set.
     pbs_with_rows = {r["_pb"] for r in cp.select("_pb").distinct().collect()}
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    for p in pbs:
-        if p not in pbs_with_rows:
-            hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_pb={p}")
-            hpath.getFileSystem(hconf).delete(hpath, True)
+    _delete_partition_dirs(
+        spark, [f"{path}/_pb={p}" for p in pbs if p not in pbs_with_rows]
+    )
+
+
+def _delete_partition_dirs(spark, dirs: list) -> None:
+    """Recursively delete partition directories via the JVM Hadoop
+    FileSystem (one FS handle, driver-side loop — the set is bounded by the
+    batch's affected-partition count, never corpus-sized).
+
+    LIMITATION: uses the classic py4j bridges (``spark._jvm`` /
+    ``spark._jsc``), which do not exist under Spark Connect — there this
+    raises and the caller must clear emptied directories out-of-band (e.g.
+    a catalog-managed table with ``ALTER TABLE .. DROP PARTITION``, or a
+    storage-API delete keyed on the same directory names)."""
+    if not dirs:
+        return
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+    except AttributeError as e:  # Spark Connect session
+        raise NotImplementedError(
+            "partition-directory deletes need the py4j JVM bridge, absent "
+            f"under Spark Connect; delete these paths out-of-band: {dirs}"
+        ) from e
+    fs = None
+    for d in dirs:
+        hpath = jvm.org.apache.hadoop.fs.Path(d)
+        if fs is None:
+            fs = hpath.getFileSystem(hconf)
+        fs.delete(hpath, True)

@@ -163,14 +163,15 @@ def interval_join(
     applies the exact range predicate directly.  The guard assumes long
     spans are OUTLIERS: if most of your intervals are long (multi-year spans
     at hourly buckets), the long branch would broadcast the bulk of the
-    table — so before broadcasting, a bounded probe (``limit(n+1).count()``)
-    checks the long side against ``max_long_rows`` and raises a ValueError
-    naming the fix (a ``bucket_seconds`` near your median interval length,
-    which reclassifies those spans as short) instead of letting Spark's
-    broadcast limit produce an opaque executor OOM.  The probe makes this
-    function EAGER (one bounded count over ``intervals``) whenever the
-    span guard is active; pass ``max_long_rows=None`` to skip the probe and
-    broadcast unconditionally.  The long branch costs a second pass over
+    table — so a bounded probe (``limit(n+1)`` + count) checks the long
+    side against ``max_long_rows`` and fails with a message naming the fix
+    (a ``bucket_seconds`` near your median interval length, which
+    reclassifies those spans as short) instead of letting Spark's broadcast
+    limit produce an opaque executor OOM.  The probe is LAZY — it rides the
+    returned plan as a one-row broadcast whose ``assert_true`` raises at
+    EXECUTION time (as a Spark runtime error), so this function never
+    schedules a job itself; pass ``max_long_rows=None`` to drop the guard
+    and broadcast unconditionally.  The long branch costs a second pass over
     ``points`` when long intervals exist; with AQE on, an empty long side
     collapses the branch to an empty relation and the second scan never
     runs.  Set ``max_span_buckets=None`` to restore unguarded
@@ -201,17 +202,41 @@ def interval_join(
         return joined
     long = valid.where(last_b - first_b >= max_span_buckets)
     if max_long_rows is not None:
-        n_long = long.limit(max_long_rows + 1).count()
-        if n_long > max_long_rows:
-            raise ValueError(
-                f"interval_join: more than {max_long_rows} intervals span "
-                f">= {max_span_buckets} buckets of {bucket_seconds}s — the "
-                "long-outlier branch would broadcast the bulk of the "
-                "intervals table.  Long spans are not outliers in this "
-                "corpus: raise bucket_seconds toward the median interval "
-                "length (reclassifying them as short), or raise "
-                "max_long_rows if the broadcast genuinely fits."
+        # LAZY in-plan guard (the function itself schedules no job): a
+        # bounded limit(n+1) count of the long side rides the long branch
+        # as a one-row broadcast whose assert_true raises AT EXECUTION if
+        # the cap is exceeded — callers embedding interval_join in fully
+        # lazy plans stay lazy, and an oversized long side still fails
+        # with an actionable message instead of a broadcast OOM
+        msg = (
+            f"interval_join: more than {max_long_rows} intervals span "
+            f">= {max_span_buckets} buckets of {bucket_seconds}s — the "
+            "long-outlier branch would broadcast the bulk of the "
+            "intervals table.  Long spans are not outliers in this "
+            "corpus: raise bucket_seconds toward the median interval "
+            "length (reclassifying them as short), or raise "
+            "max_long_rows if the broadcast genuinely fits."
+        )
+        guard = (
+            long.select(F.lit(1).alias("_one"))
+            .limit(max_long_rows + 1)
+            .agg(F.count("*").alias("_n_long"))
+            .select(
+                F.assert_true(
+                    F.col("_n_long") <= max_long_rows, F.lit(msg)
+                ).alias("_guard")
             )
+        )
+        # the assert must be LOAD-BEARING or column pruning deletes it with
+        # the dropped column: route start_col through the (always-NULL on
+        # success) guard value so the range predicate depends on it
+        long = (
+            long.crossJoin(F.broadcast(guard))
+            .withColumn(
+                start_col, F.when(F.col("_guard").isNull(), F.col(start_col))
+            )
+            .drop("_guard")
+        )
     if keys:
         long_joined = points.join(F.broadcast(long), on=keys, how="inner")
     else:

@@ -210,11 +210,21 @@ def build_line_frequency_index(
     documents get fresh ids upstream).  Write it with
     ``datapipe.storage.write_bucketed(..., bucket_col="line_key")`` and the
     per-batch probe aggregation plans with zero Exchange on the history
-    side (plan-pinned, same composition as the minhash band index)."""
+    side (plan-pinned, same composition as the minhash band index).
+
+    The build parameter is STAMPED into the ``line_key`` field metadata
+    (``l2f_min_line_chars``) — StructField metadata survives parquet and
+    catalog-table round-trips, so :func:`line_dedup_incremental` can verify
+    at call time that the probe's eligibility threshold matches the one the
+    index was built with (a silent mismatch would combine frequencies over
+    two different line populations)."""
+    key = F.col("_key").alias(
+        "line_key", metadata={"l2f_min_line_chars": int(min_line_chars)}
+    )
     return (
         _lines(docs, id_col, text_col, min_line_chars)
         .where(F.col("_key").isNotNull())
-        .groupBy(F.col("_key").alias("line_key"))
+        .groupBy(key)
         .agg(F.countDistinct("_id").cast("bigint").alias("df"))
     )
 
@@ -268,6 +278,18 @@ def line_dedup_incremental(
         old_index = new_docs.sparkSession.createDataFrame(
             [], "line_key bigint, df bigint"
         )
+    elif "line_key" in old_index.columns:
+        # the builder stamps its eligibility threshold into the field
+        # metadata — verify the otherwise-unverifiable contract that probe
+        # and index agree on which lines were counted.  An index built
+        # by hand (no stamp) is accepted on the caller's word.
+        built = old_index.schema["line_key"].metadata.get("l2f_min_line_chars")
+        if built is not None and int(built) != int(min_line_chars):
+            raise ValueError(
+                f"old_index was built with min_line_chars={built} but the "
+                f"probe passed min_line_chars={min_line_chars}; combined "
+                "line frequencies would mix two different line populations"
+            )
     _check_carry(carry_cols)
     lines = _lines(new_docs, id_col, text_col, min_line_chars, carry_cols)
     new_freq = (

@@ -211,6 +211,23 @@ def with_repetition(
     )
 
 
+# every column quality_filter adds/replaces on its input — callers that
+# re-emit the input schema after gating (curation.curate_corpus) guard
+# against collisions with this set so it cannot drift from the code below
+QUALITY_GATE_COLS = frozenset(
+    {
+        "n_words",
+        "mean_word_len",
+        "alpha_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+        "drop_reason",
+        "keep",
+    }
+)
+
+
 def quality_filter(
     docs: DataFrame,
     text_col: str = "text",
@@ -274,6 +291,15 @@ def blocklist_filter(
     broadcast-semi-join the term table (one extra narrow join, still no
     corpus shuffle).
     """
+    if not terms:
+        # array() compiles as array<void> and array_intersect(_toks, array())
+        # fails analysis — an empty blocklist blocks nothing
+        return docs.withColumns(
+            {
+                "n_blocked_terms": F.lit(0).cast("bigint"),
+                "blocked": F.lit(False),
+            }
+        )
     # escape backslashes BEFORE quotes: a raw backslash inside the SQL
     # string literal would be read as an escape sequence, silently turning
     # the compiled term into something the caller never passed

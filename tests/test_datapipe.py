@@ -1618,11 +1618,14 @@ def test_interval_join_mostly_long_corpus_raises(spark):
         "timestamp'2026-01-01 00:00:00' AS start",
         "timestamp'2027-01-01 00:00:00' AS end",
     )
-    with pytest.raises(ValueError, match="bucket_seconds"):
-        interval_join(
-            pts, ivs, ts_col="ts", start_col="start", end_col="end", on="k",
-            bucket_seconds=3600, max_span_buckets=24, max_long_rows=10,
-        )
+    # the guard is LAZY: building the plan schedules no job and raises
+    # nothing — the assert_true fires at execution
+    guarded = interval_join(
+        pts, ivs, ts_col="ts", start_col="start", end_col="end", on="k",
+        bucket_seconds=3600, max_span_buckets=24, max_long_rows=10,
+    )
+    with pytest.raises(Exception, match="bucket_seconds"):
+        guarded.count()
     # raising the cap (or disabling the probe) restores the broadcast path
     out = interval_join(
         pts, ivs, ts_col="ts", start_col="start", end_col="end", on="k",

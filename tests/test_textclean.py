@@ -658,3 +658,70 @@ def test_token_topk_semantics_and_plan(spark):
     # top-k without a global sort, skew handled by map-side partials
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_blocklist_filter_empty_terms(spark):
+    """An empty blocklist blocks nothing — and must not fail analysis
+    (array() compiles as array<void>, poisoning array_intersect)."""
+    from literature_to_facts_spark.datapipe.textstats import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "anything at all"), (2, None)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in blocklist_filter(docs, []).collect()}
+    assert rows[1]["n_blocked_terms"] == 0 and rows[1]["blocked"] is False
+    assert rows[2]["n_blocked_terms"] == 0 and rows[2]["blocked"] is False
+    assert dict(blocklist_filter(docs, []).dtypes)["n_blocked_terms"] == "bigint"
+
+
+def test_curate_corpus_quality_gate_collision_guard(spark):
+    """An input column named like a quality_filter output ('keep',
+    'drop_reason', a metric) would be silently replaced by the gate and
+    re-emitted with gate values — it must fail loudly like the
+    line_dedup / pii collision guards do."""
+    from literature_to_facts_spark.datapipe.curation import curate_corpus
+
+    clash = spark.createDataFrame(
+        [(1, "long enough line of text here to pass.", False)],
+        ["doc_id", "text", "keep"],
+    )
+    with pytest.raises(ValueError, match="keep"):
+        curate_corpus(clash)
+    clash2 = spark.createDataFrame(
+        [(1, "long enough line of text here to pass.", 0.5)],
+        ["doc_id", "text", "quality_score"],
+    )
+    with pytest.raises(ValueError, match="quality_score"):
+        curate_corpus(clash2)
+
+
+def test_line_dedup_incremental_index_param_stamp(spark, tmp_path):
+    """build_line_frequency_index stamps min_line_chars into the line_key
+    field metadata; the stamp survives a parquet round-trip and a
+    mismatched probe fails at call time instead of silently combining
+    frequencies over two different line populations."""
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_line_frequency_index,
+        line_dedup_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a boilerplate line long enough.\nshort"),
+         (2, "a boilerplate line long enough.\nunique body text here")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "line_idx")
+    build_line_frequency_index(docs, min_line_chars=10).write.parquet(path)
+    idx = spark.read.parquet(path)
+    batch = spark.createDataFrame(
+        [(3, "a boilerplate line long enough.\nnew doc body")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="min_line_chars=10"):
+        line_dedup_incremental(batch, idx, min_line_chars=20)
+    # matching threshold passes; a hand-built index (no stamp) is accepted
+    assert line_dedup_incremental(batch, idx, min_line_chars=10).count() == 1
+    bare = idx.select(
+        F.col("line_key").cast("bigint").alias("line_key"), "df"
+    )
+    assert line_dedup_incremental(batch, bare, min_line_chars=20).count() == 1
