@@ -1534,8 +1534,8 @@ def _cc_oracle(pairs_sql: str) -> str:
     closure via a recursive CTE, MIN(reachable id) per node — exactly the
     fixpoint connected_components() converges to."""
     return f"""
-            WITH RECURSIVE pairs AS ({pairs_sql}),
-            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+            edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
                       UNION SELECT id_b AS a, id_a AS b FROM pairs),
             nodes AS (SELECT DISTINCT a AS node FROM edges),
             closure(node, reach) AS (
@@ -1555,8 +1555,8 @@ def _cc_incremental_oracle(
     restricted to components containing at least one endpoint of a pair
     matching ``touch_pred`` (the new batch)."""
     return f"""
-            WITH RECURSIVE pairs AS ({pairs_sql}),
-            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+            edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
                       UNION SELECT id_b AS a, id_a AS b FROM pairs),
             nodes AS (SELECT DISTINCT a AS node FROM edges),
             closure(node, reach) AS (

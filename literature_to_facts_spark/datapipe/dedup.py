@@ -982,9 +982,13 @@ def connected_components(
         )
         stepped = labels.join(nbr_min, on="node", how="left").select(
             "node",
+            F.col("lbl").alias("olbl"),
             F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
         )
-        # pointer jump: follow the label one hop (label ids are node ids)
+        # pointer jump: follow the label one hop (label ids are node ids);
+        # the old label rides along so convergence is a scan-only count over
+        # the checkpointed result — a join-back against `labels` here would
+        # cost a full extra shuffle per iteration
         jumped = (
             stepped.join(
                 labels.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")),
@@ -992,17 +996,17 @@ def connected_components(
                 how="left",
             )
             .select(
-                "node", F.least(F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))).alias("lbl")
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))).alias("lbl"),
+                (
+                    F.least(F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl")))
+                    != F.col("olbl")
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        n_changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = jumped
+        n_changed = jumped.where("chg").count()
+        labels = jumped.select("node", "lbl")
         if n_changed == 0:
             break
     else:
