@@ -555,9 +555,15 @@ def minhash_lsh_pairs_incremental(
     )
     if cache_registry is not None:
         cache_registry.extend([newagg, matched, candidates])
-    cand_ids = candidates.select(
-        F.explode(F.array("id_a", "id_b")).alias(id_col)
-    ).distinct()
+    # candidate ids are batch-bounded (every pair touches a new doc and
+    # in-bucket emission is capped), so BROADCAST them into the corpus
+    # semi-join: the static planner sizes the persisted candidate subtree
+    # pessimistically and would plan a SortMergeJoin that shuffles the full
+    # corpus text — twice, once per shingle side (measured 1.5x on the
+    # whole batch at 500k history docs, scripts/bench_delta_scale.py)
+    cand_ids = F.broadcast(
+        candidates.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    )
     needed_docs = (
         old_docs.select(id_col, text_col)
         .unionByName(new_docs.select(id_col, text_col))

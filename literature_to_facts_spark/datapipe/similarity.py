@@ -293,7 +293,12 @@ def embedding_near_dup_pairs_incremental(
     )
     if cache_registry is not None:
         cache_registry.append(cand)
-    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("vec_id")).distinct()
+    # batch-bounded id set -> broadcast, for the same reason as the MinHash
+    # delta: a statically-planned SortMergeJoin here shuffles the full
+    # embedding corpus twice (once per pair side)
+    cand_ids = F.broadcast(
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("vec_id")).distinct()
+    )
     emb = (
         old_vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
         .unionByName(

@@ -721,7 +721,9 @@ _SCALE_TOKEN_POOL = (
 ).split()
 
 
-def build_scale_documents(spark, n_docs: int, seed: int = 42, dup_rate: int = 10):
+def build_scale_documents(
+    spark, n_docs: int, seed: int = 42, dup_rate: int = 10, vocab: int = 0
+):
     """documents-shaped synthetic corpus (doc_id, text, lang, source,
     n_chars) at arbitrary scale, generated ENTIRELY Spark-side — one
     ``spark.range`` plus per-row expressions, so a billion-row corpus is a
@@ -733,7 +735,14 @@ def build_scale_documents(spark, n_docs: int, seed: int = 42, dup_rate: int = 10
     one appended mutation token (a NEAR duplicate — high but not perfect
     shingle Jaccard / simhash proximity).  Text length 30-119 tokens from a
     fixed token pool, so the near-dup structure exercises exact bands,
-    signature bands and bucket caps the way a crawl corpus does."""
+    signature bands and bucket caps the way a crawl corpus does.
+
+    ``vocab`` > 0 appends a hashed numeric suffix to 3 of every 4 tokens,
+    drawing them from a ``vocab``-sized long tail (the remaining quarter
+    stays on the bare 96-word head — a Zipf-ish head/tail mix).  With the
+    bare pool every large corpus' token-frequency profiles collapse
+    together, which degenerates frequency-profile fingerprints (SimHash) at
+    scale; shingle-based MinHash is unaffected either way."""
     pool_sql = "array(" + ",".join(f"'{t}'" for t in _SCALE_TOKEN_POOL) + ")"
     n_pool = len(_SCALE_TOKEN_POOL)
     n_parts = max(32, n_docs // 125_000)
@@ -756,8 +765,16 @@ def build_scale_documents(spark, n_docs: int, seed: int = 42, dup_rate: int = 10
             "concat("
             " array_join(transform("
             f"  sequence(0, 29 + CAST(pmod(xxhash64(_content, {seed + 2}), 90) AS INT)),"
-            f"  i -> element_at({pool_sql},"
+            f"  i -> concat(element_at({pool_sql},"
             f"       1 + CAST(pmod(xxhash64(_content * 131 + i, {seed + 3}), {n_pool}) AS INT))"
+            + (
+                f", CASE WHEN pmod(xxhash64(_content * 131 + i, {seed + 4}), 4) = 0"
+                f" THEN '' ELSE CAST(pmod(xxhash64(_content * 131 + i, {seed + 5}),"
+                f" {int(vocab)}) AS STRING) END"
+                if vocab > 0
+                else ""
+            )
+            + ")"
             " ), ' '),"
             " CASE WHEN _content != doc_id AND _mutate"
             "      THEN concat(' mut', pmod(_h, 7)) ELSE '' END"

@@ -1,0 +1,469 @@
+#!/usr/bin/env python
+"""Scale-tier probe-vs-union A/B for the three incremental dedup families
+(MinHash-LSH, SimHash, embedding near-dup) — the measurement behind the
+zero-Exchange history design (VERDICT r5 "Next round" #1).
+
+At the committed bench scale (sf0.1 = 5,000 docs / ~1.5 MB) the per-batch
+wall time is task-scheduling + JIT bound, so probe-vs-union design choices
+could only be justified by plan shape.  This harness runs the SAME batch
+against the SAME persisted index at >=100x that corpus size (default
+500,000 history docs / vectors, Spark-side generated via
+sources.corpus.build_scale_documents/_embeddings) in BOTH shapes:
+
+  probe  — the shipped incremental operators: broadcast batch keys ->
+           left_semi filter the bucketed catalog index AT ITS SCAN ->
+           touched-bucket groupBy (zero Exchange over the history)
+  union  — the round-4 form: union the new batch's index rows with the FULL
+           persisted index and re-group everything (the whole history flows
+           through an Exchange every batch)
+
+Both shapes must produce the IDENTICAL pair set (asserted); the A/B is
+pure physical-plan measurement.  Trials are interleaved (probe, union,
+probe, union, ...) after one untimed warmup each, so host drift hits both
+sides equally.
+
+Writes BENCH/delta_scale_ab.json; bench.write_baseline_md embeds it into
+BENCH/BASELINE.md.
+
+Usage:
+  python scripts/bench_delta_scale.py                   # full (~500k rows)
+  python scripts/bench_delta_scale.py --n-docs 20000 --trials 2   # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from literature_to_facts_spark.datapipe.dedup import (  # noqa: E402
+    _verify_jaccard,
+    build_lsh_band_index,
+    build_simhash_band_index,
+    minhash_lsh_pairs_incremental,
+    simhash_near_dups_incremental,
+)
+from literature_to_facts_spark.datapipe.similarity import (  # noqa: E402
+    _dot,
+    _norm,
+    build_embedding_bucket_index,
+    embedding_near_dup_pairs_incremental,
+)
+from literature_to_facts_spark.datapipe.storage import write_bucketed  # noqa: E402
+from literature_to_facts_spark.sources.corpus import (  # noqa: E402
+    build_scale_documents,
+    build_scale_embeddings,
+)
+
+OFFSET = 10_000_000  # batch doc ids start here (disjoint from history)
+
+MINHASH = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5, max_bucket=1000)
+SIMHASH = dict(max_hamming=8, max_bucket=1000)
+EMBED = dict(n_planes=16, threshold=0.9, dim=64, max_bucket=1000)
+
+
+# ---------------------------------------------------------------------------
+# Round-4-shaped UNION baselines (full-index Exchange per batch).  Each must
+# emit exactly the probe operator's result — the harness asserts it.
+# ---------------------------------------------------------------------------
+
+
+def union_minhash(all_index, docs_all, *, bands, n_gram, threshold, max_bucket):
+    members = (
+        all_index.withColumn(
+            "is_new", (F.col("doc_id") >= OFFSET).cast("int")
+        )
+        .groupBy("band", "key")
+        .agg(
+            F.expr(
+                "sort_array(collect_set(named_struct("
+                "'doc_id', doc_id, 'is_new', is_new))) AS members"
+            )
+        )
+        .where(
+            (F.size("members") >= 2)
+            & F.expr("exists(members, m -> m.is_new = 1)")
+            & ((F.col("band") == bands) | (F.size("members") <= max_bucket))
+        )
+    )
+    pair_expr = f"""
+        CASE WHEN band < {bands} THEN
+          flatten(transform(members, a ->
+            transform(filter(members, b -> b.doc_id > a.doc_id
+                                       AND (a.is_new = 1 OR b.is_new = 1)),
+                      b -> named_struct('id_a', a.doc_id, 'id_b', b.doc_id))))
+        ELSE
+          transform(
+            filter(members, m -> m.doc_id != members[0].doc_id
+                             AND (members[0].is_new = 1 OR m.is_new = 1)),
+            m -> named_struct('id_a', members[0].doc_id, 'id_b', m.doc_id))
+        END
+    """
+    candidates = (
+        members.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    needed = docs_all.join(cand_ids, on="doc_id", how="left_semi")
+    return _verify_jaccard(candidates, needed, "doc_id", "text", n_gram, threshold)
+
+
+def union_simhash(all_index, *, max_hamming, max_bucket):
+    members = (
+        all_index.withColumn("is_new", (F.col("doc_id") >= OFFSET).cast("int"))
+        .groupBy("band", "key")
+        .agg(
+            F.expr(
+                "sort_array(collect_set(named_struct("
+                "'doc_id', doc_id, 'simhash', simhash, 'is_new', is_new)))"
+                " AS members"
+            )
+        )
+        .where(
+            (F.size("members") >= 2)
+            & F.expr("exists(members, m -> m.is_new = 1)")
+            & (F.size("members") <= max_bucket)
+        )
+    )
+    pair_expr = """
+        flatten(transform(members, a ->
+          transform(filter(members, b -> b.doc_id > a.doc_id
+                                     AND (a.is_new = 1 OR b.is_new = 1)),
+                    b -> named_struct('id_a', a.doc_id, 'id_b', b.doc_id,
+                                      'hamming',
+                                      bit_count(a.simhash ^ b.simhash)))))
+    """
+    return (
+        members.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def union_embedding(all_index, vecs_all, *, threshold, max_bucket):
+    members = (
+        all_index.withColumn("is_new", (F.col("vec_id") >= OFFSET).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.expr(
+                "sort_array(collect_set(named_struct("
+                "'vec_id', vec_id, 'is_new', is_new))) AS members"
+            )
+        )
+        .where(
+            (F.size("members") >= 2)
+            & F.expr("exists(members, m -> m.is_new = 1)")
+            & (F.size("members") <= max_bucket)
+        )
+    )
+    pair_expr = """
+        flatten(transform(members, a ->
+          transform(filter(members, b -> b.vec_id > a.vec_id
+                                     AND (a.is_new = 1 OR b.is_new = 1)),
+                    b -> named_struct('id_a', a.vec_id, 'id_b', b.vec_id))))
+    """
+    cand = (
+        members.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("vec_id")).distinct()
+    emb = vecs_all.join(cand_ids, on="vec_id", how="left_semi")
+    return (
+        cand.join(
+            emb.selectExpr("vec_id AS id_a", "embedding AS e_a"), on="id_a"
+        )
+        .join(emb.selectExpr("vec_id AS id_b", "embedding AS e_b"), on="id_b")
+        .withColumn(
+            "cosine", F.round(_dot("e_a", "e_b") / (_norm("e_a") * _norm("e_b")), 6)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def _timed(fn, trials):
+    """One untimed warmup + `trials` timed runs; returns list of seconds."""
+    fn()
+    out = []
+    for _ in range(trials):
+        t0 = time.monotonic()
+        fn()
+        out.append(round(time.monotonic() - t0, 3))
+    return out
+
+
+def _pairs_key(df):
+    return sorted((r[0], r[1]) for r in df.select("id_a", "id_b").collect())
+
+
+def run(args):
+    from literature_to_facts_spark.config import get_spark
+
+    wd = args.workdir
+    if os.path.isdir(wd):
+        shutil.rmtree(wd)
+    os.makedirs(wd)
+    spark = get_spark(
+        app_name="delta-scale-ab", master=f"local[{os.cpu_count()}]"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    n, nb = args.n_docs, args.n_batch
+    result = {
+        "n_history": n,
+        "n_batch": nb,
+        "trials": args.trials,
+        "cpus": os.cpu_count(),
+        "families": {},
+    }
+
+    # ---- corpora (deterministic, Spark-side; written to parquet so every
+    # run scans real splittable files, like a production table)
+    t0 = time.monotonic()
+    build_scale_documents(spark, n, seed=42, vocab=args.vocab).write.mode(
+        "overwrite"
+    ).parquet(f"{wd}/docs")
+    batch_docs = build_scale_documents(
+        spark, nb // 2, seed=42, vocab=args.vocab
+    ).withColumn("doc_id", F.col("doc_id") + OFFSET)
+    batch_docs = batch_docs.unionByName(
+        build_scale_documents(spark, nb - nb // 2, seed=99, vocab=args.vocab)
+        .withColumn("doc_id", F.col("doc_id") + 2 * OFFSET)
+    )
+    batch_docs.write.mode("overwrite").parquet(f"{wd}/batch_docs")
+    build_scale_embeddings(spark, n, dim=EMBED["dim"], seed=7).write.mode(
+        "overwrite"
+    ).parquet(f"{wd}/vecs")
+    batch_vecs = build_scale_embeddings(
+        spark, nb // 2, dim=EMBED["dim"], seed=7
+    ).withColumn("vec_id", F.col("vec_id") + OFFSET)
+    batch_vecs = batch_vecs.unionByName(
+        build_scale_embeddings(spark, nb - nb // 2, dim=EMBED["dim"], seed=123)
+        .withColumn("vec_id", F.col("vec_id") + 2 * OFFSET)
+    )
+    batch_vecs.write.mode("overwrite").parquet(f"{wd}/batch_vecs")
+    result["corpus_gen_sec"] = round(time.monotonic() - t0, 1)
+
+    docs = spark.read.parquet(f"{wd}/docs")
+    batch = spark.read.parquet(f"{wd}/batch_docs")
+    vecs = spark.read.parquet(f"{wd}/vecs")
+    vbatch = spark.read.parquet(f"{wd}/batch_vecs")
+    docs_all = docs.select("doc_id", "text").unionByName(
+        batch.select("doc_id", "text")
+    )
+    vecs_all = vecs.select("vec_id", "embedding").unionByName(
+        vbatch.select("vec_id", "embedding")
+    )
+
+    # ---- persisted history indexes (bucketed catalog tables — the probe
+    # shape's zero-Exchange property needs the bucket metadata)
+    t0 = time.monotonic()
+    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_bucketed(
+        build_lsh_band_index(
+            docs, n_gram=MINHASH["n_gram"], n_hashes=MINHASH["n_hashes"],
+            bands=MINHASH["bands"],
+        ),
+        "ab_mh_idx", "key", 32, path=f"{wd}/mh_idx",
+    )
+    write_bucketed(
+        build_simhash_band_index(docs), "ab_sh_idx", "key", 32,
+        path=f"{wd}/sh_idx",
+    )
+    write_bucketed(
+        build_embedding_bucket_index(
+            vecs, n_planes=EMBED["n_planes"], dim=EMBED["dim"]
+        ),
+        "ab_em_idx", "bucket", 32, path=f"{wd}/em_idx",
+    )
+    result["index_build_sec"] = round(time.monotonic() - t0, 1)
+
+    def probe_mh():
+        reg = []
+        out = minhash_lsh_pairs_incremental(
+            batch, docs, old_index=spark.table("ab_mh_idx"),
+            n_gram=MINHASH["n_gram"], n_hashes=MINHASH["n_hashes"],
+            bands=MINHASH["bands"], threshold=MINHASH["threshold"],
+            max_bucket=MINHASH["max_bucket"], cache_registry=reg,
+        )
+        c = out.count()
+        for df in reg:
+            df.unpersist()
+        return c
+
+    def union_mh():
+        all_idx = spark.table("ab_mh_idx").unionByName(
+            build_lsh_band_index(
+                batch, n_gram=MINHASH["n_gram"], n_hashes=MINHASH["n_hashes"],
+                bands=MINHASH["bands"],
+            )
+        )
+        return union_minhash(
+            all_idx, docs_all, bands=MINHASH["bands"], n_gram=MINHASH["n_gram"],
+            threshold=MINHASH["threshold"], max_bucket=MINHASH["max_bucket"],
+        ).count()
+
+    def probe_sh():
+        reg = []
+        out = simhash_near_dups_incremental(
+            batch, old_index=spark.table("ab_sh_idx"),
+            max_hamming=SIMHASH["max_hamming"], max_bucket=SIMHASH["max_bucket"],
+            cache_registry=reg,
+        )
+        c = out.count()
+        for df in reg:
+            df.unpersist()
+        return c
+
+    def union_sh():
+        all_idx = spark.table("ab_sh_idx").unionByName(
+            build_simhash_band_index(batch)
+        )
+        return union_simhash(
+            all_idx, max_hamming=SIMHASH["max_hamming"],
+            max_bucket=SIMHASH["max_bucket"],
+        ).count()
+
+    def probe_em():
+        reg = []
+        out = embedding_near_dup_pairs_incremental(
+            vbatch, vecs, old_index=spark.table("ab_em_idx"),
+            threshold=EMBED["threshold"], n_planes=EMBED["n_planes"],
+            dim=EMBED["dim"], max_bucket=EMBED["max_bucket"],
+            cache_registry=reg,
+        )
+        c = out.count()
+        for df in reg:
+            df.unpersist()
+        return c
+
+    def union_em():
+        all_idx = spark.table("ab_em_idx").unionByName(
+            build_embedding_bucket_index(
+                vbatch, n_planes=EMBED["n_planes"], dim=EMBED["dim"]
+            )
+        )
+        return union_embedding(
+            all_idx, vecs_all, threshold=EMBED["threshold"],
+            max_bucket=EMBED["max_bucket"],
+        ).count()
+
+    fams = {
+        "minhash": (probe_mh, union_mh),
+        "simhash": (probe_sh, union_sh),
+        "embedding": (probe_em, union_em),
+    }
+    for fam, (probe_fn, union_fn) in fams.items():
+        # parity first (also the probe warmup): identical pair sets
+        reg = []
+        if fam == "minhash":
+            probe_df = minhash_lsh_pairs_incremental(
+                batch, docs, old_index=spark.table("ab_mh_idx"),
+                n_gram=MINHASH["n_gram"], n_hashes=MINHASH["n_hashes"],
+                bands=MINHASH["bands"], threshold=MINHASH["threshold"],
+                max_bucket=MINHASH["max_bucket"], cache_registry=reg,
+            )
+            union_df = union_minhash(
+                spark.table("ab_mh_idx").unionByName(
+                    build_lsh_band_index(
+                        batch, n_gram=MINHASH["n_gram"],
+                        n_hashes=MINHASH["n_hashes"], bands=MINHASH["bands"],
+                    )
+                ),
+                docs_all, bands=MINHASH["bands"], n_gram=MINHASH["n_gram"],
+                threshold=MINHASH["threshold"], max_bucket=MINHASH["max_bucket"],
+            )
+        elif fam == "simhash":
+            probe_df = simhash_near_dups_incremental(
+                batch, old_index=spark.table("ab_sh_idx"),
+                max_hamming=SIMHASH["max_hamming"],
+                max_bucket=SIMHASH["max_bucket"], cache_registry=reg,
+            )
+            union_df = union_simhash(
+                spark.table("ab_sh_idx").unionByName(
+                    build_simhash_band_index(batch)
+                ),
+                max_hamming=SIMHASH["max_hamming"],
+                max_bucket=SIMHASH["max_bucket"],
+            )
+        else:
+            probe_df = embedding_near_dup_pairs_incremental(
+                vbatch, vecs, old_index=spark.table("ab_em_idx"),
+                threshold=EMBED["threshold"], n_planes=EMBED["n_planes"],
+                dim=EMBED["dim"], max_bucket=EMBED["max_bucket"],
+                cache_registry=reg,
+            )
+            union_df = union_embedding(
+                spark.table("ab_em_idx").unionByName(
+                    build_embedding_bucket_index(
+                        vbatch, n_planes=EMBED["n_planes"], dim=EMBED["dim"]
+                    )
+                ),
+                vecs_all, threshold=EMBED["threshold"],
+                max_bucket=EMBED["max_bucket"],
+            )
+        pk, uk = _pairs_key(probe_df), _pairs_key(union_df)
+        for df in reg:
+            df.unpersist()
+        parity = pk == uk
+        if not parity:
+            print(
+                f"PARITY FAIL {fam}: probe {len(pk)} union {len(uk)} "
+                f"probe-only {sorted(set(pk) - set(uk))[:5]} "
+                f"union-only {sorted(set(uk) - set(pk))[:5]}"
+            )
+        probe_secs = _timed(probe_fn, args.trials)
+        union_secs = _timed(union_fn, args.trials)
+        # second interleave round to absorb drift
+        probe_secs += _timed(probe_fn, args.trials)
+        union_secs += _timed(union_fn, args.trials)
+        result["families"][fam] = {
+            "pairs": len(pk),
+            "parity_ok": parity,
+            "probe_secs": probe_secs,
+            "union_secs": union_secs,
+            "probe_median": round(statistics.median(probe_secs), 3),
+            "union_median": round(statistics.median(union_secs), 3),
+            "speedup": round(
+                statistics.median(union_secs) / statistics.median(probe_secs), 2
+            ),
+        }
+        print(fam, json.dumps(result["families"][fam]))
+
+    out_path = os.path.join(REPO, "BENCH", "delta_scale_ab.json")
+    if args.write_json:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print("wrote", out_path)
+    print(json.dumps(result))
+    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return 0 if all(f["parity_ok"] for f in result["families"].values()) else 1
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=500_000)
+    ap.add_argument("--n-batch", type=int, default=5_000)
+    ap.add_argument("--vocab", type=int, default=5_000)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--workdir", default="/tmp/l2f_delta_scale")
+    ap.add_argument("--write-json", action="store_true")
+    sys.exit(run(ap.parse_args()))
