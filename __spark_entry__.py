@@ -1337,6 +1337,72 @@ def q_sample_mixture_temperature(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode lane (datapipe/multimodal.extract_media_features):
+    a deterministic binary-column fixture (real BMP/PPM/WAV payloads plus
+    truncated and compressed-magic rows) decoded to fixed-dim features via
+    mapInPandas.  Features are fixed-pointed (1e5) for bit-portable
+    comparison; the oracle regenerates the same payloads and decodes them
+    row-at-a-time outside Spark — what the check pins is the distributed
+    plumbing: Arrow batching, schema, per-row error degradation, payload
+    hash integrity.  sf_dir is unused (the fixture is the contract)."""
+    from literature_to_facts_spark.datapipe.multimodal import (
+        build_media_fixture,
+        extract_media_features,
+    )
+
+    media = spark.createDataFrame(
+        [(m, k, bytearray(p)) for m, k, p in build_media_fixture()],
+        schema="media_id long, kind string, payload binary",
+    ).repartition(8)
+    fx = [
+        f"CAST(CASE WHEN feature IS NULL THEN NULL ELSE "
+        f"floor(CAST(element_at(feature, {i + 1}) AS DOUBLE) * 100000 + 0.5) "
+        f"END AS BIGINT) AS f{i}"
+        for i in range(8)
+    ]
+    return extract_media_features(media).selectExpr(
+        "media_id", "kind", "n_bytes", "sha1", "decoder", *fx
+    )
+
+
+def _multimodal_oracle_sql() -> str:
+    """Row-at-a-time oracle for q_multimodal_features: regenerate the
+    fixture, decode each payload in plain Python (same honest decoders, no
+    Spark), fixed-point the features identically, and emit a VALUES table
+    DuckDB selects from."""
+    import hashlib as _hl
+    import math as _m
+
+    from literature_to_facts_spark.datapipe.multimodal import (
+        build_media_fixture,
+        decode_media,
+    )
+
+    rows = []
+    for mid, kind, payload in build_media_fixture():
+        try:
+            feat = decode_media(payload, kind)
+            dec = "real"
+        except NotImplementedError:
+            feat, dec = None, "unsupported"
+        except Exception:  # noqa: BLE001 — mirrors the operator's per-row net
+            feat, dec = None, "error"
+        fs = (
+            ["CAST(NULL AS BIGINT)"] * 8
+            if feat is None
+            else [str(int(_m.floor(float(f) * 100000 + 0.5))) for f in feat]
+        )
+        rows.append(
+            f"({mid}, '{kind}', {len(payload)}, "
+            f"'{_hl.sha1(payload).hexdigest()}', '{dec}', {', '.join(fs)})"
+        )
+    cols = "media_id, kind, n_bytes, sha1, decoder, " + ", ".join(
+        f"f{i}" for i in range(8)
+    )
+    return f"SELECT * FROM (VALUES {', '.join(rows)}) AS t({cols})"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_melt": q_kg_triples_melt,
@@ -1403,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_mixture_temperature": q_sample_mixture_temperature,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -2774,4 +2841,5 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN fr USING (lang)
             WHERE {_H1.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000 < fr.t
         """,
+        "multimodal_features": _multimodal_oracle_sql(),
     }

@@ -232,3 +232,79 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
             F.lit("stub").alias("codec"),
         ).alias("meta"),
     )
+
+
+def _fixture_bytes(tag: str, n: int, seed: int) -> bytes:
+    """Deterministic byte stream from chained sha256 — platform-independent
+    (no RNG library semantics to pin)."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{seed}:{tag}:{i}".encode()).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+def _bmp_bytes(w: int, h: int, pix_bgr: bytes) -> bytes:
+    """24-bit uncompressed bottom-up BMP from raw BGR pixel bytes."""
+    stride = (w * 3 + 3) & ~3
+    body = b"".join(
+        pix_bgr[r * w * 3 : (r + 1) * w * 3] + b"\x00" * (stride - w * 3)
+        for r in range(h)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def _wav_bytes(samples_i16: bytes, rate: int, channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples_i16)
+    return buf.getvalue()
+
+
+def build_media_fixture(seed: int = 13) -> list:
+    """Deterministic (media_id, kind, payload) fixture covering every
+    decoder path: real BMP (bottom-up row order), real PPM (with a header
+    comment), real PCM WAV (mono + stereo, several rates), truncated
+    payloads (per-row 'error' degradation) and compressed-format magics
+    (per-row 'unsupported' degradation — the honest JPEG/PNG/MP4 stub).
+
+    Pure function of ``seed`` built on chained sha256, so the same rows can
+    be regenerated independently by an oracle process and decoded
+    row-at-a-time — the contract behind the ``multimodal_features`` driver
+    query (features are fixed-pointed before comparison; the decode math
+    itself is identical library code on both sides, what the oracle checks
+    is the DISTRIBUTED plumbing: Arrow batching, schema, per-row
+    degradation, hash integrity)."""
+    rows = []
+    mid = 0
+    for i in range(12):
+        w, h = 3 + (i * 5) % 12, 3 + (i * 7) % 12
+        rows.append((mid, "image", _bmp_bytes(w, h, _fixture_bytes(f"bmp{i}", w * h * 3, seed))))
+        mid += 1
+    for i in range(12):
+        w, h = 4 + (i * 3) % 10, 2 + (i * 5) % 11
+        head = f"P6\n# fixture {i}\n{w} {h}\n255\n".encode()
+        rows.append((mid, "image", head + _fixture_bytes(f"ppm{i}", w * h * 3, seed)))
+        mid += 1
+    for i in range(12):
+        rate = (8000, 16000, 44100)[i % 3]
+        channels = 1 + (i % 2)
+        n = (64 + 37 * i) * channels
+        rows.append((mid, "audio", _wav_bytes(_fixture_bytes(f"wav{i}", n * 2, seed), rate, channels)))
+        mid += 1
+    # truncated real formats -> decoder='error'
+    rows.append((mid, "image", rows[0][2][:20])); mid += 1
+    rows.append((mid, "image", b"P6\n5 5\n255\n" + b"\x01" * 7)); mid += 1
+    rows.append((mid, "audio", rows[24][2][:30])); mid += 1
+    # compressed magics -> decoder='unsupported'
+    rows.append((mid, "image", b"\x89PNG\r\n\x1a\n" + _fixture_bytes("png", 64, seed))); mid += 1
+    rows.append((mid, "image", b"\xff\xd8\xff\xe0" + _fixture_bytes("jpg", 64, seed))); mid += 1
+    rows.append((mid, "video", b"\x00\x00\x00\x18ftypmp42" + _fixture_bytes("mp4", 64, seed))); mid += 1
+    return rows

@@ -177,3 +177,82 @@ def snapshot_diff(
         .where(F.col("status").isNotNull())
         .select(F.col("_id").alias(id_col), "status", "old_hash", "new_hash")
     )
+
+
+def compact_index(
+    spark: SparkSession,
+    table: str,
+    target_table: str,
+    bucket_col: str,
+    n_buckets: int,
+    tombstone_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    sum_cols: tuple = (),
+    path: str | None = None,
+) -> DataFrame:
+    """Compact an append-only delta-dedup index into a fresh bucketed table.
+
+    The five probe-shaped incremental families append per batch forever
+    (``build_lsh_band_index`` / ``build_simhash_band_index`` /
+    ``build_exact_hash_index`` / ``build_embedding_bucket_index`` rows, and
+    ``build_line_frequency_index`` partial counts): at daily cadence the
+    index accumulates one small file per bucket per batch plus dead rows
+    for purged documents.  This rewrites it as ONE file per bucket with
+
+      * tombstoned ids dropped — pass the purge set (e.g. the non-canonical
+        ids from ``deduplicate_corpus``) accumulated since the last
+        compaction as ``tombstone_ids``; it is broadcast, so keep
+        compactions frequent enough that the set stays batch-scale, and
+      * per-batch partial counts merged — ``sum_cols=("df",)`` for the line
+        frequency index collapses a line's k per-batch rows into one (the
+        probe SUMs touched rows, so pre-summing is semantically a no-op).
+
+    ZERO-Exchange rewrite: the bucketed scan is already hash-partitioned on
+    ``bucket_col``, the tombstone anti-join is broadcast, the ``sum_cols``
+    groupBy is satisfied by the scan's partitioning, and the bucketed
+    WRITE emits each task's single bucket straight to its one output file
+    — at 100 TB the compaction is a linear streaming pass over the index,
+    no shuffle (plan-pinned by tests/test_storage_extras.py).
+
+    Writes ``target_table`` (versioned-table pattern: compact into
+    ``idx_v{k+1}``, point readers at it, then ``DROP TABLE idx_v{k}`` — a
+    catalog swap is atomic for new readers, while overwriting a table that
+    is also the scan source is rejected by Spark).  ``target_table`` must
+    differ from ``table``.  Returns the compacted DataFrame (lazy; the
+    write has already happened).
+
+    Column METADATA survives the rewrite (groupBy/anti-join keep attribute
+    metadata, and parquet round-trips it), so parameter stamps like the
+    line index's ``l2f_min_line_chars`` still guard probe-time mismatches
+    on the compacted table.
+    """
+    from pyspark.sql import functions as F
+
+    if target_table == table:
+        raise ValueError(
+            "compact_index target_table must differ from table "
+            "(versioned-table pattern; Spark rejects scan-source overwrite)"
+        )
+    df = spark.table(table)
+    if tombstone_ids is not None:
+        tomb = tombstone_ids.select(F.col(tombstone_ids.columns[0]).alias(id_col))
+        df = df.join(F.broadcast(tomb), on=id_col, how="left_anti")
+    if sum_cols:
+        group_cols = [c for c in df.columns if c not in sum_cols]
+        df = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+    # Force the bucket-aligned scan for the write: with autoBucketedScan on
+    # (the default) Spark notices no operator NEEDS the distribution and
+    # reads the source file-by-file — the bucketed write then emits one
+    # file per (task, bucket) and the compaction multiplies small files
+    # instead of merging them.  Pinned to one-partition-per-bucket here so
+    # each task holds exactly one bucket and writes exactly one file.
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto_key, "true")
+    spark.conf.set(auto_key, "false")
+    try:
+        write_bucketed(df, target_table, bucket_col, n_buckets, path=path)
+    finally:
+        spark.conf.set(auto_key, prev)
+    return spark.table(target_table)

@@ -69,6 +69,11 @@ OFFSET = 10_000_000  # batch doc ids start here (disjoint from history)
 MINHASH = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5, max_bucket=1000)
 SIMHASH = dict(max_hamming=8, max_bucket=1000)
 EMBED = dict(n_planes=16, threshold=0.9, dim=64, max_bucket=1000)
+# n_planes is the embedding family's SCALE KNOB: avg bucket population is
+# n_history / 2^n_planes, and the candidate-verify cost in EITHER shape is
+# O(batch x avg bucket).  An operational deployment grows n_planes with the
+# corpus (keeping buckets O(1)); the harness takes it as a CLI arg so the
+# A/B at 2M+ rows runs the configuration a 2M-vector deployment would use.
 
 
 # ---------------------------------------------------------------------------
@@ -198,15 +203,41 @@ def union_embedding(all_index, vecs_all, *, threshold, max_bucket):
 # ---------------------------------------------------------------------------
 
 
+_UI_PORT = 4054
+
+
+def _shuffle_write_bytes() -> int:
+    """Total shuffle-write bytes across all completed stages of this app,
+    read from the public Spark UI REST API.  Snapshot-diff this around a
+    run to get the run's exchanged bytes — at 100 TB, shuffle bytes ARE the
+    network cost a single-node wall clock understates."""
+    import urllib.request
+
+    try:
+        base = f"http://localhost:{_UI_PORT}/api/v1/applications"
+        apps = json.load(urllib.request.urlopen(base, timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{base}/{app_id}/stages?status=complete", timeout=10)
+        )
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
 def _timed(fn, trials):
-    """One untimed warmup + `trials` timed runs; returns list of seconds."""
+    """One untimed warmup + `trials` timed runs; returns (secs, shuffle_mb)
+    lists — shuffle_mb is the per-run shuffle-write byte delta."""
     fn()
-    out = []
+    out, smb = [], []
     for _ in range(trials):
+        b0 = _shuffle_write_bytes()
         t0 = time.monotonic()
         fn()
         out.append(round(time.monotonic() - t0, 3))
-    return out
+        b1 = _shuffle_write_bytes()
+        smb.append(round((b1 - b0) / 1e6, 1) if b0 >= 0 and b1 >= 0 else -1)
+    return out, smb
 
 
 def _pairs_key(df):
@@ -221,43 +252,56 @@ def run(args):
         shutil.rmtree(wd)
     os.makedirs(wd)
     spark = get_spark(
-        app_name="delta-scale-ab", master=f"local[{os.cpu_count()}]"
+        app_name="delta-scale-ab",
+        master=f"local[{os.cpu_count()}]",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(_UI_PORT)},
     )
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     n, nb = args.n_docs, args.n_batch
+    if args.emb_planes is not None:
+        EMBED["n_planes"] = int(args.emb_planes)
+    fam_filter = set(args.families.split(","))
     result = {
         "n_history": n,
         "n_batch": nb,
         "trials": args.trials,
         "cpus": os.cpu_count(),
+        "emb_planes": EMBED["n_planes"],
         "families": {},
     }
 
+    need_docs = bool(fam_filter & {"minhash", "simhash"})
+    need_vecs = "embedding" in fam_filter
+
     # ---- corpora (deterministic, Spark-side; written to parquet so every
-    # run scans real splittable files, like a production table)
+    # run scans real splittable files, like a production table).  Only the
+    # corpora the selected families touch are generated — a 20M-vector
+    # embedding-only run must not pay a 14 GB document gen.
     t0 = time.monotonic()
-    build_scale_documents(spark, n, seed=42, vocab=args.vocab).write.mode(
-        "overwrite"
-    ).parquet(f"{wd}/docs")
-    batch_docs = build_scale_documents(
-        spark, nb // 2, seed=42, vocab=args.vocab
-    ).withColumn("doc_id", F.col("doc_id") + OFFSET)
-    batch_docs = batch_docs.unionByName(
-        build_scale_documents(spark, nb - nb // 2, seed=99, vocab=args.vocab)
-        .withColumn("doc_id", F.col("doc_id") + 2 * OFFSET)
-    )
-    batch_docs.write.mode("overwrite").parquet(f"{wd}/batch_docs")
-    build_scale_embeddings(spark, n, dim=EMBED["dim"], seed=7).write.mode(
-        "overwrite"
-    ).parquet(f"{wd}/vecs")
-    batch_vecs = build_scale_embeddings(
-        spark, nb // 2, dim=EMBED["dim"], seed=7
-    ).withColumn("vec_id", F.col("vec_id") + OFFSET)
-    batch_vecs = batch_vecs.unionByName(
-        build_scale_embeddings(spark, nb - nb // 2, dim=EMBED["dim"], seed=123)
-        .withColumn("vec_id", F.col("vec_id") + 2 * OFFSET)
-    )
-    batch_vecs.write.mode("overwrite").parquet(f"{wd}/batch_vecs")
+    if need_docs:
+        build_scale_documents(spark, n, seed=42, vocab=args.vocab).write.mode(
+            "overwrite"
+        ).parquet(f"{wd}/docs")
+        batch_docs = build_scale_documents(
+            spark, nb // 2, seed=42, vocab=args.vocab
+        ).withColumn("doc_id", F.col("doc_id") + OFFSET)
+        batch_docs = batch_docs.unionByName(
+            build_scale_documents(spark, nb - nb // 2, seed=99, vocab=args.vocab)
+            .withColumn("doc_id", F.col("doc_id") + 2 * OFFSET)
+        )
+        batch_docs.write.mode("overwrite").parquet(f"{wd}/batch_docs")
+    if need_vecs:
+        build_scale_embeddings(spark, n, dim=EMBED["dim"], seed=7).write.mode(
+            "overwrite"
+        ).parquet(f"{wd}/vecs")
+        batch_vecs = build_scale_embeddings(
+            spark, nb // 2, dim=EMBED["dim"], seed=7
+        ).withColumn("vec_id", F.col("vec_id") + OFFSET)
+        batch_vecs = batch_vecs.unionByName(
+            build_scale_embeddings(spark, nb - nb // 2, dim=EMBED["dim"], seed=123)
+            .withColumn("vec_id", F.col("vec_id") + 2 * OFFSET)
+        )
+        batch_vecs.write.mode("overwrite").parquet(f"{wd}/batch_vecs")
     result["corpus_gen_sec"] = round(time.monotonic() - t0, 1)
 
     docs = spark.read.parquet(f"{wd}/docs")
@@ -370,6 +414,7 @@ def run(args):
         "simhash": (probe_sh, union_sh),
         "embedding": (probe_em, union_em),
     }
+    fams = {k: v for k, v in fams.items() if k in fam_filter}
     for fam, (probe_fn, union_fn) in fams.items():
         # parity first (also the probe warmup): identical pair sets
         reg = []
@@ -429,11 +474,15 @@ def run(args):
                 f"probe-only {sorted(set(pk) - set(uk))[:5]} "
                 f"union-only {sorted(set(uk) - set(pk))[:5]}"
             )
-        probe_secs = _timed(probe_fn, args.trials)
-        union_secs = _timed(union_fn, args.trials)
+        probe_secs, probe_smb = _timed(probe_fn, args.trials)
+        union_secs, union_smb = _timed(union_fn, args.trials)
         # second interleave round to absorb drift
-        probe_secs += _timed(probe_fn, args.trials)
-        union_secs += _timed(union_fn, args.trials)
+        s2, m2 = _timed(probe_fn, args.trials)
+        probe_secs += s2
+        probe_smb += m2
+        s2, m2 = _timed(union_fn, args.trials)
+        union_secs += s2
+        union_smb += m2
         result["families"][fam] = {
             "pairs": len(pk),
             "parity_ok": parity,
@@ -441,6 +490,8 @@ def run(args):
             "union_secs": union_secs,
             "probe_median": round(statistics.median(probe_secs), 3),
             "union_median": round(statistics.median(union_secs), 3),
+            "probe_shuffle_mb": round(statistics.median(probe_smb), 1),
+            "union_shuffle_mb": round(statistics.median(union_smb), 1),
             "speedup": round(
                 statistics.median(union_secs) / statistics.median(probe_secs), 2
             ),
@@ -466,4 +517,8 @@ if __name__ == "__main__":
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/l2f_delta_scale")
     ap.add_argument("--write-json", action="store_true")
+    ap.add_argument("--emb-planes", type=int, default=None,
+                    help="override EMBED n_planes (operational sizing: "
+                    "~log2(n_history) + 1 keeps buckets O(1))")
+    ap.add_argument("--families", default="minhash,simhash,embedding")
     sys.exit(run(ap.parse_args()))

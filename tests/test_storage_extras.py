@@ -12,6 +12,11 @@ def _shard(doc_id: int, n: int) -> int:
     return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16) % n
 
 
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+
 def test_write_sharded_balanced_and_deterministic(spark, tmp_path):
     from literature_to_facts_spark.datapipe.storage import write_sharded
 
@@ -98,3 +103,154 @@ def test_snapshot_diff_never_carries_text(spark):
     # md5 appears below the exchanges (map-side), i.e. the plan prints the
     # join/exchange nodes before the md5-computing projects
     assert plan.index("md5") > plan.index("Exchange hashpartitioning"), plan
+
+
+def test_compact_index_minhash_daily_loop(spark, documents, tmp_path):
+    """Daily loop with a COMPACTION between batches: append day-0/day-1
+    index rows, purge some docs, compact into a v2 table, then the day-2
+    incremental over v2 is bit-equal to the same batch over the logically
+    filtered uncompacted index — compaction changes layout, never results.
+    Also pins the compaction's scale shape: one file per bucket out, and a
+    zero-Exchange plan (broadcast anti-join over the bucketed scan)."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        build_lsh_band_index,
+        minhash_lsh_pairs_incremental,
+    )
+    from literature_to_facts_spark.datapipe.storage import (
+        compact_index,
+        write_bucketed,
+    )
+
+    dup = documents.limit(9).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    docs = documents.unionByName(dup).select("doc_id", "text")
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    params = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5)
+    idx_params = {k: v for k, v in params.items() if k != "threshold"}
+    try:
+        write_bucketed(
+            build_lsh_band_index(batches[0], **idx_params),
+            "t_cmp_v1", "key", 4, path=str(tmp_path / "v1"),
+        )
+        write_bucketed(
+            build_lsh_band_index(batches[1], **idx_params),
+            "t_cmp_v1", "key", 4, path=str(tmp_path / "v1"), mode="append",
+        )
+        # purge every 7th doc (simulating deduplicate_corpus losers)
+        seen = batches[0].unionByName(batches[1])
+        tombs = seen.where(F.col("doc_id") % 7 == 0).select("doc_id")
+        compacted = compact_index(
+            spark, "t_cmp_v1", "t_cmp_v2", "key", 4,
+            tombstone_ids=tombs, path=str(tmp_path / "v2"),
+        )
+        # layout: exactly one parquet file per bucket
+        files = [
+            f for f in os.listdir(str(tmp_path / "v2")) if f.endswith(".parquet")
+        ]
+        assert len(files) == 4, files
+        # contents == logical filter of the uncompacted table
+        want = {
+            tuple(r)
+            for r in spark.table("t_cmp_v1")
+            .join(F.broadcast(tombs), on="doc_id", how="left_anti")
+            .collect()
+        }
+        assert {tuple(r) for r in compacted.collect()} == want and len(want) > 0
+        # plan: the compaction source fragment keeps the history stream
+        # exchange-free (the only Exchange allowed is inside the broadcast
+        # subtree building the tombstone set)
+        frag = spark.table("t_cmp_v1").join(
+            F.broadcast(tombs), on="doc_id", how="left_anti"
+        )
+        auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        spark.conf.set(auto_key, "false")  # compact_index pins this for its write
+        try:
+            plan = frag._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(auto_key, "true")
+        streamed = plan.split("BroadcastExchange")[0]
+        assert "Exchange" not in streamed, plan
+        assert "Bucketed: true" in plan
+        # day-2 incremental over the compacted index == over the filtered
+        # uncompacted one (bit-equal pairs)
+        survivors = seen.join(F.broadcast(tombs), on="doc_id", how="left_anti")
+        got_v2 = minhash_lsh_pairs_incremental(
+            batches[2], survivors, spark.table("t_cmp_v2"), **params
+        ).collect()
+        got_v1f = minhash_lsh_pairs_incremental(
+            batches[2], survivors,
+            spark.table("t_cmp_v1").join(
+                F.broadcast(tombs), on="doc_id", how="left_anti"
+            ),
+            **params,
+        ).collect()
+        key = lambda rows: sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in rows)
+        assert key(got_v2) == key(got_v1f) and len(got_v2) > 0
+        with pytest.raises(ValueError, match="must differ"):
+            compact_index(spark, "t_cmp_v2", "t_cmp_v2", "key", 4)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cmp_v1")
+        spark.sql("DROP TABLE IF EXISTS t_cmp_v2")
+
+
+def test_compact_index_line_frequency_merges_partials(spark, documents, tmp_path):
+    """Line-frequency compaction merges per-batch partial counts into one
+    row per line (sum_cols), keeps the builder's parameter stamp through
+    the rewrite, and leaves line_dedup_incremental's output unchanged."""
+    from literature_to_facts_spark.datapipe.storage import (
+        compact_index,
+        write_bucketed,
+    )
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_line_frequency_index,
+        line_dedup_incremental,
+    )
+
+    docs = documents.select("doc_id", "text").where(F.col("text").isNotNull())
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    try:
+        write_bucketed(
+            build_line_frequency_index(b0, min_line_chars=5),
+            "t_lf_v1", "line_key", 4, path=str(tmp_path / "lf1"),
+        )
+        write_bucketed(
+            build_line_frequency_index(b1, min_line_chars=5),
+            "t_lf_v1", "line_key", 4, path=str(tmp_path / "lf1"), mode="append",
+        )
+        compacted = compact_index(
+            spark, "t_lf_v1", "t_lf_v2", "line_key", 4,
+            sum_cols=("df",), path=str(tmp_path / "lf2"),
+        )
+        # merged: one row per line_key, totals preserved
+        assert compacted.groupBy("line_key").count().where("count > 1").count() == 0
+        tot = lambda t: {
+            r["line_key"]: r["s"]
+            for r in spark.table(t).groupBy("line_key")
+            .agg(F.sum("df").alias("s")).collect()
+        }
+        assert tot("t_lf_v2") == tot("t_lf_v1")
+        # parameter stamp survived the rewrite
+        meta = spark.table("t_lf_v2").schema["line_key"].metadata
+        assert meta.get("l2f_min_line_chars") == 5
+        # and still guards a mismatched probe
+        with pytest.raises(ValueError, match="min_line_chars"):
+            line_dedup_incremental(
+                b2, spark.table("t_lf_v2"), min_df=2, min_line_chars=9
+            ).collect()
+        k = lambda rows: sorted((r["doc_id"], r["clean_text"]) for r in rows)
+        reg1, reg2 = [], []
+        out_v2 = line_dedup_incremental(
+            b2, spark.table("t_lf_v2"), min_df=2, min_line_chars=5,
+            cache_registry=reg2,
+        ).select("doc_id", "clean_text").collect()
+        out_v1 = line_dedup_incremental(
+            b2, spark.table("t_lf_v1"), min_df=2, min_line_chars=5,
+            cache_registry=reg1,
+        ).select("doc_id", "clean_text").collect()
+        for df_ in reg1 + reg2:
+            df_.unpersist()
+        assert k(out_v2) == k(out_v1) and len(out_v2) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lf_v1")
+        spark.sql("DROP TABLE IF EXISTS t_lf_v2")
