@@ -1036,6 +1036,76 @@ def q_text_lang_id(spark, sf_dir):
     )
 
 
+def q_text_lang_trigram(spark, sf_dir):
+    """Char-trigram language ID (datapipe/textstats.lang_id_trigram_scores):
+    explode trigrams map-side, broadcast join the 175-row disjoint model
+    table, one partial-aggregated groupBy per doc (the only Exchange is one
+    row per document).  Integer weight sums — bit-portable; the oracle
+    recomputes the full pipeline from the same model literals."""
+    from literature_to_facts_spark.datapipe.textstats import (
+        TRIGRAM_LANGS,
+        lang_id_trigram_scores,
+    )
+
+    out = lang_id_trigram_scores(_spread(_t(spark, sf_dir, "documents")))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tri",
+        *[f"score_{lg}" for lg in TRIGRAM_LANGS],
+        "lang_trigram",
+    )
+
+
+def _lang_trigram_oracle_sql() -> str:
+    """DuckDB oracle for q_text_lang_trigram, generated from the SAME
+    LANG_TRIGRAMS literals the operator uses (model drift breaks the round,
+    not silently)."""
+    from literature_to_facts_spark.datapipe.textstats import (
+        LANG_TRIGRAMS,
+        TRIGRAM_LANGS,
+    )
+
+    vals = ", ".join(
+        f"('{t}', '{lg}', {w})"
+        for lg, d in LANG_TRIGRAMS.items()
+        for t, w in d.items()
+    )
+    score_cols = ",\n                 ".join(
+        f"CAST(coalesce(sum(CASE WHEN lang = '{lg}' THEN w END), 0) AS BIGINT)"
+        f" AS score_{lg}"
+        for lg in TRIGRAM_LANGS
+    )
+    out_scores = ",\n               ".join(
+        f"coalesce(s.score_{lg}, 0) AS score_{lg}" for lg in TRIGRAM_LANGS
+    )
+    # argmax with earlier-language tie wins (same chain as the operator)
+    branches = []
+    for i, lg in enumerate(TRIGRAM_LANGS):
+        conds = [
+            f"coalesce(s.score_{lg}, 0) >= coalesce(s.score_{other}, 0)"
+            for other in TRIGRAM_LANGS[i + 1:]
+        ] + [f"coalesce(s.score_{lg}, 0) > 0"]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return rf"""
+        WITH m(tri, lang, w) AS (VALUES {vals}),
+        n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+              FROM documents),
+        tr AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS tri
+               FROM n, UNNEST(range(1, len(t) - 1)) AS u(i)
+               WHERE t IS NOT NULL AND len(t) >= 3),
+        j AS (SELECT tr.doc_id, m.lang, m.w FROM tr LEFT JOIN m ON tr.tri = m.tri),
+        s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+                 {score_cols}
+              FROM j GROUP BY doc_id)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               coalesce(s.n_tri, 0) AS n_tri,
+               {out_scores},
+               {case} AS lang_trigram
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """
+
+
 def q_decontam_pairs(spark, sf_dir):
     """Eval-set decontamination report (datapipe/decontam.
     contamination_pairs): training docs (doc_id % 17 != 0) sharing word
@@ -1456,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": q_text_quality_filter,
         "text_quality_report": q_text_quality_report,
         "text_lang_id": q_text_lang_id,
+        "text_lang_trigram": q_text_lang_trigram,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "decontam_pairs": q_decontam_pairs,
@@ -2842,4 +2913,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_H1.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000 < fr.t
         """,
         "multimodal_features": _multimodal_oracle_sql(),
+        "text_lang_trigram": _lang_trigram_oracle_sql(),
     }

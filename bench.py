@@ -510,11 +510,18 @@ def run_headline() -> tuple[dict, dict, float, float, dict]:
         # the second run's plan-identical subtree straight from the cache —
         # reporting cache-hit latency as "warm" and letting entries pile up
         # across the rest of the session.
-        spark.catalog.clearCache()
-        t0 = time.time()
+        # warm = MIN of two clearCache'd re-executions: a single re-run on
+        # this shared VM is noise-suspect (round-5 baseline carried a warm >
+        # one-shot row from one contended trial); min-of-2 is the
+        # steady-state cost estimate and is what the committed table shows.
         try:
-            qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            warm[name] = round(time.time() - t0, 3)
+            trials = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                trials.append(time.time() - t0)
+            warm[name] = round(min(trials), 3)
         except Exception as e:
             warm[name] = f"error: {type(e).__name__}"
         spark.catalog.clearCache()
@@ -603,8 +610,8 @@ def write_baseline_md(result: dict) -> None:
         "",
         "one-shot = first execution in the session (includes Janino/JIT "
         "codegen compile, which swings 2-8s on this shared VM for the "
-        "codegen-heavy dedup queries depending on host epoch); warm = second "
-        "execution of the same plan with the cache CLEARED first "
+        "codegen-heavy dedup queries depending on host epoch); warm = MIN of "
+        "two re-executions of the same plan with the cache CLEARED first "
         "(steady-state per-execution cost — queries that persist() "
         "intermediates, like IVF centroids and incremental-dedup candidates, "
         "recompute them rather than reporting a cache-hit as warm; round-3 "

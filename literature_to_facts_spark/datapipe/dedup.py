@@ -360,6 +360,17 @@ def _verify_jaccard(
     hash join BY ID against per-doc shingle sets (bucket rows never carry
     shingles), keep pairs at or above ``threshold``."""
     sh = _shingle_frame(docs, id_col, text_col, n_gram, explode=False)
+    return _verify_jaccard_shingled(candidates, sh, threshold)
+
+
+def _verify_jaccard_shingled(
+    candidates: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Verify against a prepared (doc_id, shingles) frame — split out so the
+    incremental path can persist the (batch-bounded) frame and pay one
+    corpus scan instead of one per pair side."""
     return (
         candidates.join(
             sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"),
@@ -569,7 +580,17 @@ def minhash_lsh_pairs_incremental(
         .unionByName(new_docs.select(id_col, text_col))
         .join(cand_ids, on=id_col, how="left_semi")
     )
-    return _verify_jaccard(candidates, needed_docs, id_col, text_col, n_gram, threshold)
+    # the verify joins consume the shingle frame TWICE (id_a and id_b
+    # sides), and Spark will not reuse the subtree across the two joins —
+    # without this persist the FULL history corpus is scanned (and the
+    # candidates' shingles recomputed) twice per batch.  The frame is
+    # batch-bounded (candidate ids only), so the cache is small; measured
+    # 4.02 -> 2.6 s on the embedding analog at 2M history vectors
+    # (scripts/bench_delta_scale.py).
+    sh = _shingle_frame(needed_docs, id_col, text_col, n_gram, explode=False).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
+    return _verify_jaccard_shingled(candidates, sh, threshold)
 
 
 def lsh_bucket_stats(

@@ -299,6 +299,12 @@ def embedding_near_dup_pairs_incremental(
     cand_ids = F.broadcast(
         cand.select(F.explode(F.array("id_a", "id_b")).alias("vec_id")).distinct()
     )
+    # persisted: the verify joins consume this frame twice (id_a and id_b
+    # sides) and Spark will not reuse the subtree across the joins — without
+    # the persist the full history embedding table is scanned twice per
+    # batch.  Batch-bounded (candidate ids only), so the cache is small;
+    # measured 4.02 -> 2.6 s at 2M history vectors
+    # (scripts/bench_delta_scale.py).
     emb = (
         old_vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
         .unionByName(
@@ -307,7 +313,10 @@ def embedding_near_dup_pairs_incremental(
             )
         )
         .join(cand_ids, on="vec_id", how="left_semi")
+        .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(emb)
     return (
         cand.join(
             emb.withColumnRenamed("vec_id", "id_a").withColumnRenamed("embedding", "e_a"),

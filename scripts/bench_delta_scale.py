@@ -304,39 +304,46 @@ def run(args):
         batch_vecs.write.mode("overwrite").parquet(f"{wd}/batch_vecs")
     result["corpus_gen_sec"] = round(time.monotonic() - t0, 1)
 
-    docs = spark.read.parquet(f"{wd}/docs")
-    batch = spark.read.parquet(f"{wd}/batch_docs")
-    vecs = spark.read.parquet(f"{wd}/vecs")
-    vbatch = spark.read.parquet(f"{wd}/batch_vecs")
-    docs_all = docs.select("doc_id", "text").unionByName(
-        batch.select("doc_id", "text")
-    )
-    vecs_all = vecs.select("vec_id", "embedding").unionByName(
-        vbatch.select("vec_id", "embedding")
-    )
+    docs = batch = docs_all = None
+    vecs = vbatch = vecs_all = None
+    if need_docs:
+        docs = spark.read.parquet(f"{wd}/docs")
+        batch = spark.read.parquet(f"{wd}/batch_docs")
+        docs_all = docs.select("doc_id", "text").unionByName(
+            batch.select("doc_id", "text")
+        )
+    if need_vecs:
+        vecs = spark.read.parquet(f"{wd}/vecs")
+        vbatch = spark.read.parquet(f"{wd}/batch_vecs")
+        vecs_all = vecs.select("vec_id", "embedding").unionByName(
+            vbatch.select("vec_id", "embedding")
+        )
 
     # ---- persisted history indexes (bucketed catalog tables — the probe
     # shape's zero-Exchange property needs the bucket metadata)
     t0 = time.monotonic()
     for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    write_bucketed(
-        build_lsh_band_index(
-            docs, n_gram=MINHASH["n_gram"], n_hashes=MINHASH["n_hashes"],
-            bands=MINHASH["bands"],
-        ),
-        "ab_mh_idx", "key", 32, path=f"{wd}/mh_idx",
-    )
-    write_bucketed(
-        build_simhash_band_index(docs), "ab_sh_idx", "key", 32,
-        path=f"{wd}/sh_idx",
-    )
-    write_bucketed(
-        build_embedding_bucket_index(
-            vecs, n_planes=EMBED["n_planes"], dim=EMBED["dim"]
-        ),
-        "ab_em_idx", "bucket", 32, path=f"{wd}/em_idx",
-    )
+    if "minhash" in fam_filter:
+        write_bucketed(
+            build_lsh_band_index(
+                docs, n_gram=MINHASH["n_gram"], n_hashes=MINHASH["n_hashes"],
+                bands=MINHASH["bands"],
+            ),
+            "ab_mh_idx", "key", 32, path=f"{wd}/mh_idx",
+        )
+    if "simhash" in fam_filter:
+        write_bucketed(
+            build_simhash_band_index(docs), "ab_sh_idx", "key", 32,
+            path=f"{wd}/sh_idx",
+        )
+    if "embedding" in fam_filter:
+        write_bucketed(
+            build_embedding_bucket_index(
+                vecs, n_planes=EMBED["n_planes"], dim=EMBED["dim"]
+            ),
+            "ab_em_idx", "bucket", 32, path=f"{wd}/em_idx",
+        )
     result["index_build_sec"] = round(time.monotonic() - t0, 1)
 
     def probe_mh():

@@ -183,6 +183,38 @@ def test_textstats(spark, documents):
     }
 
 
+def test_lang_id_trigram(spark):
+    from literature_to_facts_spark.datapipe.textstats import (
+        TRIGRAM_LANGS,
+        lang_id_trigram_scores,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and the dog was there for the night", "en"),
+        (2, "der hund und die katze sind ein schoenes paar und das ist gut", "de"),
+        (3, "les enfants mangent des pommes dans le jardin parce que la vie est belle", "fr"),
+        (4, "los ninos comen manzanas en el jardin porque la vida es buena con ellos", "es"),
+        (5, "il governo della regione ha deciso che la situazione non cambia per ora", "it"),
+        (6, "os meninos foram ao mercado e a cidade nao estava com as suas ruas", "pt"),
+        (7, "het kind van een vrouw heeft een boek voor het eerst aan zij gegeven", "nl"),
+        (8, "zz qq xx", None),  # no model trigrams -> und
+        (9, "ab", None),  # too short -> n_tri 0, und
+        (10, None, None),  # NULL text survives with zeros
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in lang_id_trigram_scores(docs).collect()}
+    assert len(out) == len(rows)  # every doc kept, incl. NULL/short
+    for i, text, want in rows:
+        got = out[i]["lang_trigram"]
+        assert got == (want or "und"), (i, got, want, dict(out[i].asDict()))
+    assert out[9]["n_tri"] == 0 and out[10]["n_tri"] == 0
+    assert all(out[10][f"score_{lg}"] == 0 for lg in TRIGRAM_LANGS)
+    # n_tri == char_length(normalized) - 2
+    assert out[1]["n_tri"] == len(rows[0][1]) - 2
+
+
 def test_multimodal_plumbing(spark, docs_df):
     from literature_to_facts_spark.datapipe.multimodal import (
         FEATURE_DIM,
