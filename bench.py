@@ -698,12 +698,14 @@ def write_baseline_md(result: dict) -> None:
                 "everything re-grouped); 'probe' is the shipped operators "
                 "(broadcast batch keys semi-filter the index at its scan).",
                 "",
-                "| family | probe s | union s | speedup | probe shuffle MB | union shuffle MB |",
-                "|---|---|---|---|---|---|",
+                "| family | history rows | probe s | union s | speedup | probe shuffle MB | union shuffle MB |",
+                "|---|---|---|---|---|---|---|",
             ]
             for fam, r in ab.get("families", {}).items():
+                nh = r.get("n_history", ab["n_history"])
                 lines.append(
-                    f"| {fam} | {r['probe_median']} | {r['union_median']} | "
+                    f"| {fam} | {nh:,} | {r['probe_median']} | "
+                    f"{r['union_median']} | "
                     f"{r['speedup']}x | {r.get('probe_shuffle_mb', '')} | "
                     f"{r.get('union_shuffle_mb', '')} |"
                 )

@@ -198,6 +198,80 @@ def make_delta_dedup_batch_fn(
     return process
 
 
+def compact_stream_state(
+    spark,
+    state_dir: str,
+    upto_batch: int,
+    stores: tuple = ("band_index", "docs"),
+) -> dict:
+    """Merge the per-batch ``_batch=<id>`` state dirs into one compacted
+    dir per store — the streaming face of ``storage.compact_index``.
+
+    At daily/streaming cadence the band-index and docs stores accumulate
+    one directory (with several small parquet files) per micro-batch
+    forever; every later batch's history read then lists and opens all of
+    them.  This rewrites everything with ``0 <= _batch <= upto_batch``
+    (plus any previous compaction output) as a single directory.
+
+    Correctness under the replay contract:
+
+    * The compacted dir uses a NEGATIVE ``_batch`` id (one below the most
+      negative existing id, starting at -1).  ``_read_state`` filters
+      ``_batch < current``, so negative ids are visible to every future
+      batch — and can never collide with a real batch id, which only grows.
+    * Only run at a stream-quiesce point with ``upto_batch`` strictly below
+      any batch that could still replay (foreachBatch replays only the
+      in-flight batch, so ``last_committed - 1`` is always safe; the
+      in-flight batch's own dir is excluded by ``<= upto_batch``).
+    * Idempotent/crash-healing: the merge applies a full-row ``distinct()``,
+      so if a crash lands between the compacted write and the source-dir
+      deletes (state temporarily holds duplicate rows), RE-RUNNING the
+      compaction converges to the exact pre-compaction row set.  Re-run it
+      after any interrupted attempt before restarting the stream.
+
+    The ``pairs`` store is output, never probed by later batches, so it is
+    not compacted by default.  Returns {store: n_dirs_merged}.
+    """
+    out = {}
+    for store in stores:
+        root = os.path.join(state_dir, store)
+        try:
+            df = (
+                spark.read.option("basePath", root)
+                .parquet(os.path.join(root, "_batch=*"))
+            )
+        except AnalysisException as e:
+            if _is_missing_state(e):
+                out[store] = 0
+                continue
+            raise
+        batch_ids = sorted(
+            r["_batch"] for r in df.select("_batch").distinct().collect()
+        )  # bounded: one row per micro-batch directory
+        src = [i for i in batch_ids if i < 0 or i <= upto_batch]
+        if len(src) <= 1:
+            out[store] = 0
+            continue
+        target = min(min(src), 0) - 1
+        merged = (
+            df.where(F.col("_batch").isin(src)).drop("_batch").distinct()
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(root, f"_batch={target}")
+        )
+        # source dirs only disappear after the compacted write committed;
+        # the distinct() above makes a re-run correct if we die mid-delete
+        from literature_to_facts_spark.datapipe.dedup import (
+            _delete_partition_dirs,
+        )
+
+        _delete_partition_dirs(
+            spark, [os.path.join(root, f"_batch={i}") for i in src]
+        )
+        out[store] = len(src)
+    return out
+
+
 def stream_near_dup_pairs(
     docs_stream: DataFrame,
     state_dir: str,

@@ -473,3 +473,84 @@ def test_streaming_delta_dedup_exactly_once(spark, tmp_path):
         .collect()
     }
     assert cc_again == cc_full
+
+
+def test_stream_state_compaction(spark, tmp_path):
+    """compact_stream_state between micro-batches: the later batch's pairs
+    are bit-equal over compacted vs uncompacted state, the per-batch dirs
+    collapse into one negative-id dir, a replayed batch still excludes
+    itself (negative ids always pass the `_batch < current` prune), and a
+    re-run of the compaction (the crash-heal path) is a no-op."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from literature_to_facts_spark.datapipe.dedup import minhash_lsh_pairs
+    from literature_to_facts_spark.streaming.delta_dedup import (
+        compact_stream_state,
+        make_delta_dedup_batch_fn,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dup = base.limit(9).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    docs = base.unionByName(dup)
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    params = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5)
+
+    def run(state, compact_after_1):
+        fn = make_delta_dedup_batch_fn(state, **params)
+        for i, b in enumerate(batches):
+            fn(b, i)
+            if compact_after_1 and i == 1:
+                merged = compact_stream_state(spark, state, upto_batch=1)
+                assert merged == {"band_index": 2, "docs": 2}, merged
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in spark.read.parquet(f"{state}/pairs").drop("_batch").collect()
+        )
+
+    plain = run(str(tmp_path / "s0"), compact_after_1=False)
+    compacted = run(str(tmp_path / "s1"), compact_after_1=True)
+    assert plain == compacted and len(plain) > 0
+    full = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, **params).collect()
+    )
+    assert compacted == full
+
+    # layout: batches 0 and 1 merged into _batch=-1, batch 2 stands alone
+    idx_dirs = sorted(
+        d for d in _os.listdir(str(tmp_path / "s1" / "band_index"))
+        if d.startswith("_batch=")
+    )
+    assert idx_dirs == ["_batch=-1", "_batch=2"], idx_dirs
+
+    # replaying batch 2 over the compacted state is still idempotent
+    fn = make_delta_dedup_batch_fn(str(tmp_path / "s1"), **params)
+    fn(batches[2], 2)
+    again = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(f"{tmp_path}/s1/pairs").drop("_batch").collect()
+    )
+    assert again == full
+
+    # crash-heal: a second compaction run over already-compacted state
+    # merges {-1, 2} -> _batch=-2 and stays row-identical
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{tmp_path}/s1/band_index").drop("_batch").collect()
+    )
+    merged = compact_stream_state(spark, str(tmp_path / "s1"), upto_batch=2)
+    assert merged == {"band_index": 2, "docs": 2}
+    after_dirs = sorted(
+        d for d in _os.listdir(str(tmp_path / "s1" / "band_index"))
+        if d.startswith("_batch=")
+    )
+    assert after_dirs == ["_batch=-2"], after_dirs
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{tmp_path}/s1/band_index").drop("_batch").collect()
+    )
+    assert after == before
