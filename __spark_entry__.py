@@ -1089,7 +1089,8 @@ def _lang_trigram_oracle_sql() -> str:
     case = "CASE " + " ".join(branches) + " ELSE 'und' END"
     return rf"""
         WITH m(tri, lang, w) AS (VALUES {vals}),
-        n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        n AS (SELECT doc_id,
+                     regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
               FROM documents),
         tr AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS tri
                FROM n, UNNEST(range(1, len(t) - 1)) AS u(i)

@@ -476,7 +476,7 @@ def run_ann_recall(spark) -> dict:
     return out
 
 
-def run_headline() -> tuple[dict, dict, float, float, dict]:
+def run_headline() -> tuple[dict, dict, float, float, dict, dict]:
     sys.path.insert(0, REPO)
     import __spark_entry__ as em
 
@@ -686,7 +686,7 @@ def write_baseline_md(result: dict) -> None:
         try:
             with open(ab_path) as f:
                 ab = json.load(f)
-            lines += [
+            ab_lines = [
                 "",
                 "## Delta-dedup at scale: probe vs union history access",
                 "",
@@ -703,13 +703,13 @@ def write_baseline_md(result: dict) -> None:
             ]
             for fam, r in ab.get("families", {}).items():
                 nh = r.get("n_history", ab["n_history"])
-                lines.append(
+                ab_lines.append(
                     f"| {fam} | {nh:,} | {r['probe_median']} | "
                     f"{r['union_median']} | "
                     f"{r['speedup']}x | {r.get('probe_shuffle_mb', '')} | "
                     f"{r.get('union_shuffle_mb', '')} |"
                 )
-            lines += [
+            ab_lines += [
                 "",
                 "Shuffle bytes are the cluster-scale story the single-node "
                 "wall clock understates: the union shape exchanges the FULL "
@@ -718,6 +718,7 @@ def write_baseline_md(result: dict) -> None:
                 "exchanges only batch-bounded rows regardless of history "
                 "size.",
             ]
+            lines += ab_lines
         except Exception:
             pass
     lines += [

@@ -474,9 +474,10 @@ def minhash_lsh_pairs_incremental(
     to star edges touching a new doc, so byte-identical spam clusters of any
     size stay uncapped.
 
-    The candidate pair set, the new bucket aggregate and the matched bucket
-    rows are ``persist()``-ed (each has two-plus consumers; without the
-    persists the bucket pipeline — or the history scan — would run twice).
+    The candidate pair set, the new bucket aggregate, the matched bucket
+    rows and the candidate shingle frame are ``persist()``-ed (each has
+    two-plus consumers; without the persists the bucket pipeline — or the
+    history/corpus scan — would run twice).
     All are batch-sized; callers running many batches in one
     long session should pass ``cache_registry`` (a list) — every persisted
     DataFrame is appended to it so the caller can ``unpersist()`` after

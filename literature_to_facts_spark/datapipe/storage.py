@@ -235,7 +235,20 @@ def compact_index(
         )
     df = spark.table(table)
     if tombstone_ids is not None:
-        tomb = tombstone_ids.select(F.col(tombstone_ids.columns[0]).alias(id_col))
+        # pick the purge key by NAME, never by position: the natural
+        # deduplicate_corpus losers frame is (cluster_rep, doc_id) and
+        # keying on column 0 would silently purge the CANONICAL ids
+        if id_col in tombstone_ids.columns:
+            tomb = tombstone_ids.select(id_col)
+        elif len(tombstone_ids.columns) == 1:
+            tomb = tombstone_ids.select(
+                F.col(tombstone_ids.columns[0]).alias(id_col)
+            )
+        else:
+            raise ValueError(
+                f"tombstone_ids has columns {tombstone_ids.columns}; pass a "
+                f"frame containing '{id_col}' or a single-column id frame"
+            )
         df = df.join(F.broadcast(tomb), on=id_col, how="left_anti")
     if sum_cols:
         group_cols = [c for c in df.columns if c not in sum_cols]

@@ -141,8 +141,12 @@ def lang_id_trigram_scores(
         [(t, lg, w) for lg, d in LANG_TRIGRAMS.items() for t, w in d.items()],
         schema="tri string, lang string, w int",
     )
-    # '\\\\s+' in the Python source -> '\\s+' in the SQL text -> regex \s+
-    # (Spark SQL string literals themselves process backslash escapes; same
+    # Explicit ASCII whitespace class instead of \s: Java's \s includes
+    # U+000B but RE2's (DuckDB's) does not, so \s would silently diverge
+    # from the generated oracle on documents containing a vertical tab.
+    # Double-backslash in the Python source -> single-backslash escapes in
+    # the SQL text -> the regex engine sees [ \t\n\x0B\f\r]+ (Spark SQL
+    # string literals themselves process backslash escapes; same
     # convention as document_fingerprints below).  The normalized text is
     # projected ONCE as _t before the transform lambda: inlining the
     # regexp_replace into the lambda body re-evaluates it PER ELEMENT
@@ -154,7 +158,7 @@ def lang_id_trigram_scores(
     # interpreted, and substring's char-index scan is O(position), so the
     # substring form is O(chars^2) per document — measured 35 s for 500
     # docs vs ~1 s with the char-array form.
-    norm = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
+    norm = f"regexp_replace(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+', ' ')"
     tri_arr = (
         "CASE WHEN _cs IS NOT NULL AND size(_cs) >= 3 "
         "THEN transform(sequence(1, size(_cs) - 2), "

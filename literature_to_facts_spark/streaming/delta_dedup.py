@@ -198,6 +198,34 @@ def make_delta_dedup_batch_fn(
     return process
 
 
+def _list_batch_ids(spark, root: str) -> list:
+    """Sorted ``_batch=<id>`` ids present under ``root``, listed via the
+    JVM Hadoop FileSystem (works for any supported scheme, sees EMPTY
+    directories).  Same Spark Connect limitation as
+    ``dedup._delete_partition_dirs`` — no py4j bridge there."""
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+    except AttributeError as e:  # Spark Connect session
+        raise NotImplementedError(
+            "state-dir listing needs the py4j JVM bridge, absent under "
+            "Spark Connect; list/compact the _batch dirs out-of-band"
+        ) from e
+    hpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hpath.getFileSystem(hconf)
+    if not fs.exists(hpath):
+        return []
+    ids = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("_batch="):
+            try:
+                ids.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(ids)
+
+
 def compact_stream_state(
     spark,
     state_dir: str,
@@ -235,24 +263,34 @@ def compact_stream_state(
     out = {}
     for store in stores:
         root = os.path.join(state_dir, store)
+        # enumerate dirs from the FILESYSTEM, not from row data: a zero-row
+        # micro-batch still writes an (empty) _batch dir, which a
+        # data-derived listing would never merge or delete
+        batch_ids = _list_batch_ids(spark, root)
+        if not batch_ids:
+            out[store] = 0
+            continue
+        src = [i for i in batch_ids if i < 0 or i <= upto_batch]
+        if len(src) <= 1:
+            out[store] = 0
+            continue
+        target = min(min(src), 0) - 1
         try:
             df = (
                 spark.read.option("basePath", root)
                 .parquet(os.path.join(root, "_batch=*"))
             )
         except AnalysisException as e:
-            if _is_missing_state(e):
-                out[store] = 0
+            if _is_missing_state(e):  # only empty dirs exist: nothing to merge
+                _delete_empty = [os.path.join(root, f"_batch={i}") for i in src]
+                from literature_to_facts_spark.datapipe.dedup import (
+                    _delete_partition_dirs,
+                )
+
+                _delete_partition_dirs(spark, _delete_empty)
+                out[store] = len(src)
                 continue
             raise
-        batch_ids = sorted(
-            r["_batch"] for r in df.select("_batch").distinct().collect()
-        )  # bounded: one row per micro-batch directory
-        src = [i for i in batch_ids if i < 0 or i <= upto_batch]
-        if len(src) <= 1:
-            out[store] = 0
-            continue
-        target = min(min(src), 0) - 1
         merged = (
             df.where(F.col("_batch").isin(src)).drop("_batch").distinct()
         )

@@ -64,7 +64,10 @@ from literature_to_facts_spark.sources.corpus import (  # noqa: E402
     build_scale_embeddings,
 )
 
-OFFSET = 10_000_000  # batch doc ids start here (disjoint from history)
+OFFSET = 10_000_000  # default batch-id offset; run() raises it to stay
+# disjoint from history ids whenever n_history approaches it (a 20M-row run
+# with the old fixed offset silently overlapped batch and history id ranges
+# and flooded the union shape with spurious old-x-old "new" pairs)
 
 MINHASH = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5, max_bucket=1000)
 SIMHASH = dict(max_hamming=8, max_bucket=1000)
@@ -204,21 +207,24 @@ def union_embedding(all_index, vecs_all, *, threshold, max_bucket):
 
 
 _UI_PORT = 4054
+_UI_BASE = None  # set by run() from the LIVE SparkContext (bound port + app id)
 
 
 def _shuffle_write_bytes() -> int:
-    """Total shuffle-write bytes across all completed stages of this app,
+    """Total shuffle-write bytes across all completed stages of THIS app,
     read from the public Spark UI REST API.  Snapshot-diff this around a
     run to get the run's exchanged bytes — at 100 TB, shuffle bytes ARE the
-    network cost a single-node wall clock understates."""
+    network cost a single-node wall clock understates.  The URL comes from
+    the live SparkContext (uiWebUrl + applicationId), never a hardcoded
+    port: if another app already holds the port, ours binds port+1 and a
+    hardcoded probe would silently sum the FOREIGN app's stages."""
     import urllib.request
 
+    if _UI_BASE is None:
+        return -1
     try:
-        base = f"http://localhost:{_UI_PORT}/api/v1/applications"
-        apps = json.load(urllib.request.urlopen(base, timeout=10))
-        app_id = apps[0]["id"]
         stages = json.load(
-            urllib.request.urlopen(f"{base}/{app_id}/stages?status=complete", timeout=10)
+            urllib.request.urlopen(f"{_UI_BASE}/stages?status=complete", timeout=10)
         )
         return sum(s.get("shuffleWriteBytes", 0) for s in stages)
     except Exception:
@@ -254,13 +260,31 @@ def run(args):
     spark = get_spark(
         app_name="delta-scale-ab",
         master=f"local[{os.cpu_count()}]",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(_UI_PORT)},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(_UI_PORT),
+            # keep every stage resident so b1 - b0 snapshot diffs never
+            # lose evicted stages on long multi-family runs
+            "spark.ui.retainedStages": "100000",
+        },
+    )
+    global _UI_BASE
+    _UI_BASE = (
+        f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+        f"{spark.sparkContext.applicationId}"
     )
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     n, nb = args.n_docs, args.n_batch
+    global OFFSET
+    if n + nb >= OFFSET:
+        OFFSET = 10 ** (len(str(n + nb)))  # next power of ten above history
     if args.emb_planes is not None:
         EMBED["n_planes"] = int(args.emb_planes)
     fam_filter = set(args.families.split(","))
+    known = {"minhash", "simhash", "embedding"}
+    if not fam_filter <= known:
+        raise SystemExit(f"unknown families {sorted(fam_filter - known)}; "
+                         f"choose from {sorted(known)}")
     result = {
         "n_history": n,
         "n_batch": nb,

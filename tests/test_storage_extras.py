@@ -173,8 +173,10 @@ def test_compact_index_minhash_daily_loop(spark, documents, tmp_path):
         # day-2 incremental over the compacted index == over the filtered
         # uncompacted one (bit-equal pairs)
         survivors = seen.join(F.broadcast(tombs), on="doc_id", how="left_anti")
+        reg = []
         got_v2 = minhash_lsh_pairs_incremental(
-            batches[2], survivors, spark.table("t_cmp_v2"), **params
+            batches[2], survivors, spark.table("t_cmp_v2"), **params,
+            cache_registry=reg,
         ).collect()
         got_v1f = minhash_lsh_pairs_incremental(
             batches[2], survivors,
@@ -182,7 +184,10 @@ def test_compact_index_minhash_daily_loop(spark, documents, tmp_path):
                 F.broadcast(tombs), on="doc_id", how="left_anti"
             ),
             **params,
+            cache_registry=reg,
         ).collect()
+        for df_ in reg:
+            df_.unpersist()
         key = lambda rows: sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in rows)
         assert key(got_v2) == key(got_v1f) and len(got_v2) > 0
         with pytest.raises(ValueError, match="must differ"):
