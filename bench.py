@@ -107,6 +107,9 @@ HEADLINE = [
     "sample_mixture_temperature",
     "corpus_snapshot_diff",
     "kg_triples_delta",
+    # round-6 operators (appended; earlier entries stay comparable)
+    "text_lang_trigram",
+    "multimodal_features",
 ]
 
 
