@@ -580,6 +580,69 @@ def q_emb_ann_lsh(spark, sf_dir):
     )
 
 
+def q_emb_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN: 8 planes (tighter buckets — the corpus-scale
+    setting) + 2 margin-ordered Hamming-1 probes per query recovering the
+    recall the extra planes cost.  Full SQL oracle: plane constants AND the
+    margin-ordered flip computation are inlined/regenerated in DuckDB."""
+    from literature_to_facts_spark.datapipe.similarity import cosine_topk_lsh
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = cosine_topk_lsh(spark, emb, queries, k=5, n_planes=8, multiprobe=2)
+    return out.select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cosine", 4).cast("double").alias("cosine_r4"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _ann_lsh_multiprobe_oracle(
+    k: int = 5, n_planes: int = 8, multiprobe: int = 2, dim: int = 64, seed: int = 7
+) -> str:
+    from literature_to_facts_spark.datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    lits = ["[" + ", ".join(str(x) for x in p) + "]::DOUBLE[]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product({lit}, e) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    margins = ", ".join(
+        f"{{'m': round(abs(list_dot_product({lit}, e)), 6), 'i': {i}}}"
+        for i, lit in enumerate(lits)
+    )
+    return f"""
+            WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                              embedding::DOUBLE[] AS e,
+                              {bucket} AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, e AS qe, bucket,
+                         list_transform(
+                           list_sort([{margins}])[1:{multiprobe}],
+                           s -> xor(bucket, 1::BIGINT << s.i)) AS flips
+                  FROM v WHERE vec_id < 3),
+            probes AS (SELECT q_id, qe,
+                              UNNEST(list_prepend(bucket, flips)) AS bucket
+                       FROM q),
+            scored AS (
+              SELECT p.q_id, v.vec_id,
+                     ROUND(list_dot_product(p.qe, v.e) /
+                       (sqrt(list_dot_product(p.qe, p.qe)) *
+                        sqrt(list_dot_product(v.e, v.e))), 6) AS c6
+              FROM v JOIN probes p USING (bucket)
+            )
+            SELECT q_id, vec_id, ROUND(c6, 4) AS cosine_r4, CAST(rnk AS BIGINT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                               ORDER BY c6 DESC, vec_id ASC) AS rnk
+                  FROM scored)
+            WHERE rnk <= {k}
+        """
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (hyperplane-bucketed candidates +
     exact cosine verify).  Full SQL oracle with inlined plane constants —
@@ -1520,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_lsh_multiprobe": q_emb_ann_lsh_multiprobe,
         "emb_ann_ivf": q_emb_ann_ivf,
         "stream_windowed_counts": q_stream_windowed_counts,
         "text_token_counts": q_text_token_counts,
@@ -2822,6 +2886,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE id_a % 5 = 0 OR id_b % 5 = 0
         """,
         "emb_ann_lsh": _ann_lsh_oracle(k=5, n_planes=6),
+        "emb_ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle(),
         "emb_ann_ivf": _ann_ivf_oracle(k=5, n_centroids=8, nprobe=3),
         # tumbling event-time window == epoch-aligned hour bucket
         "stream_windowed_counts": """

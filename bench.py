@@ -110,6 +110,7 @@ HEADLINE = [
     # round-6 operators (appended; earlier entries stay comparable)
     "text_lang_trigram",
     "multimodal_features",
+    "emb_ann_lsh_multiprobe",
 ]
 
 
@@ -471,10 +472,14 @@ def run_ann_recall(spark) -> dict:
     out = {"n_queries": n_q, "k": k, "n_truth": len(truth)}
     # same parameterizations as the contract queries emb_ann_lsh/emb_ann_ivf
     lsh = pairs(cosine_topk_lsh(spark, emb, queries, k=k, n_planes=6))
+    mp = pairs(
+        cosine_topk_lsh(spark, emb, queries, k=k, n_planes=8, multiprobe=2)
+    )
     ivf = pairs(
         cosine_topk_ivf(emb, queries, k=k, n_centroids=8, nprobe=3, refine_iters=1)
     )
     out["recall_lsh"] = round(len(lsh & truth) / max(len(truth), 1), 4)
+    out["recall_lsh_multiprobe"] = round(len(mp & truth) / max(len(truth), 1), 4)
     out["recall_ivf"] = round(len(ivf & truth) / max(len(truth), 1), 4)
     return out
 
@@ -678,6 +683,9 @@ def write_baseline_md(result: dict) -> None:
             f"({ann['n_truth']} truth pairs), same parameterizations as the "
             "contract queries: "
             f"`emb_ann_lsh` (n_planes=6) recall **{ann['recall_lsh']}**, "
+            f"`emb_ann_lsh_multiprobe` (n_planes=8, 2 margin-ordered "
+            f"Hamming-1 probes) recall "
+            f"**{ann.get('recall_lsh_multiprobe', 'n/a')}**, "
             f"`emb_ann_ivf` (8 centroids, nprobe=3) recall "
             f"**{ann['recall_ivf']}** — the committed speed/quality trade "
             "behind the ANN latency rows above.  Both knobs trade recall "

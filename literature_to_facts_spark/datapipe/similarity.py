@@ -96,9 +96,22 @@ def cosine_topk_lsh(
     q_emb_col: str = "q_emb",
     dim: int = 64,
     seed: int = 7,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets; only same-bucket
-    candidates are scored.  Recall grows with fewer planes / multiprobe."""
+    candidates are scored.  Recall grows with fewer planes / multiprobe.
+
+    ``multiprobe=m`` additionally probes, per query, the ``m`` Hamming-1
+    neighbor buckets whose plane margin ``|dot(p_i, q)|`` is smallest —
+    the classic multi-probe LSH trade: at corpus scale you keep MORE
+    planes (so bucket population stays O(1) as the corpus grows) and
+    recover the recall those extra planes cost by probing the buckets the
+    query almost fell into.  Cost is (m+1) probe rows per QUERY (queries
+    are broadcast; the corpus side is untouched), so candidates grow
+    linearly in m while bucket size stays exponential in -n_planes.
+    Margins are rounded to 6dp before ordering (ties then break on plane
+    index) so the probe order is bit-portable across engines — the DuckDB
+    oracle recomputes the same flips."""
     planes = _hyperplanes(dim, n_planes, seed)
     planes_sql = (
         "array(" + ",".join(
@@ -110,6 +123,43 @@ def cosine_topk_lsh(
         F.col(emb_col).alias("embedding"),
         F.expr(_bucket_expr(emb_col, planes_sql, n_planes)).alias("bucket"),
     )
+    if multiprobe > 0:
+        # per-plane dots projected ONCE, then bucket + margin-ordered flips
+        # derived from the same array (same fold order as _bucket_expr, so
+        # the base bucket is bit-identical to the corpus side's)
+        dots = (
+            f"transform({planes_sql}, p -> aggregate(zip_with(p, {q_emb_col},"
+            f" (a, b) -> a * CAST(b AS DOUBLE)), 0D, (acc, v) -> acc + v))"
+        )
+        base = (
+            "aggregate(zip_with(_dots, sequence(0, {n} - 1), (d, i) -> "
+            "CASE WHEN d > 0 THEN shiftleft(1L, i) ELSE 0L END), 0L, "
+            "(acc, x) -> acc | x)"
+        ).format(n=n_planes)
+        flips = (
+            "transform(slice(array_sort(zip_with(_dots, sequence(0, {n} - 1),"
+            " (d, i) -> named_struct('m', round(abs(d), 6), 'i', i))), 1, {m}),"
+            " s -> _bucket ^ shiftleft(1L, s.i))"
+        ).format(n=n_planes, m=multiprobe)
+        q = (
+            queries.selectExpr(
+                f"{q_id_col} AS q_id", f"{q_emb_col} AS q_emb", f"{dots} AS _dots"
+            )
+            .selectExpr("q_id", "q_emb", f"{base} AS _bucket", "_dots")
+            .selectExpr(
+                "q_id", "q_emb",
+                f"explode(concat(array(_bucket), {flips})) AS bucket",
+            )
+        )
+        scored = with_cosine(v.join(F.broadcast(q), on="bucket")).withColumn(
+            "cosine", F.round("cosine", 6)
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "vec_id", "cosine", "rank")
+        )
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_emb_col).alias("q_emb"),

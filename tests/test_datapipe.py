@@ -159,6 +159,43 @@ def test_lsh_and_ivf_recall(spark, embeddings):
     assert not registry[0].is_cached
 
 
+def test_lsh_multiprobe_recall(spark, embeddings):
+    """Margin-ordered multiprobe probes strictly more buckets, so its
+    candidate set (and recall vs brute force) dominates same-plane plain
+    LSH; result rows still come from the same exact-scoring pipeline."""
+    from pyspark.sql import functions as F
+
+    from literature_to_facts_spark.datapipe.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    queries = embeddings.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def pairs(df):
+        return {(r["q_id"], r["vec_id"]) for r in df.collect()}
+
+    truth = pairs(cosine_topk_bruteforce(embeddings, queries, k=5))
+    plain = pairs(cosine_topk_lsh(spark, embeddings, queries, k=5, n_planes=8))
+    mp = pairs(
+        cosine_topk_lsh(
+            spark, embeddings, queries, k=5, n_planes=8, multiprobe=3
+        )
+    )
+    # every plain hit is reachable by multiprobe (superset of probes),
+    # and recall must not degrade
+    r_plain = len(plain & truth) / len(truth)
+    r_mp = len(mp & truth) / len(truth)
+    assert r_mp >= r_plain, (r_mp, r_plain)
+    assert len(mp) >= len(plain)
+    # multiprobe=0 is exactly the plain path
+    assert pairs(
+        cosine_topk_lsh(spark, embeddings, queries, k=5, n_planes=8, multiprobe=0)
+    ) == plain
+
+
 def test_textstats(spark, documents):
     from literature_to_facts_spark.datapipe.textstats import (
         with_fingerprint,
