@@ -1339,6 +1339,33 @@ def q_text_line_dedup_incremental(spark, sf_dir):
     )
 
 
+_SPAN_DEDUP_WINDOW = 8
+_SPAN_DEDUP_MIN_DF = 2
+
+
+def q_text_span_dedup(spark, sf_dir):
+    """Duplicated-substring detection (datapipe/textclean.span_dedup —
+    ExactSubstr dedup, Lee et al. 2021): every 8-token window occurring
+    >= 2 times across the corpus is flagged; per-document output is the
+    interval-union token coverage of the duplicated windows plus window
+    counts.  Window keys use the portable md5 52-bit family, so the DuckDB
+    oracle recomputes frequency AND coverage end-to-end bit-exactly."""
+    from literature_to_facts_spark.datapipe.textclean import span_dedup
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    out = span_dedup(
+        docs, window=_SPAN_DEDUP_WINDOW, min_df=_SPAN_DEDUP_MIN_DF
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "n_windows",
+        "n_dup_windows",
+        "dup_tokens",
+        "dup_frac",
+    )
+
+
 def q_corpus_snapshot_diff(spark, sf_dir):
     """Dataset versioning (datapipe/storage.snapshot_diff): added / removed /
     changed documents between two corpus snapshots, comparing only id + text
@@ -1598,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_purge": q_decontam_purge,
         "text_line_dedup": q_text_line_dedup,
         "text_line_dedup_incremental": q_text_line_dedup_incremental,
+        "text_span_dedup": q_text_span_dedup,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "kg_triples_delta": q_kg_triples_delta,
         "text_blocklist_filter": q_text_blocklist_filter,
@@ -2116,6 +2144,65 @@ def _line_dedup_oracle(restrict: str | None = None) -> str:
         FROM keyed k LEFT JOIN freq f ON k.key_e = f.fkey
         GROUP BY k.doc_id
         {where}
+    """
+
+
+def _span_dedup_oracle(
+    window: int = _SPAN_DEDUP_WINDOW, min_df: int = _SPAN_DEDUP_MIN_DF
+) -> str:
+    """DuckDB recomputation of span_dedup end-to-end: the same split-on-space
+    tokens, md5-52-bit window keys, global occurrence counts and
+    interval-union coverage (sorted duplicated positions, each contributing
+    min(gap, window), the last a full window)."""
+    w = int(window)
+    key = _H1.format(x=f"array_to_string(toks[i:i+{w - 1}], ' ')")
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        b AS (SELECT doc_id, len(toks) AS ntok FROM t),
+        wins AS (
+          SELECT doc_id, u.pos AS pos, u.wkey AS wkey
+          FROM (SELECT doc_id,
+                       CASE WHEN len(toks) >= {w} THEN
+                         list_transform(range(1, len(toks) - {w} + 2),
+                           i -> {{'pos': i, 'wkey': {key}}})
+                       ELSE [] END AS ws
+                FROM t),
+               UNNEST(ws) AS s(u)
+        ),
+        freq AS (
+          SELECT wkey FROM wins GROUP BY 1 HAVING count(*) >= {int(min_df)}
+        ),
+        agg AS (
+          SELECT w.doc_id,
+                 count(*) AS n_windows,
+                 count(f.wkey) AS n_dup_windows,
+                 list_sort(list(w.pos) FILTER (WHERE f.wkey IS NOT NULL))
+                   AS ps
+          FROM wins w LEFT JOIN freq f ON w.wkey = f.wkey
+          GROUP BY w.doc_id
+        ),
+        cov AS (
+          SELECT doc_id, n_windows, n_dup_windows,
+                 CASE WHEN ps IS NULL OR len(ps) = 0 THEN 0
+                      WHEN len(ps) = 1 THEN {w}
+                      ELSE CAST(list_sum(list_transform(range(1, len(ps)),
+                             i -> least(ps[i + 1] - ps[i], {w}))) AS BIGINT)
+                           + {w}
+                 END AS dup_tokens
+          FROM agg
+        )
+        SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+               CAST(b.ntok AS BIGINT) AS n_tokens,
+               CAST(coalesce(c.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE)
+                     / greatest(b.ntok, 1), 6) AS dup_frac
+        FROM b LEFT JOIN cov c ON b.doc_id = c.doc_id
     """
 
 
@@ -2966,6 +3053,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE status IS NOT NULL
         """,
         "text_line_dedup_incremental": _line_dedup_oracle(restrict="k.doc_id % 5 = 0"),
+        "text_span_dedup": _span_dedup_oracle(),
         "text_pii_redact": _pii_oracle(),
         "sample_mixture_weights": _mixture_weights_oracle(),
         "sample_mixture_temperature": f"""

@@ -323,6 +323,155 @@ def line_dedup_incremental(
     return _reassemble(flagged, id_col, carry_cols)
 
 
+# names span_dedup emits (or uses internally) — same loud-rejection contract
+# as _RESERVED_LINE_COLS.
+_RESERVED_SPAN_COLS = frozenset(
+    {
+        "_id",
+        "_ntok",
+        "_toks",
+        "_wins",
+        "_pos",
+        "_wkey",
+        "_fkey",
+        "n_tokens",
+        "n_windows",
+        "n_dup_windows",
+        "dup_tokens",
+        "dup_frac",
+    }
+)
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_df: int = 2,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Duplicated-substring detection (ExactSubstr dedup, Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): flag every
+    ``window``-token span whose text occurs >= ``min_df`` times ACROSS THE
+    CORPUS (occurrence count, not distinct documents — a span repeated
+    twice inside one document is a duplicate, matching the paper's
+    suffix-array semantics), and report per-document duplicated-token
+    coverage.
+
+    Returns one row per non-NULL-text input document:
+    ``(id_col, n_tokens, n_windows, n_dup_windows, dup_tokens, dup_frac)``
+    where ``dup_tokens`` is the size of the UNION of all duplicated windows'
+    token intervals ``[pos, pos+window-1]`` (overlapping spans counted
+    once) and ``dup_frac = round(dup_tokens / n_tokens, 6)``.  Documents
+    shorter than ``window`` tokens have zero windows and zero coverage.
+    Callers curate on the coverage signal (e.g. drop ``dup_frac > 0.5`` or
+    feed :func:`~literature_to_facts_spark.datapipe.curation.curate_corpus`).
+
+    Tokenization is split-on-single-space with empty tokens dropped (the
+    repo-wide shingle convention, minus lowercasing — span identity is
+    case-sensitive like the paper's byte-level match); window keys use the
+    portable md5 52-bit family so the DuckDB oracle recomputes them
+    bit-exactly.
+
+    Scale shape (100 TB): the token array and the window structs are each
+    projected ONCE (HOF lambdas re-evaluate inlined expressions per
+    element); per-doc work is O(n_tokens * window).  Two Exchanges total —
+    the window-key frequency count (map-side partial agg absorbs hot
+    boilerplate keys) and the key join back — then the per-document
+    aggregate rides the document-id grouping; interval-union coverage is a
+    pure array expression over the collected positions (no
+    explode-the-coverage shuffle).  Same two-consumer trade as
+    :func:`line_dedup`: the exploded window frame feeds the frequency count
+    and the join's left side off a narrow scan + split, which beats
+    materializing an exploded corpus copy.
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    clash = sorted(_RESERVED_SPAN_COLS & set(carry_cols))
+    if clash:
+        raise ValueError(
+            f"carry_cols {clash} collide with span_dedup's output/internal "
+            "columns; rename them first"
+        )
+    w = int(window)
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias("_toks"),
+        *[F.col(c) for c in carry_cols],
+    )
+    # window structs projected in their own step: slice/concat_ws inside the
+    # lambda is O(window) per element (linear total), but the _toks input
+    # must already be a plain column reference or it re-evaluates per element
+    win_text = f"concat_ws(' ', slice(_toks, i, {w}))"
+    wins = base.select(
+        "_id",
+        F.expr("size(_toks)").alias("_ntok"),
+        F.expr(
+            f"CASE WHEN size(_toks) >= {w} THEN "
+            f"transform(sequence(1, size(_toks) - {w} + 1), "
+            f"i -> named_struct('_pos', i, '_wkey', {_h52(win_text)})) "
+            f"ELSE array() END"
+        ).alias("_wins"),
+        *[F.col(c) for c in carry_cols],
+    )
+    # explode_outer keeps sub-window documents (NULL _pos rows -> zero
+    # counts below via count(_pos))
+    inst = wins.select(
+        "_id",
+        "_ntok",
+        F.explode_outer("_wins").alias("_w"),
+        *[F.col(c) for c in carry_cols],
+    ).select(
+        "_id",
+        "_ntok",
+        F.col("_w._pos").alias("_pos"),
+        F.col("_w._wkey").alias("_wkey"),
+        *[F.col(c) for c in carry_cols],
+    )
+    freq = (
+        inst.where(F.col("_wkey").isNotNull())
+        .groupBy("_wkey")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= F.lit(int(min_df)))
+        .select(F.col("_wkey").alias("_fkey"))
+    )
+    flagged = inst.join(freq, inst["_wkey"] == freq["_fkey"], "left")
+    # interval-union coverage of the duplicated windows: sort the duplicated
+    # positions, each contributes min(gap-to-next, window) tokens, the last
+    # contributes window.  collect_list skips NULLs (non-dup rows).
+    # the size>=2 guard keeps sequence() ascending and element_at in bounds
+    # (ANSI mode: out-of-bounds element_at is an error, and sequence(1, 0)
+    # would be the DESCENDING [1, 0])
+    cov = (
+        f"CASE WHEN size(_ps) = 0 THEN CAST(0 AS BIGINT) "
+        f"WHEN size(_ps) = 1 THEN CAST({w} AS BIGINT) ELSE "
+        f"aggregate(transform(sequence(1, size(_ps) - 1), "
+        f"i -> least(element_at(_ps, i + 1) - element_at(_ps, i), {w})), "
+        f"CAST({w} AS BIGINT), (a, x) -> a + x) END"
+    )
+    return (
+        flagged.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.first("_ntok").cast("bigint").alias("n_tokens"),
+            F.count("_pos").cast("bigint").alias("n_windows"),
+            F.count("_fkey").cast("bigint").alias("n_dup_windows"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("_fkey").isNotNull(), F.col("_pos")))
+            ).alias("_ps"),
+            *[F.first(F.col(c)).alias(c) for c in carry_cols],
+        )
+        .withColumn("dup_tokens", F.expr(cov))
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
+        )
+        .drop("_ps")
+    )
+
+
 def pii_redact(
     docs: DataFrame,
     id_col: str = "doc_id",

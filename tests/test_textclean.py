@@ -725,3 +725,102 @@ def test_line_dedup_incremental_index_param_stamp(spark, tmp_path):
         F.col("line_key").cast("bigint").alias("line_key"), "df"
     )
     assert line_dedup_incremental(batch, bare, min_line_chars=20).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# span_dedup (ExactSubstr-style duplicated-substring detection)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x a b c d y"),
+        # every 3-window occurs twice WITHIN the doc -> all dup by
+        # occurrence count (Lee et al. semantics, not distinct-doc)
+        (3, "p q r p q r p q"),
+        (4, "short one"),          # < window tokens: zero windows
+        (5, None),                 # excluded
+        (6, ""),                   # zero tokens
+        (7, "A b c d e f"),        # case-sensitive: 'A b c' != 'a b c'
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_span_dedup_semantics(spark, span_docs):
+    """Window=3, min_df=2 over the handcrafted corpus: duplicated windows
+    are 'a b c' (docs 1,2), 'b c d' (1,2,7), 'c d e' (1,7), 'd e f' (1,7)
+    and all six windows of doc 3 (each text twice in-doc); coverage is the
+    interval UNION (overlaps counted once)."""
+    from literature_to_facts_spark.datapipe.textclean import span_dedup
+
+    out = span_dedup(span_docs, window=3, min_df=2)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_windows"], r["n_dup_windows"],
+            r["dup_tokens"], r["dup_frac"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        1: (6, 4, 4, 6, 1.0),
+        2: (6, 4, 2, 4, round(4 / 6, 6)),
+        3: (8, 6, 6, 8, 1.0),
+        4: (2, 0, 0, 0, 0.0),
+        6: (0, 0, 0, 0, 0.0),
+        7: (6, 4, 3, 5, round(5 / 6, 6)),
+    }
+
+
+def test_span_dedup_min_df_occurrence_counting(spark, span_docs):
+    """min_df=3: only 'b c d' reaches three occurrences (docs 1, 2, 7);
+    doc 3's in-doc repeats stop at two occurrences each."""
+    from literature_to_facts_spark.datapipe.textclean import span_dedup
+
+    out = span_dedup(span_docs, window=3, min_df=3)
+    got = {r["doc_id"]: (r["n_dup_windows"], r["dup_tokens"]) for r in out.collect()}
+    assert got[1] == (1, 3)
+    assert got[2] == (1, 3)
+    assert got[7] == (1, 3)
+    assert got[3] == (0, 0)
+
+
+def test_span_dedup_disjoint_spans_and_token_collapse(spark):
+    """Two duplicated windows far apart contribute window tokens each (no
+    interval merge), and runs of spaces collapse (empty tokens dropped)."""
+    from literature_to_facts_spark.datapipe.textclean import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1 s2 s3 m1 m2 m3 m4  s1 s2 s3"),  # double space collapses
+            (2, "s1 s2 s3 z1 z2 z3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = span_dedup(docs, window=3, min_df=2)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_windows"], r["dup_tokens"])
+        for r in out.collect()
+    }
+    # doc 1: 10 tokens; 's1 s2 s3' at pos 1 and 8 (3 occurrences total with
+    # doc 2's) -> coverage = two disjoint 3-token spans = 6
+    assert got[1] == (10, 2, 6)
+    assert got[2] == (6, 1, 3)
+
+
+def test_span_dedup_carry_and_validation(spark, span_docs):
+    from literature_to_facts_spark.datapipe.textclean import span_dedup
+
+    docs = span_docs.withColumn("lang", F.lit("en"))
+    out = span_dedup(docs, window=3, min_df=2, carry_cols=("lang",))
+    assert out.where(F.col("lang") == "en").count() == 6
+    with pytest.raises(ValueError, match="min_df"):
+        span_dedup(span_docs, min_df=1)
+    with pytest.raises(ValueError, match="window"):
+        span_dedup(span_docs, window=1)
+    with pytest.raises(ValueError, match="collide"):
+        span_dedup(
+            span_docs.withColumn("dup_frac", F.lit(1)),
+            carry_cols=("dup_frac",),
+        )
