@@ -1342,6 +1342,35 @@ def q_text_line_dedup_incremental(spark, sf_dir):
 _SPAN_DEDUP_WINDOW = 8
 _SPAN_DEDUP_MIN_DF = 2
 
+# corpus-vocabulary demo model for the quality-classifier contract query —
+# ONE source of truth interpolated into both the Spark model DataFrame and
+# the DuckDB VALUES clause (integer weights: bit-portable sums)
+_QUALITY_CLF_MODEL = [
+    ("the", 1), ("a", 1), ("data", 1), ("spark", 1), ("query", 1),
+    ("slow", -2), ("dup", -2), ("batch", -1),
+]
+
+
+def q_text_quality_clf(spark, sf_dir):
+    """Linear bag-of-tokens quality classifier
+    (datapipe/textstats.quality_classifier — the fastText-linear shape of
+    CCNet/LLaMA-style model-based quality filters): per-doc mean token
+    weight under a broadcast (token, w) model table, keep-decision on the
+    rounded score.  The model here is a corpus-vocabulary demo; the
+    operator contract takes any learned model as a DataFrame."""
+    from literature_to_facts_spark.datapipe.textstats import quality_classifier
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    model = spark.createDataFrame(_QUALITY_CLF_MODEL, "token string, w int")
+    out = quality_classifier(docs, model=model, threshold=0.0)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_toks",
+        "w_sum",
+        "clf_score",
+        "clf_keep",
+    )
+
 
 def q_text_span_dedup(spark, sf_dir):
     """Duplicated-substring detection (datapipe/textclean.span_dedup —
@@ -1626,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         "text_line_dedup_incremental": q_text_line_dedup_incremental,
         "text_span_dedup": q_text_span_dedup,
+        "text_quality_clf": q_text_quality_clf,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "kg_triples_delta": q_kg_triples_delta,
         "text_blocklist_filter": q_text_blocklist_filter,
@@ -2144,6 +2174,40 @@ def _line_dedup_oracle(restrict: str | None = None) -> str:
         FROM keyed k LEFT JOIN freq f ON k.key_e = f.fkey
         GROUP BY k.doc_id
         {where}
+    """
+
+
+def _quality_clf_oracle(bias: float = 0.0, threshold: float = 0.0) -> str:
+    """DuckDB recomputation of quality_classifier under the shared
+    _QUALITY_CLF_MODEL: same lowercased split-on-space tokens, integer
+    weight sums, rounded-score keep rule; every document emitted (NULL
+    text scores the bias with n_toks = 0)."""
+    values = ", ".join(f"('{t}', {w})" for t, w in _QUALITY_CLF_MODEL)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x != '')
+                   AS toks
+          FROM documents
+        ),
+        inst AS (SELECT doc_id, u AS tok FROM t, UNNEST(toks) AS s(u)),
+        m(tok, w) AS (VALUES {values}),
+        agg AS (
+          SELECT i.doc_id,
+                 count(*) AS n,
+                 CAST(coalesce(sum(m.w), 0) AS BIGINT) AS s
+          FROM inst i LEFT JOIN m ON i.tok = m.tok
+          GROUP BY i.doc_id
+        )
+        SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(a.n, 0) AS BIGINT) AS n_toks,
+               CAST(coalesce(a.s, 0) AS BIGINT) AS w_sum,
+               round({float(bias)} + CAST(coalesce(a.s, 0) AS DOUBLE)
+                     / greatest(coalesce(a.n, 0), 1), 6) AS clf_score,
+               round({float(bias)} + CAST(coalesce(a.s, 0) AS DOUBLE)
+                     / greatest(coalesce(a.n, 0), 1), 6) >= {float(threshold)}
+                 AS clf_keep
+        FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
     """
 
 
@@ -3054,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_line_dedup_incremental": _line_dedup_oracle(restrict="k.doc_id % 5 = 0"),
         "text_span_dedup": _span_dedup_oracle(),
+        "text_quality_clf": _quality_clf_oracle(),
         "text_pii_redact": _pii_oracle(),
         "sample_mixture_weights": _mixture_weights_oracle(),
         "sample_mixture_temperature": f"""

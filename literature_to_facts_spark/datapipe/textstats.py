@@ -476,3 +476,71 @@ def token_topk(
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("token").asc()
     ).limit(int(k))
+
+
+# default token weights for quality_classifier: a tiny DEMONSTRATION model
+# (function words vote quality-up, web-chrome/boilerplate tokens vote down).
+# A production model is the same shape — (token, weight) rows learned
+# offline (fastText-style linear bag-of-tokens) — passed in as a DataFrame;
+# integer weights keep the per-doc sums bit-portable across engines.
+QUALITY_CLF_WEIGHTS = {
+    "the": 1, "a": 1, "of": 1, "and": 1, "to": 1, "in": 1, "is": 1,
+    "for": 1, "with": 1, "that": 1, "was": 1, "as": 1,
+    "click": -2, "subscribe": -2, "cookie": -2, "cookies": -2,
+    "login": -1, "javascript": -2, "menu": -1, "copyright": -1,
+    "advertisement": -2, "lorem": -3, "ipsum": -3, "buy": -1,
+    "free": -1, "winner": -2, "unsubscribe": -2, "password": -1,
+}
+
+
+def quality_classifier(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Linear bag-of-tokens quality classifier (the fastText-linear shape
+    web-corpus pipelines use for model-based quality filtering, e.g. the
+    CCNet/LLaMA wikiref classifiers): per document,
+
+    ``clf_score = round(bias + sum(w(token)) / max(n_toks, 1), 6)`` and
+    ``clf_keep = clf_score >= threshold`` (compared on the ROUNDED score, so
+    the keep decision is engine-portable).
+
+    ``model`` is a ``(token string, w int)`` DataFrame — integer weights by
+    contract so the weighted sum is exact; ``None`` uses the built-in
+    :data:`QUALITY_CLF_WEIGHTS` demo model.  Tokens are the repo-wide
+    lowercased split-on-space convention; out-of-vocabulary tokens weigh 0.
+    Every input document is emitted (NULL text scores ``bias`` with
+    ``n_toks = 0``).
+
+    Scale shape (100 TB): tokens explode MAP-SIDE (never materialized as an
+    array column), the model joins as a BROADCAST hash join (a learned
+    vocab of even ~10M rows is broadcast-able; beyond that, bucket both
+    sides by token), and the single Exchange is the per-doc partial-agg'd
+    groupBy carrying (id, two longs) per document — the same plan family as
+    :func:`lang_id_trigram_scores`.  Zipf skew on hot tokens is absorbed by
+    the map-side partial aggregation."""
+    spark = docs.sparkSession
+    if model is None:
+        model = spark.createDataFrame(
+            list(QUALITY_CLF_WEIGHTS.items()), schema="token string, w int"
+        )
+    inst = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.expr(_tokens(text_col))).alias("token"),
+    ).join(F.broadcast(model), on="token", how="left")
+    agg = inst.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count("token").cast("bigint").alias("n_toks"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("w_sum"),
+    )
+    score = F.round(
+        F.lit(float(bias))
+        + F.col("w_sum") / F.greatest(F.col("n_toks"), F.lit(1)),
+        6,
+    )
+    return agg.withColumn("clf_score", score).withColumn(
+        "clf_keep", F.col("clf_score") >= F.lit(float(threshold))
+    )

@@ -1813,3 +1813,41 @@ def test_interval_join_semantics(spark):
         for r in interval_join(pts, ivs, on="k", bucket_seconds=1800).collect()
     }
     assert got == {(1, 100), (1, 101), (2, 101)}
+
+
+def test_quality_classifier(spark):
+    """Linear bag-of-tokens scoring: mean token weight + bias, keep rule on
+    the rounded score, every doc emitted (NULL text = bias, n_toks 0),
+    OOV tokens weigh zero, custom model DataFrames accepted."""
+    from literature_to_facts_spark.datapipe.textstats import quality_classifier
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the hat"),     # the:+1 x2, and:+1 -> 3/5
+            (2, "click subscribe now"),     # -2 -2 0 -> -4/3
+            (3, None),                      # bias only
+            (4, "zzz qqq"),                 # all OOV -> 0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_toks"], r["w_sum"], r["clf_score"], r["clf_keep"])
+        for r in quality_classifier(docs).collect()
+    }
+    assert out[1] == (5, 3, round(3 / 5, 6), True)
+    assert out[2] == (3, -4, round(-4 / 3, 6), False)
+    assert out[3] == (0, 0, 0.0, True)
+    assert out[4] == (2, 0, 0.0, True)
+
+    model = spark.createDataFrame([("cat", 5), ("hat", -7)], "token string, w int")
+    out2 = {
+        r["doc_id"]: (r["w_sum"], r["clf_keep"])
+        for r in quality_classifier(
+            docs, model=model, bias=0.1, threshold=0.2
+        ).collect()
+    }
+    assert out2[1] == (-2, False)           # 0.1 - 2/5 = -0.3
+    assert out2[2] == (0, False)            # 0.1 < 0.2
+    # plan: the model joins broadcast (no shuffle on the corpus side)
+    plan = quality_classifier(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
