@@ -723,6 +723,37 @@ def q_emb_ann_ivf(spark, sf_dir):
     )
 
 
+def q_emb_ann_ivf_incremental(spark, sf_dir):
+    """Incremental IVF (datapipe/similarity.build_ivf_index /
+    ivf_index_append / cosine_topk_ivf_from_index — the sixth delta
+    family): centroids train on HISTORY only (vec_id % 5 != 0) and freeze;
+    the batch quantizes against them map-side (history never re-read);
+    queries probe the combined inverted lists.  Full SQL oracle via
+    _ann_ivf_oracle(train_restrict=...) — training, append-assignment,
+    probing and ranking all recomputed."""
+    from literature_to_facts_spark.datapipe.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_from_index,
+        ivf_index_append,
+    )
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    hist = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    centroids, hist_idx = build_ivf_index(hist, n_centroids=8)
+    idx = hist_idx.unionByName(ivf_index_append(batch, centroids))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = cosine_topk_ivf_from_index(idx, centroids, queries, k=5, nprobe=3)
+    return out.select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("cosine", 4).cast("double").alias("cosine_r4"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_dedup_clusters_cc(spark, sf_dir):
     """Near-dup PAIRS merged into duplicate CLUSTERS via connected
     components (min-label propagation + pointer jumping, O(log diameter)
@@ -1641,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_lsh_multiprobe": q_emb_ann_lsh_multiprobe,
         "emb_ann_ivf": q_emb_ann_ivf,
+        "emb_ann_ivf_incremental": q_emb_ann_ivf_incremental,
         "stream_windowed_counts": q_stream_windowed_counts,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -2037,7 +2069,11 @@ def _emb_near_dup_oracle(
 
 
 def _ann_ivf_oracle(
-    k: int = 5, n_centroids: int = 8, nprobe: int = 3, dim: int = 64
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    dim: int = 64,
+    train_restrict: str | None = None,
 ) -> str:
     """Mirrors cosine_topk_ivf end-to-end: hash-sampled seed centroids, ONE
     Lloyd refinement (per-dimension FIXED-POINT mean: components quantized to
@@ -2045,8 +2081,14 @@ def _ann_ivf_oracle(
     single IEEE ops — order-independent, so the mean is bit-portable; a
     ROUND(AVG) of raw doubles could flip in the last ulp between engines),
     assignment, probing and ranking.  DuckDB lists are 1-indexed, hence
-    e[i+1]."""
+    e[i+1].
+
+    ``train_restrict`` freezes centroid training (seed + Lloyd) to a subset
+    of the corpus while the inverted lists still cover everything — the
+    incremental-index contract (build_ivf_index over history,
+    ivf_index_append for the batch)."""
     h = _H1.format(x="CAST(vec_id AS VARCHAR)")
+    train_where = f"WHERE {train_restrict}" if train_restrict else ""
     avgs = ", ".join(
         f"FLOOR(SUM(CAST(FLOOR(e[{i + 1}] * 1000000.0 + 0.5) AS BIGINT))"
         f" / COUNT(*) + 0.5) / 1000000.0 AS a{i}"
@@ -2057,7 +2099,8 @@ def _ann_ivf_oracle(
             WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                               embedding::DOUBLE[] AS e
                        FROM embeddings),
-            seed AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+            vt AS (SELECT * FROM v {train_where}),
+            seed AS (SELECT vec_id AS centroid_id, e AS ce FROM vt
                      ORDER BY {h} ASC, vec_id ASC LIMIT {n_centroids}),
             assign0 AS (
               SELECT vec_id, e, centroid_id FROM (
@@ -2065,7 +2108,7 @@ def _ann_ivf_oracle(
                        ROW_NUMBER() OVER (PARTITION BY v.vec_id
                          ORDER BY list_dot_product(v.e, c.ce) DESC,
                                   c.centroid_id ASC) AS rn
-                FROM v, seed c) WHERE rn = 1),
+                FROM vt v, seed c) WHERE rn = 1),
             lmeans AS (SELECT centroid_id, {avgs}
                        FROM assign0 GROUP BY centroid_id),
             cent AS (SELECT centroid_id, {relist}::DOUBLE[] AS ce FROM lmeans),
@@ -3039,6 +3082,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_lsh": _ann_lsh_oracle(k=5, n_planes=6),
         "emb_ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle(),
         "emb_ann_ivf": _ann_ivf_oracle(k=5, n_centroids=8, nprobe=3),
+        "emb_ann_ivf_incremental": _ann_ivf_oracle(
+            k=5, n_centroids=8, nprobe=3, train_restrict="vec_id % 5 != 0"
+        ),
         # tumbling event-time window == epoch-aligned hour bucket
         "stream_windowed_counts": """
             SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)

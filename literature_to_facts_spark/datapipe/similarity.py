@@ -450,6 +450,72 @@ def _lloyd_refine(base: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_train(
+    base: DataFrame,
+    n_centroids: int,
+    refine_iters: int,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Deterministic IVF centroid training over ``(vec_id, embedding)``:
+    hash-ordered TakeOrderedAndProject seeds + ``refine_iters`` fixed-point
+    Lloyd passes (see :func:`cosine_topk_ivf` for why each step is shaped
+    and oracle-able the way it is).  Persists the k-row result when refined
+    (two consumers downstream; registry-managed lifecycle)."""
+    h = F.expr(
+        "cast(conv(substr(md5(cast(vec_id as string)), 1, 13), 16, 10) as bigint)"
+    )
+    centroids = (
+        base.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(n_centroids)
+        # cast to array<double> so the seed-assignment stage has the exact
+        # schema of the refined-assignment stage -> one codegen class serves
+        # both passes (cache hit; float->double is exact, math unchanged)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("c_emb"),
+        )
+    )
+    for _ in range(refine_iters):
+        centroids = _lloyd_refine(base, centroids)
+    if refine_iters:
+        centroids = centroids.persist()
+        if cache_registry is not None:
+            cache_registry.append(centroids)
+    return centroids
+
+
+def _ivf_query(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest centroid lists per query and rank
+    exactly within them — the shared tail of the one-shot and
+    index-backed IVF paths."""
+    w_q = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        queries.select(F.col(q_id_col).alias("q_id"), F.col(q_emb_col).alias("q_emb"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("sim", _dot("q_emb", "c_emb"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "q_emb", "centroid_id")
+    )
+    scored = with_cosine(assigned.join(F.broadcast(probes), on="centroid_id")).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -478,59 +544,81 @@ def cosine_topk_ivf(
     small inputs), and is a pure function of the data, so an independent SQL
     oracle replicates it — including the Lloyd refinement, whose rounded
     per-dimension means DuckDB recomputes bit-exactly."""
+    # persist note (refined centroids feed TWO consumers — assignment and
+    # query probing — and Spark does not exchange-reuse the expensive
+    # assign->mean subtree across them): the k-row persist lives in
+    # _ivf_train; identical inputs dedupe to ONE cache entry via plan
+    # canonicalization, and long-lived sessions issuing many calls over
+    # DISTINCT inputs should pass ``cache_registry`` and unpersist after
+    # consuming the result.
     base = vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
-    h = F.expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 13), 16, 10) as bigint)")
-    centroids = (
-        base.orderBy(h.asc(), F.col("vec_id").asc())
-        .limit(n_centroids)
-        # cast to array<double> so the seed-assignment stage has the exact
-        # schema of the refined-assignment stage -> one codegen class serves
-        # both passes (cache hit; float->double is exact, math unchanged)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").cast("array<double>").alias("c_emb"),
-        )
-    )
-    for _ in range(refine_iters):
-        centroids = _lloyd_refine(base, centroids)
-    if refine_iters:
-        # refined centroids feed TWO consumers (vector assignment + query
-        # probing) and Spark does not exchange-reuse the expensive
-        # assign->mean subtree across them; persisting the k-row result
-        # computes the Lloyd pass once (k*dim doubles — trivially cacheable).
-        # Lifecycle: the entry stays in the session's cache registry until
-        # spark.stop() or an explicit unpersist/clearCache (it cannot be
-        # unpersisted here — the returned DataFrame is lazy and still depends
-        # on it); identical inputs dedupe to ONE entry via plan
-        # canonicalization, so repeated calls over the same table don't grow
-        # it.  Callers issuing many calls over DISTINCT inputs in one
-        # long-lived session should pass ``cache_registry`` (a list) and
-        # ``.unpersist()`` the appended entries after consuming the result —
-        # else k*dim-sized entries accumulate until spark.stop()/clearCache.
-        centroids = centroids.persist()
-        if cache_registry is not None:
-            cache_registry.append(centroids)
-
+    centroids = _ivf_train(base, n_centroids, refine_iters, cache_registry)
     # assign: nearest centroid per vector (broadcast centroids, map-side argmax)
     assigned = _ivf_assign(base, centroids)
+    return _ivf_query(assigned, centroids, queries, k, nprobe, q_id_col, q_emb_col)
 
-    # probe: top-nprobe centroids per query
-    w_q = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    probes = (
-        queries.select(F.col(q_id_col).alias("q_id"), F.col(q_emb_col).alias("q_emb"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("sim", _dot("q_emb", "c_emb"))
-        .withColumn("rn", F.row_number().over(w_q))
-        .where(F.col("rn") <= nprobe)
-        .select("q_id", "q_emb", "centroid_id")
-    )
 
-    scored = with_cosine(assigned.join(F.broadcast(probes), on="centroid_id")).withColumn(
-        "cosine", F.round("cosine", 6)
+def build_ivf_index(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    refine_iters: int = 1,
+    cache_registry: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Train an IVF index over the corpus: returns ``(centroids,
+    assignments)`` where ``centroids`` is the k-row ``(centroid_id, c_emb)``
+    quantizer and ``assignments`` the corpus inverted lists ``(vec_id,
+    embedding, centroid_id)`` — the PERSISTED STATE of incremental ANN
+    (sixth delta family).
+
+    Persist ``centroids`` as a small table and ``assignments`` via
+    ``datapipe.storage.write_bucketed(..., bucket_col="centroid_id")``; new
+    batches then extend the index through :func:`ivf_index_append` without
+    ever touching history, and queries run over the combined lists through
+    :func:`cosine_topk_ivf_from_index`.  Centroids are FROZEN after
+    training (the FAISS IVF operational contract — appends quantize against
+    the original coarse quantizer; periodic retraining is a full rebuild,
+    the compaction analog), so append-time work is O(batch), not
+    O(history)."""
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "vec_id", "cosine", "rank")
+    centroids = _ivf_train(base, n_centroids, refine_iters, cache_registry)
+    return centroids, _ivf_assign(base, centroids)
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign a NEW batch against the frozen coarse quantizer: broadcast the
+    k-row centroid table, map-side argmax — the only Exchange is the
+    batch-sized assignment groupBy; history is never read.  Returns batch
+    rows shaped exactly like :func:`build_ivf_index`'s assignments (append
+    them to the persisted index).  Contract: batch ids are disjoint from
+    history ids (the repo-wide delta-family convention)."""
+    base = new_vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
+    return _ivf_assign(base, centroids)
+
+
+def cosine_topk_ivf_from_index(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """IVF query over a PERSISTED index (history assignments plus any
+    appended batches): probe the ``nprobe`` nearest centroid lists per
+    query, rank exactly within them.  The probe set is broadcast, so over
+    an index stored bucketed by ``centroid_id`` the corpus side plans with
+    zero Exchange — query cost scales with the probed lists, not the
+    corpus."""
+    return _ivf_query(assignments, centroids, queries, k, nprobe, q_id_col, q_emb_col)

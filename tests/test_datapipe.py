@@ -1851,3 +1851,44 @@ def test_quality_classifier(spark):
     # plan: the model joins broadcast (no shuffle on the corpus side)
     plan = quality_classifier(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_incremental_index_append(spark, embeddings, tmp_path):
+    """Sixth delta family: build_ivf_index over history + ivf_index_append
+    for the batch equals assigning the full corpus against the same frozen
+    centroids; the persisted-index query path returns identical top-k, and
+    the probe join is broadcast (no corpus-side shuffle join)."""
+    from literature_to_facts_spark.datapipe.similarity import (
+        _ivf_assign,
+        build_ivf_index,
+        cosine_topk_ivf_from_index,
+        ivf_index_append,
+    )
+
+    hist = embeddings.where(F.col("vec_id") % 4 != 0)
+    batch = embeddings.where(F.col("vec_id") % 4 == 0)
+    centroids, hist_idx = build_ivf_index(hist, n_centroids=4)
+    combined = hist_idx.unionByName(ivf_index_append(batch, centroids))
+
+    # append path == one-shot assignment of everything to the same quantizer
+    base = embeddings.select("vec_id", "embedding")
+    oneshot = _ivf_assign(base, centroids)
+    a = {(r["vec_id"], r["centroid_id"]) for r in combined.collect()}
+    b = {(r["vec_id"], r["centroid_id"]) for r in oneshot.collect()}
+    assert a == b
+
+    # query over a PERSISTED index round-trips and matches the in-memory path
+    path = str(tmp_path / "ivf_idx")
+    combined.write.parquet(path)
+    queries = embeddings.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    from_disk = cosine_topk_ivf_from_index(
+        spark.read.parquet(path), centroids, queries, k=5, nprobe=2
+    )
+    in_mem = cosine_topk_ivf_from_index(combined, centroids, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, from_disk.collect())) == sorted(
+        map(tuple, in_mem.collect())
+    )
+    plan = from_disk._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
