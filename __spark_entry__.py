@@ -1382,6 +1382,35 @@ _QUALITY_CLF_MODEL = [
 ]
 
 
+def q_text_span_dedup_incremental(spark, sf_dir):
+    """Delta span dedup (datapipe/textclean.span_dedup_incremental — the
+    seventh probe-shaped incremental family): the new batch (doc_id % 5 ==
+    0) checked against COMBINED old+new window-occurrence counts using only
+    the persisted (win_key, cnt) index — history text never re-windowed.
+    Oracle = the full-corpus span dedup restricted to the new batch's
+    ids."""
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_window_frequency_index,
+        span_dedup_incremental,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    idx = build_window_frequency_index(old, window=_SPAN_DEDUP_WINDOW)
+    out = span_dedup_incremental(
+        new, idx, window=_SPAN_DEDUP_WINDOW, min_df=_SPAN_DEDUP_MIN_DF
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "n_windows",
+        "n_dup_windows",
+        "dup_tokens",
+        "dup_frac",
+    )
+
+
 def q_text_quality_clf(spark, sf_dir):
     """Linear bag-of-tokens quality classifier
     (datapipe/textstats.quality_classifier — the fastText-linear shape of
@@ -1687,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         "text_line_dedup_incremental": q_text_line_dedup_incremental,
         "text_span_dedup": q_text_span_dedup,
+        "text_span_dedup_incremental": q_text_span_dedup_incremental,
         "text_quality_clf": q_text_quality_clf,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "kg_triples_delta": q_kg_triples_delta,
@@ -2255,12 +2285,17 @@ def _quality_clf_oracle(bias: float = 0.0, threshold: float = 0.0) -> str:
 
 
 def _span_dedup_oracle(
-    window: int = _SPAN_DEDUP_WINDOW, min_df: int = _SPAN_DEDUP_MIN_DF
+    window: int = _SPAN_DEDUP_WINDOW,
+    min_df: int = _SPAN_DEDUP_MIN_DF,
+    restrict: str | None = None,
 ) -> str:
     """DuckDB recomputation of span_dedup end-to-end: the same split-on-space
     tokens, md5-52-bit window keys, global occurrence counts and
     interval-union coverage (sorted duplicated positions, each contributing
-    min(gap, window), the last a full window)."""
+    min(gap, window), the last a full window).  ``restrict`` filters the
+    OUTPUT rows only (frequencies always come from the whole corpus) — the
+    incremental query's contract."""
+    where = f"WHERE {restrict}" if restrict else ""
     w = int(window)
     key = _H1.format(x=f"array_to_string(toks[i:i+{w - 1}], ' ')")
     return f"""
@@ -2310,6 +2345,7 @@ def _span_dedup_oracle(
                round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE)
                      / greatest(b.ntok, 1), 6) AS dup_frac
         FROM b LEFT JOIN cov c ON b.doc_id = c.doc_id
+        {where}
     """
 
 
@@ -3164,6 +3200,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_line_dedup_incremental": _line_dedup_oracle(restrict="k.doc_id % 5 = 0"),
         "text_span_dedup": _span_dedup_oracle(),
+        "text_span_dedup_incremental": _span_dedup_oracle(
+            restrict="b.doc_id % 5 = 0"
+        ),
         "text_quality_clf": _quality_clf_oracle(),
         "text_pii_redact": _pii_oracle(),
         "sample_mixture_weights": _mixture_weights_oracle(),

@@ -111,6 +111,9 @@ HEADLINE = [
     "text_lang_trigram",
     "multimodal_features",
     "emb_ann_lsh_multiprobe",
+    "text_span_dedup",
+    "text_quality_clf",
+    "emb_ann_ivf_incremental",
 ]
 
 

@@ -397,6 +397,28 @@ def span_dedup(
             "columns; rename them first"
         )
     w = int(window)
+    inst = _span_instances(docs, id_col, text_col, w, carry_cols)
+    freq = (
+        inst.where(F.col("_wkey").isNotNull())
+        .groupBy("_wkey")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= F.lit(int(min_df)))
+        .select(F.col("_wkey").alias("_fkey"))
+    )
+    flagged = inst.join(freq, inst["_wkey"] == freq["_fkey"], "left")
+    return _span_aggregate(flagged, id_col, w, carry_cols)
+
+
+def _span_instances(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """(_id, _ntok, _pos, _wkey[, carry...]) exploded window instances —
+    one row per ``w``-token sliding window; sub-window documents keep one
+    NULL-position row (``explode_outer``) so they survive to the output."""
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias("_toks"),
@@ -417,9 +439,7 @@ def span_dedup(
         ).alias("_wins"),
         *[F.col(c) for c in carry_cols],
     )
-    # explode_outer keeps sub-window documents (NULL _pos rows -> zero
-    # counts below via count(_pos))
-    inst = wins.select(
+    return wins.select(
         "_id",
         "_ntok",
         F.explode_outer("_wins").alias("_w"),
@@ -431,20 +451,19 @@ def span_dedup(
         F.col("_w._wkey").alias("_wkey"),
         *[F.col(c) for c in carry_cols],
     )
-    freq = (
-        inst.where(F.col("_wkey").isNotNull())
-        .groupBy("_wkey")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .where(F.col("_cnt") >= F.lit(int(min_df)))
-        .select(F.col("_wkey").alias("_fkey"))
-    )
-    flagged = inst.join(freq, inst["_wkey"] == freq["_fkey"], "left")
-    # interval-union coverage of the duplicated windows: sort the duplicated
-    # positions, each contributes min(gap-to-next, window) tokens, the last
-    # contributes window.  collect_list skips NULLs (non-dup rows).
-    # the size>=2 guard keeps sequence() ascending and element_at in bounds
-    # (ANSI mode: out-of-bounds element_at is an error, and sequence(1, 0)
-    # would be the DESCENDING [1, 0])
+
+
+def _span_aggregate(
+    flagged: DataFrame, id_col: str, w: int, carry_cols: tuple = ()
+) -> DataFrame:
+    """Per-document tail shared by the full and incremental span dedup:
+    window counts plus interval-union coverage of the duplicated windows —
+    sort the duplicated positions, each contributes min(gap-to-next,
+    window) tokens, the last a full window.  A pure array expression over
+    the collected positions (no coverage-explode shuffle); collect_list
+    skips NULLs (non-dup rows).  The size>=2 guard keeps sequence()
+    ascending and element_at in bounds (ANSI mode: out-of-bounds element_at
+    is an error, and sequence(1, 0) would be the DESCENDING [1, 0])."""
     cov = (
         f"CASE WHEN size(_ps) = 0 THEN CAST(0 AS BIGINT) "
         f"WHEN size(_ps) = 1 THEN CAST({w} AS BIGINT) ELSE "
@@ -470,6 +489,117 @@ def span_dedup(
         )
         .drop("_ps")
     )
+
+
+def build_window_frequency_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """(win_key, cnt): one batch's window-OCCURRENCE counts — the PERSISTED
+    STATE of incremental span dedup (seventh delta family).
+
+    APPEND-ONLY: each batch appends its own counts; probes SUM the touched
+    rows.  Unlike the line index (distinct-document counts, which need the
+    disjoint-batch contract to sum correctly), occurrence counts sum
+    exactly by construction.  Write with ``datapipe.storage.write_bucketed(
+    ..., bucket_col="win_key")`` for the zero-Exchange probe plan.  The
+    ``window`` build parameter is STAMPED into the field metadata (same
+    verify-at-call-time contract as :func:`build_line_frequency_index`)."""
+    w = int(window)
+    if w < 2:
+        raise ValueError(f"window must be >= 2, got {w}")
+    key = F.col("_wkey").alias("win_key", metadata={"l2f_span_window": w})
+    return (
+        _span_instances(docs, id_col, text_col, w)
+        .where(F.col("_wkey").isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def span_dedup_incremental(
+    new_docs: DataFrame,
+    old_index: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_df: int = 2,
+    cache_registry: list | None = None,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Delta span dedup: ``span_dedup(old ∪ new)`` RESTRICTED to the NEW
+    batch's documents — history text is never re-windowed; only the
+    persisted :func:`build_window_frequency_index` rows are touched.
+
+    A window duplicated across the old/new boundary (one historical + one
+    batch occurrence) reaches ``min_df=2`` and is flagged in the new
+    document; already-shipped history is immutable (run the full
+    :func:`span_dedup` for a from-scratch rebuild).  ``old_index=None``
+    degenerates to full mode over the batch.
+
+    PROBE-shaped like every delta family here: the batch's window keys are
+    BROADCAST and semi-join-filter the history index at its scan (zero
+    Exchange over a ``write_bucketed("win_key")`` catalog table), matched
+    keys stream the old counts past a broadcast of the batch aggregate,
+    and batch-only keys come from a broadcast anti join (a broadcast side
+    can never be outer-preserved).  ``new_freq`` and ``matched`` are
+    persisted (batch-sized, two consumers) and appended to
+    ``cache_registry`` for per-batch unpersist in long-lived sessions."""
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    w = int(window)
+    if w < 2:
+        raise ValueError(f"window must be >= 2, got {w}")
+    clash = sorted(_RESERVED_SPAN_COLS & set(carry_cols))
+    if clash:
+        raise ValueError(
+            f"carry_cols {clash} collide with span_dedup's output/internal "
+            "columns; rename them first"
+        )
+    if old_index is None:
+        old_index = new_docs.sparkSession.createDataFrame(
+            [], "win_key bigint, cnt bigint"
+        )
+    elif "win_key" in old_index.columns:
+        built = old_index.schema["win_key"].metadata.get("l2f_span_window")
+        if built is not None and int(built) != w:
+            raise ValueError(
+                f"old_index was built with window={built} but the probe "
+                f"passed window={w}; combined frequencies would mix two "
+                "different window populations"
+            )
+    inst = _span_instances(new_docs, id_col, text_col, w, carry_cols)
+    new_freq = (
+        inst.where(F.col("_wkey").isNotNull())
+        .groupBy(F.col("_wkey").alias("win_key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_new_cnt"))
+        .persist()
+    )
+    touched_old = old_index.join(
+        F.broadcast(new_freq.select("win_key")), on="win_key", how="left_semi"
+    )
+    old_agg = touched_old.groupBy("win_key").agg(F.sum("cnt").alias("_old_cnt"))
+    matched = (
+        old_agg.join(F.broadcast(new_freq), on="win_key", how="inner").persist()
+    )
+    miss = new_freq.join(
+        F.broadcast(matched.select("win_key")), on="win_key", how="left_anti"
+    ).withColumn("_old_cnt", F.lit(0).cast("bigint"))
+    if cache_registry is not None:
+        cache_registry.extend([new_freq, matched])
+    cols = ["win_key", "_old_cnt", "_new_cnt"]
+    frequent = (
+        matched.select(*cols)
+        .unionByName(miss.select(*cols))
+        .where(F.col("_old_cnt") + F.col("_new_cnt") >= F.lit(int(min_df)))
+        .select(F.col("win_key").alias("_fkey"))
+    )
+    flagged = inst.join(
+        F.broadcast(frequent), inst["_wkey"] == F.col("_fkey"), "left"
+    )
+    return _span_aggregate(flagged, id_col, w, carry_cols)
 
 
 def pii_redact(

@@ -824,3 +824,68 @@ def test_span_dedup_carry_and_validation(spark, span_docs):
             span_docs.withColumn("dup_frac", F.lit(1)),
             carry_cols=("dup_frac",),
         )
+
+
+def test_span_dedup_incremental_equals_full_restricted(spark, span_docs):
+    """The delta contract: incremental over (batch, history index) equals
+    the full span_dedup over old ∪ new restricted to batch ids — including
+    a window duplicated only ACROSS the boundary."""
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_window_frequency_index,
+        span_dedup,
+        span_dedup_incremental,
+    )
+
+    new = span_docs.where(F.col("doc_id") % 2 == 1)
+    old = span_docs.where(F.col("doc_id") % 2 == 0)
+    idx = build_window_frequency_index(old, window=3)
+    inc = span_dedup_incremental(new, idx, window=3, min_df=2)
+    full = span_dedup(span_docs, window=3, min_df=2).where(F.col("doc_id") % 2 == 1)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    # first batch (no history) degenerates to full mode over the batch
+    first = span_dedup_incremental(new, None, window=3, min_df=2)
+    batch_full = span_dedup(new, window=3, min_df=2)
+    assert sorted(map(tuple, first.collect())) == sorted(
+        map(tuple, batch_full.collect())
+    )
+
+
+def test_span_dedup_incremental_index_stamp_and_plan(spark, span_docs, tmp_path):
+    """The window build parameter is stamped into win_key metadata and a
+    mismatched probe fails loudly; over a write_bucketed("win_key") catalog
+    table the history side plans with ZERO Exchange (seventh delta family,
+    same pin as the other six)."""
+    from literature_to_facts_spark.datapipe.storage import write_bucketed
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_window_frequency_index,
+        span_dedup_incremental,
+    )
+
+    new = span_docs.where(F.col("doc_id") % 2 == 1)
+    old = span_docs.where(F.col("doc_id") % 2 == 0)
+    idx = build_window_frequency_index(old, window=3)
+    path = str(tmp_path / "win_idx")
+    idx.write.parquet(path)
+    disk = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="window=3"):
+        span_dedup_incremental(new, disk, window=4)
+    try:
+        write_bucketed(idx, "t_win_idx", "win_key", 4, path=str(tmp_path / "bidx"))
+        bucketed = span_dedup_incremental(new, spark.table("t_win_idx"), window=3)
+        raw = span_dedup_incremental(new, disk, window=3)
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, raw.collect())
+        )
+        batch_keys = build_window_frequency_index(new, window=3).select("win_key")
+        hist_agg = (
+            spark.table("t_win_idx")
+            .join(F.broadcast(batch_keys), on="win_key", how="left_semi")
+            .groupBy("win_key")
+            .agg(F.sum("cnt").alias("_old_cnt"))
+        )
+        hist_plan = hist_agg._jdf.queryExecution().executedPlan().toString()
+        streamed_side = hist_plan.split("BroadcastExchange")[0]
+        assert "Exchange" not in streamed_side, hist_plan
+        assert "Bucketed: true" in hist_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_win_idx")
