@@ -1411,6 +1411,28 @@ def q_text_span_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_source_quality_stats(spark, sf_dir):
+    """Host/source-level curation (datapipe/textstats.source_stats — the
+    RefinedWeb/Dolma domain-filter stage): per-source doc counts, corpus
+    share and FIXED-POINT mean quality score with a keep decision (drop
+    whole low-quality or over-represented sources).  The fixed-point mean
+    (integer micro-unit sums) makes the per-source mean bit-portable, so
+    the DuckDB oracle recomputes it exactly."""
+    from literature_to_facts_spark.datapipe.textstats import source_stats
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    out = source_stats(docs, min_mean_quality=0.78, max_doc_share=0.5)
+    return out.select(
+        "source",
+        "n_docs",
+        "doc_share",
+        F.col("mean_quality").cast("double").alias("mean_quality"),
+        "keep",
+    )
+
+
 def q_text_quality_clf(spark, sf_dir):
     """Linear bag-of-tokens quality classifier
     (datapipe/textstats.quality_classifier — the fastText-linear shape of
@@ -1718,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_dedup": q_text_span_dedup,
         "text_span_dedup_incremental": q_text_span_dedup_incremental,
         "text_quality_clf": q_text_quality_clf,
+        "source_quality_stats": q_source_quality_stats,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "kg_triples_delta": q_kg_triples_delta,
         "text_blocklist_filter": q_text_blocklist_filter,
@@ -2247,6 +2270,66 @@ def _line_dedup_oracle(restrict: str | None = None) -> str:
         FROM keyed k LEFT JOIN freq f ON k.key_e = f.fkey
         GROUP BY k.doc_id
         {where}
+    """
+
+
+def _source_stats_oracle(
+    min_mean_quality: float = 0.78, max_doc_share: float = 0.5
+) -> str:
+    """DuckDB recomputation of source_stats: the with_quality score formula
+    per doc, quantized to integer micro-units, summed exactly per source,
+    floor-rounded once — the same fixed-point mean the Spark side computes,
+    so means (and the keep decisions derived from them) match bit-exactly."""
+    return f"""
+        WITH t AS (
+          SELECT source,
+                 list_filter(string_split(lower(text), ' '), x -> x != '')
+                   AS toks,
+                 text
+          FROM documents
+        ),
+        m AS (
+          SELECT source,
+                 len(toks) AS n_words,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                           AS DOUBLE) / len(toks) END AS mwl,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS DOUBLE) / greatest(length(text), 1) AS ar,
+                 CAST(len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS sr
+          FROM t
+        ),
+        s AS (
+          SELECT source,
+                 ROUND(least(n_words / 50.0, 1.0) * 0.3
+                   + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.3 ELSE 0.0 END
+                   + ar * 0.2 + least(sr * 5.0, 1.0) * 0.2, 6) AS q
+          FROM m
+        ),
+        agg AS (
+          SELECT source,
+                 count(*) AS n_docs,
+                 count(q) AS n_scored,
+                 SUM(CAST(FLOOR(q * 1000000.0 + 0.5) AS BIGINT)) AS s
+          FROM s GROUP BY source
+        ),
+        tot AS (SELECT SUM(n_docs) AS t FROM agg)
+        SELECT a.source,
+               CAST(a.n_docs AS BIGINT) AS n_docs,
+               ROUND(CAST(a.n_docs AS DOUBLE) / greatest(tot.t, 1), 6)
+                 AS doc_share,
+               CASE WHEN a.n_scored > 0
+                    THEN FLOOR(a.s / a.n_scored + 0.5) / 1000000.0 END
+                 AS mean_quality,
+               coalesce(
+                 CASE WHEN a.n_scored > 0
+                      THEN FLOOR(a.s / a.n_scored + 0.5) / 1000000.0
+                           >= {float(min_mean_quality)} END, false)
+                 AND ROUND(CAST(a.n_docs AS DOUBLE) / greatest(tot.t, 1), 6)
+                     <= {float(max_doc_share)} AS keep
+        FROM agg a, tot
     """
 
 
@@ -3204,6 +3287,7 @@ def oracle_sql() -> dict[str, str]:
             restrict="b.doc_id % 5 = 0"
         ),
         "text_quality_clf": _quality_clf_oracle(),
+        "source_quality_stats": _source_stats_oracle(),
         "text_pii_redact": _pii_oracle(),
         "sample_mixture_weights": _mixture_weights_oracle(),
         "sample_mixture_temperature": f"""

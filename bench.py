@@ -114,6 +114,8 @@ HEADLINE = [
     "text_span_dedup",
     "text_quality_clf",
     "emb_ann_ivf_incremental",
+    "text_span_dedup_incremental",
+    "source_quality_stats",
 ]
 
 

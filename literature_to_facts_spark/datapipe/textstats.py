@@ -544,3 +544,84 @@ def quality_classifier(
     return agg.withColumn("clf_score", score).withColumn(
         "clf_keep", F.col("clf_score") >= F.lit(float(threshold))
     )
+
+
+def source_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_mean_quality: float = 0.0,
+    max_doc_share: float = 1.0,
+    total_docs: int | None = None,
+) -> DataFrame:
+    """Host/source-level curation stats (the RefinedWeb/Dolma domain-filter
+    stage: whole low-quality or over-represented hosts are dropped, not
+    individual pages): per source —
+
+    * ``n_docs`` and ``doc_share = round(n_docs / total, 6)``;
+    * ``mean_quality``: mean of the per-doc :func:`with_quality` scores in
+      FIXED POINT (scores quantized to integer micro-units, summed exactly,
+      divided and floor-rounded once — order-independent, so the mean is
+      bit-portable across engines; NULL-text docs are excluded from the
+      mean, NULL when the source has no scored docs);
+    * ``keep``: ``mean_quality >= min_mean_quality AND doc_share <=
+      max_doc_share`` (sources with no scored docs are dropped).
+
+    Apply back with :func:`filter_by_source` (broadcast semi-join — the
+    stats table is host-cardinality, tiny next to the corpus).
+
+    Scale shape: ONE partial-agg'd Exchange at source granularity (the
+    quality features are per-row expressions fused into the scan).  The
+    corpus total defaults to a windowed sum over the aggregated frame —
+    fine up to millions of sources; at extreme host cardinality pass
+    ``total_docs`` (known from pipeline metrics) and the window disappears.
+    """
+    from pyspark.sql import Window
+
+    scored = with_quality(docs, text_col).select(
+        F.col(source_col).alias("source"), "quality_score"
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("quality_score").cast("bigint").alias("n_scored"),
+        F.sum(
+            F.floor(F.col("quality_score") * F.lit(1_000_000.0) + F.lit(0.5))
+        ).alias("_s"),
+    )
+    if total_docs is None:
+        agg = agg.withColumn(
+            "_tot", F.sum("n_docs").over(Window.partitionBy())
+        )
+    else:
+        agg = agg.withColumn("_tot", F.lit(int(total_docs)).cast("bigint"))
+    mean_q = F.when(
+        F.col("n_scored") > 0,
+        F.floor(F.col("_s") / F.col("n_scored") + F.lit(0.5))
+        / F.lit(1_000_000.0),
+    )
+    out = (
+        agg.withColumn("mean_quality", mean_q)
+        .withColumn(
+            "doc_share",
+            F.round(F.col("n_docs") / F.greatest(F.col("_tot"), F.lit(1)), 6),
+        )
+        .withColumn(
+            "keep",
+            F.coalesce(
+                F.col("mean_quality") >= F.lit(float(min_mean_quality)),
+                F.lit(False),
+            )
+            & (F.col("doc_share") <= F.lit(float(max_doc_share))),
+        )
+    )
+    return out.select("source", "n_docs", "doc_share", "mean_quality", "keep")
+
+
+def filter_by_source(docs: DataFrame, stats: DataFrame, source_col: str = "source") -> DataFrame:
+    """Keep only documents whose source survived :func:`source_stats` —
+    a broadcast LEFT SEMI join against the kept-source set (zero corpus
+    shuffle; NULL-source docs drop, as NULL never matches a join)."""
+    kept = stats.where(F.col("keep")).select(F.col("source").alias("_keep_src"))
+    return docs.join(
+        F.broadcast(kept), docs[source_col] == F.col("_keep_src"), "left_semi"
+    )

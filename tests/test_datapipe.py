@@ -1892,3 +1892,47 @@ def test_ivf_incremental_index_append(spark, embeddings, tmp_path):
     )
     plan = from_disk._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_source_stats_and_filter(spark):
+    """Host-level curation: fixed-point per-source mean quality, corpus
+    share, keep rule (quality floor AND share cap), broadcast semi-join
+    filter-back; NULL-text docs leave the mean, sources with no scored
+    docs drop, NULL-source docs never survive the filter."""
+    from literature_to_facts_spark.datapipe.textstats import (
+        filter_by_source,
+        source_stats,
+        with_quality,
+    )
+
+    good = "the cat sat on the mat and the dog ran to the park in the sun"
+    docs = spark.createDataFrame(
+        [(i, "hog", good) for i in range(6)]          # over-represented
+        + [(6, "niche", good), (7, "niche", good)]
+        + [(8, "junk", "z z z z"), (9, "nulls", None)],
+        ["doc_id", "source", "text"],
+    )
+    stats = {
+        r["source"]: r
+        for r in source_stats(
+            docs, min_mean_quality=0.4, max_doc_share=0.5
+        ).collect()
+    }
+    assert stats["hog"]["n_docs"] == 6 and stats["hog"]["doc_share"] == 0.6
+    assert not stats["hog"]["keep"]                   # share cap fires
+    assert stats["niche"]["keep"]                     # good quality, small
+    assert not stats["junk"]["keep"]                  # quality floor fires
+    assert stats["nulls"]["mean_quality"] is None and not stats["nulls"]["keep"]
+    # fixed-point mean equals the quantized per-doc score (all docs equal)
+    q = with_quality(docs.where(F.col("doc_id") == 6)).collect()[0]["quality_score"]
+    assert abs(stats["niche"]["mean_quality"] - q) < 1e-9
+
+    kept = filter_by_source(
+        docs, source_stats(docs, min_mean_quality=0.4, max_doc_share=0.5)
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [6, 7]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # explicit total_docs skips the window (no Window node in the plan)
+    p2 = source_stats(docs, total_docs=10)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p2
