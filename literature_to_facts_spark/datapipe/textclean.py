@@ -349,6 +349,7 @@ def span_dedup(
     text_col: str = "text",
     window: int = 8,
     min_df: int = 2,
+    broadcast_frequent: bool = False,
     carry_cols: tuple = (),
 ) -> DataFrame:
     """Duplicated-substring detection (ExactSubstr dedup, Lee et al. 2021,
@@ -376,14 +377,17 @@ def span_dedup(
 
     Scale shape (100 TB): the token array and the window structs are each
     projected ONCE (HOF lambdas re-evaluate inlined expressions per
-    element); per-doc work is O(n_tokens * window).  Two Exchanges total —
+    element); per-doc work is O(n_tokens * window).  Three Exchanges —
     the window-key frequency count (map-side partial agg absorbs hot
-    boilerplate keys) and the key join back — then the per-document
-    aggregate rides the document-id grouping; interval-union coverage is a
-    pure array expression over the collected positions (no
-    explode-the-coverage shuffle).  Same two-consumer trade as
-    :func:`line_dedup`: the exploded window frame feeds the frequency count
-    and the join's left side off a narrow scan + split, which beats
+    boilerplate keys), the key join back, and the per-document aggregate;
+    ``broadcast_frequent=True`` removes the corpus-side key-join shuffle
+    when ``min_df`` is high enough that the frequent set is small
+    (boilerplate mode — the same trade as :func:`line_dedup`; at
+    ``min_df=2`` the set scales with the corpus and MUST shuffle).
+    Interval-union coverage is a pure array expression over the collected
+    positions (no explode-the-coverage shuffle).  Same two-consumer trade
+    as :func:`line_dedup`: the exploded window frame feeds the frequency
+    count and the join's left side off a narrow scan + split, which beats
     materializing an exploded corpus copy.
     """
     if min_df < 2:
@@ -405,6 +409,8 @@ def span_dedup(
         .where(F.col("_cnt") >= F.lit(int(min_df)))
         .select(F.col("_wkey").alias("_fkey"))
     )
+    if broadcast_frequent:
+        freq = F.broadcast(freq)
     flagged = inst.join(freq, inst["_wkey"] == freq["_fkey"], "left")
     return _span_aggregate(flagged, id_col, w, carry_cols)
 

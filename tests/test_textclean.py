@@ -889,3 +889,16 @@ def test_span_dedup_incremental_index_stamp_and_plan(spark, span_docs, tmp_path)
         assert "Bucketed: true" in hist_plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_win_idx")
+
+
+def test_span_dedup_broadcast_frequent_matches(spark, span_docs):
+    """boilerplate mode (high min_df, small frequent set): broadcast join
+    path returns identical results and drops the corpus-side key-join
+    shuffle."""
+    from literature_to_facts_spark.datapipe.textclean import span_dedup
+
+    a = span_dedup(span_docs, window=3, min_df=2)
+    b = span_dedup(span_docs, window=3, min_df=2, broadcast_frequent=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
