@@ -192,12 +192,13 @@ def compact_index(
 ) -> DataFrame:
     """Compact an append-only delta-dedup index into a fresh bucketed table.
 
-    The five probe-shaped incremental families append per batch forever
+    The probe-shaped incremental families append per batch forever
     (``build_lsh_band_index`` / ``build_simhash_band_index`` /
-    ``build_exact_hash_index`` / ``build_embedding_bucket_index`` rows, and
-    ``build_line_frequency_index`` partial counts): at daily cadence the
-    index accumulates one small file per bucket per batch plus dead rows
-    for purged documents.  This rewrites it as ONE file per bucket with
+    ``build_exact_hash_index`` / ``build_embedding_bucket_index`` /
+    ``build_ivf_index`` assignment rows, and ``build_line_frequency_index``
+    / ``build_window_frequency_index`` partial counts): at daily cadence
+    the index accumulates one small file per bucket per batch plus dead
+    rows for purged documents.  This rewrites it as ONE file per bucket with
 
       * tombstoned ids dropped — pass the purge set (e.g. the non-canonical
         ids from ``deduplicate_corpus``) accumulated since the last

@@ -259,3 +259,61 @@ def test_compact_index_line_frequency_merges_partials(spark, documents, tmp_path
     finally:
         spark.sql("DROP TABLE IF EXISTS t_lf_v1")
         spark.sql("DROP TABLE IF EXISTS t_lf_v2")
+
+
+def test_compact_index_window_frequency_merges_partials(spark, documents, tmp_path):
+    """Window-frequency (span dedup) compaction: per-batch occurrence
+    counts merge to one row per window, the window-size stamp survives,
+    and span_dedup_incremental over the compacted index is bit-equal."""
+    from literature_to_facts_spark.datapipe.storage import (
+        compact_index,
+        write_bucketed,
+    )
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_window_frequency_index,
+        span_dedup_incremental,
+    )
+
+    docs = documents.select("doc_id", "text").where(F.col("text").isNotNull())
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    try:
+        write_bucketed(
+            build_window_frequency_index(b0, window=4),
+            "t_wf_v1", "win_key", 4, path=str(tmp_path / "wf1"),
+        )
+        write_bucketed(
+            build_window_frequency_index(b1, window=4),
+            "t_wf_v1", "win_key", 4, path=str(tmp_path / "wf1"), mode="append",
+        )
+        compacted = compact_index(
+            spark, "t_wf_v1", "t_wf_v2", "win_key", 4,
+            sum_cols=("cnt",), path=str(tmp_path / "wf2"),
+        )
+        assert compacted.groupBy("win_key").count().where("count > 1").count() == 0
+        tot = lambda t: {
+            r["win_key"]: r["s"]
+            for r in spark.table(t).groupBy("win_key")
+            .agg(F.sum("cnt").alias("s")).collect()
+        }
+        assert tot("t_wf_v2") == tot("t_wf_v1")
+        assert spark.table("t_wf_v2").schema["win_key"].metadata.get(
+            "l2f_span_window"
+        ) == 4
+        with pytest.raises(ValueError, match="window=4"):
+            span_dedup_incremental(b2, spark.table("t_wf_v2"), window=5).collect()
+        k = lambda rows: sorted(map(tuple, rows))
+        reg1, reg2 = [], []
+        out_v2 = span_dedup_incremental(
+            b2, spark.table("t_wf_v2"), window=4, cache_registry=reg2
+        ).collect()
+        out_v1 = span_dedup_incremental(
+            b2, spark.table("t_wf_v1"), window=4, cache_registry=reg1
+        ).collect()
+        for df_ in reg1 + reg2:
+            df_.unpersist()
+        assert k(out_v2) == k(out_v1) and len(out_v2) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_wf_v1")
+        spark.sql("DROP TABLE IF EXISTS t_wf_v2")
