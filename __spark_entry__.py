@@ -1411,6 +1411,28 @@ def q_text_span_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_sample_pack_sequences(spark, sf_dir):
+    """Sequence packing (datapipe/sampling.pack_sequences — the GPT-style
+    concat-and-split pretraining layout): each document's exclusive token
+    prefix-sum in the canonical hash order, mapped to fixed-length training
+    sequences.  The distributed two-phase cumsum (per-bucket windows over
+    contiguous hash ranges + an n_buckets-row base-offset window) replaces
+    the serialize-everything global window; the oracle recomputes with a
+    plain global window — equality proves the decomposition exact."""
+    from literature_to_facts_spark.datapipe.sampling import pack_sequences
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    out = pack_sequences(docs, seq_len=512, n_buckets=8)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_toks",
+        "global_start",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col("seq_end").cast("bigint").alias("seq_end"),
+        "seq_offset",
+    )
+
+
 def q_source_quality_stats(spark, sf_dir):
     """Host/source-level curation (datapipe/textstats.source_stats — the
     RefinedWeb/Dolma domain-filter stage): per-source doc counts, corpus
@@ -1741,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_dedup_incremental": q_text_span_dedup_incremental,
         "text_quality_clf": q_text_quality_clf,
         "source_quality_stats": q_source_quality_stats,
+        "sample_pack_sequences": q_sample_pack_sequences,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "kg_triples_delta": q_kg_triples_delta,
         "text_blocklist_filter": q_text_blocklist_filter,
@@ -2270,6 +2293,39 @@ def _line_dedup_oracle(restrict: str | None = None) -> str:
         FROM keyed k LEFT JOIN freq f ON k.key_e = f.fkey
         GROUP BY k.doc_id
         {where}
+    """
+
+
+def _pack_sequences_oracle(seq_len: int = 512) -> str:
+    """DuckDB recomputation of pack_sequences with a PLAIN GLOBAL window
+    over the same canonical order — matching the Spark side's bucketed
+    two-phase cumsum proves the decomposition exact.  Integer division
+    throughout (prefix sums are corpus-total-token-sized; double division
+    is only exact to 2^53)."""
+    h = _H1.format(x="CAST(doc_id AS VARCHAR)")
+    sl = int(seq_len)
+    return f"""
+        WITH t AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS BIGINT) AS n,
+                 {h} AS h
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT doc_id, n,
+                 SUM(n) OVER (ORDER BY h ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                   AS gs
+          FROM t
+        )
+        SELECT doc_id,
+               n AS n_toks,
+               gs AS global_start,
+               gs // {sl} AS seq_id,
+               (gs + greatest(n - 1, 0)) // {sl} AS seq_end,
+               gs % {sl} AS seq_offset
+        FROM c
     """
 
 
@@ -3288,6 +3344,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_quality_clf": _quality_clf_oracle(),
         "source_quality_stats": _source_stats_oracle(),
+        "sample_pack_sequences": _pack_sequences_oracle(),
         "text_pii_redact": _pii_oracle(),
         "sample_mixture_weights": _mixture_weights_oracle(),
         "sample_mixture_temperature": f"""

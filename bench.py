@@ -116,6 +116,7 @@ HEADLINE = [
     "emb_ann_ivf_incremental",
     "text_span_dedup_incremental",
     "source_quality_stats",
+    "sample_pack_sequences",
 ]
 
 

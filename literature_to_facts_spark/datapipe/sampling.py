@@ -369,3 +369,89 @@ def sample_by_temperature(
         .drop("_frac_micro")
         .select(*docs.columns)
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Assign documents to fixed-length training sequences (the GPT-style
+    pretraining layout: concatenate documents in a deterministic order and
+    split the token stream every ``seq_len`` tokens, documents crossing
+    boundaries).  Per non-NULL-text document:
+
+    ``(id_col, n_toks, global_start, seq_id, seq_end, seq_offset)`` where
+    ``global_start`` is the document's exclusive prefix-sum of whitespace
+    token counts in the canonical order (portable md5 hash of the id, then
+    id — a deterministic corpus shuffle, so adjacent sequences mix
+    sources), ``seq_id = global_start div seq_len``, ``seq_end`` the
+    sequence containing the document's last token (== seq_id when the doc
+    fits in one sequence; empty docs take seq_end = seq_id), and
+    ``seq_offset = global_start mod seq_len``.
+
+    Scale shape (the distributed global-cumsum pattern): a single global
+    window (``ORDER BY`` with no partition) would serialize the corpus
+    through one task.  Instead the hash order is split into ``n_buckets``
+    contiguous ranges (top bits of the 52-bit hash — range, not mod, so
+    bucket order IS hash order), the cumsum runs per-bucket in parallel
+    (one Exchange on the bucket key), and each bucket's base offset comes
+    from a window over the n_buckets-row per-bucket totals — tiny by
+    construction — broadcast-joined back.  Every output column is integer
+    arithmetic on exact token counts: bit-portable, fully oracle-able.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    nb = int(n_buckets)
+    if nb < 1 or nb > (1 << 20):
+        raise ValueError(f"n_buckets must be in [1, 2^20], got {n_buckets}")
+    toks = f"size(filter(split({text_col}, ' '), t -> t != ''))"
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.expr(toks).cast("bigint").alias("n_toks"),
+        _h52(id_col).alias("_h"),
+    )
+    # contiguous hash ranges: bucket = top bits -> (bucket asc, _h asc, _id
+    # asc) is exactly (_h asc, _id asc) globally.  Shift, not divide: 2^52
+    # / nb truncation with a non-power-of-two nb would still be ORDERED, but
+    # the shift keeps the expression ANSI-overflow-free and obviously so.
+    bucketed = base.withColumn(
+        "_b", F.shiftrightunsigned(F.col("_h"), 52 - nb.bit_length() + 1)
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(F.asc("_h"), F.asc("_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("_cum", F.sum("n_toks").over(w_in))
+    totals = bucketed.groupBy("_b").agg(F.sum("n_toks").alias("_tot"))
+    w_b = (
+        Window.orderBy(F.asc("_b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "_base", F.sum("_tot").over(w_b) - F.col("_tot")
+    ).select("_b", "_base")
+    sl = int(seq_len)
+    return (
+        within.join(F.broadcast(offsets), on="_b")
+        .withColumn("global_start", F.col("_base") + F.col("_cum") - F.col("n_toks"))
+        # integer `div`, not floor(x / y): double division is only exact up
+        # to 2^53 and the prefix sums here are corpus-total-token-sized
+        .withColumn("seq_id", F.expr(f"global_start div {sl}"))
+        .withColumn(
+            "seq_end",
+            F.expr(f"(global_start + greatest(n_toks - 1, 0L)) div {sl}"),
+        )
+        .withColumn("seq_offset", F.col("global_start") % F.lit(sl))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_toks",
+            "global_start",
+            "seq_id",
+            "seq_end",
+            "seq_offset",
+        )
+    )

@@ -1936,3 +1936,43 @@ def test_source_stats_and_filter(spark):
     # explicit total_docs skips the window (no Window node in the plan)
     p2 = source_stats(docs, total_docs=10)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in p2
+
+
+def test_pack_sequences_semantics(spark):
+    """Global concat-and-split layout: starts are the exclusive prefix sums
+    of token counts in (hash, id) order; results are INDEPENDENT of the
+    bucket decomposition (n_buckets=1 == 64 == the global window); boundary
+    spans and empty docs are mapped correctly."""
+    from literature_to_facts_spark.datapipe.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (3 + i % 5))) for i in range(40)]
+        + [(100, ""), (101, None)],
+        ["doc_id", "text"],
+    )
+    out = pack_sequences(docs, seq_len=10, n_buckets=4).collect()
+    assert len(out) == 41                      # NULL text excluded, '' kept
+    rows = sorted(out, key=lambda r: r["global_start"])
+    pos = 0
+    for r in rows:
+        assert r["global_start"] == pos
+        assert r["seq_id"] == pos // 10
+        last = pos + max(r["n_toks"] - 1, 0)
+        assert r["seq_end"] == last // 10
+        assert r["seq_offset"] == pos % 10
+        pos += r["n_toks"]
+    # a doc with n_toks > seq_len must span sequences
+    assert any(r["seq_end"] > r["seq_id"] for r in rows)
+    # empty doc: zero tokens, seq_end == seq_id
+    empty = next(r for r in out if r["doc_id"] == 100)
+    assert empty["n_toks"] == 0 and empty["seq_end"] == empty["seq_id"]
+
+    for nb in (1, 64):
+        same = pack_sequences(docs, seq_len=10, n_buckets=nb).collect()
+        assert sorted(map(tuple, same)) == sorted(map(tuple, out))
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="seq_len"):
+        pack_sequences(docs, seq_len=0)
+    with _pt.raises(ValueError, match="n_buckets"):
+        pack_sequences(docs, n_buckets=0)
