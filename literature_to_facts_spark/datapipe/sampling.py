@@ -377,6 +377,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 256,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-length training sequences (the GPT-style
     pretraining layout: concatenate documents in a deterministic order and
@@ -399,8 +400,14 @@ def pack_sequences(
     bucket order IS hash order), the cumsum runs per-bucket in parallel
     (one Exchange on the bucket key), and each bucket's base offset comes
     from a window over the n_buckets-row per-bucket totals — tiny by
-    construction — broadcast-joined back.  Every output column is integer
-    arithmetic on exact token counts: bit-portable, fully oracle-able.
+    construction — broadcast-joined back.  The narrow (id, two longs)
+    token-count frame is PERSISTED: it feeds two consumers (the cumsum
+    window and the per-bucket totals), and without the persist each one
+    re-reads the corpus and re-tokenizes with the interpreted HOF — the
+    dominant cost paid twice (Spark does not exchange-reuse across the
+    consumers).  Pass ``cache_registry`` to unpersist in long-lived
+    sessions.  Every output column is integer arithmetic on exact token
+    counts: bit-portable, fully oracle-able.
     """
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
@@ -419,7 +426,9 @@ def pack_sequences(
     # the shift keeps the expression ANSI-overflow-free and obviously so.
     bucketed = base.withColumn(
         "_b", F.shiftrightunsigned(F.col("_h"), 52 - nb.bit_length() + 1)
-    )
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(bucketed)
     w_in = (
         Window.partitionBy("_b")
         .orderBy(F.asc("_h"), F.asc("_id"))

@@ -331,6 +331,7 @@ _RESERVED_SPAN_COLS = frozenset(
         "_ntok",
         "_toks",
         "_wins",
+        "_w",
         "_pos",
         "_wkey",
         "_fkey",

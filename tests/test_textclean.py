@@ -902,3 +902,14 @@ def test_span_dedup_broadcast_frequent_matches(spark, span_docs):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_span_dedup_reserved_internal_explode_alias(spark, span_docs):
+    """the '_w' explode alias is part of the loud-rejection contract (a
+    carried '_w' would otherwise surface as an ambiguous-column error)."""
+    from literature_to_facts_spark.datapipe.textclean import span_dedup
+
+    with pytest.raises(ValueError, match="collide"):
+        span_dedup(
+            span_docs.withColumn("_w", F.lit(1)), window=3, carry_cols=("_w",)
+        )
