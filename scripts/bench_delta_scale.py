@@ -59,6 +59,12 @@ from literature_to_facts_spark.datapipe.similarity import (  # noqa: E402
     embedding_near_dup_pairs_incremental,
 )
 from literature_to_facts_spark.datapipe.storage import write_bucketed  # noqa: E402
+from literature_to_facts_spark.datapipe.textclean import (  # noqa: E402
+    _span_aggregate,
+    _span_instances,
+    build_window_frequency_index,
+    span_dedup_incremental,
+)
 from literature_to_facts_spark.sources.corpus import (  # noqa: E402
     build_scale_documents,
     build_scale_embeddings,
@@ -72,6 +78,7 @@ OFFSET = 10_000_000  # default batch-id offset; run() raises it to stay
 MINHASH = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5, max_bucket=1000)
 SIMHASH = dict(max_hamming=8, max_bucket=1000)
 EMBED = dict(n_planes=16, threshold=0.9, dim=64, max_bucket=1000)
+SPAN = dict(window=8, min_df=2)
 # n_planes is the embedding family's SCALE KNOB: avg bucket population is
 # n_history / 2^n_planes, and the candidate-verify cost in EITHER shape is
 # O(batch x avg bucket).  An operational deployment grows n_planes with the
@@ -159,6 +166,21 @@ def union_simhash(all_index, *, max_hamming, max_bucket):
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def union_span(all_idx, batch_docs, *, window, min_df):
+    """Round-4 shape for the span family: the FULL (old + new) window index
+    re-grouped per batch (the whole history flows through an Exchange), the
+    corpus-sized frequent set shuffle-joined against the batch instances."""
+    freq = (
+        all_idx.groupBy("win_key")
+        .agg(F.sum("cnt").alias("c"))
+        .where(F.col("c") >= min_df)
+        .select(F.col("win_key").alias("_fkey"))
+    )
+    inst = _span_instances(batch_docs, "doc_id", "text", window)
+    flagged = inst.join(freq, inst["_wkey"] == F.col("_fkey"), "left")
+    return _span_aggregate(flagged, "doc_id", window)
 
 
 def union_embedding(all_index, vecs_all, *, threshold, max_bucket):
@@ -250,6 +272,12 @@ def _pairs_key(df):
     return sorted((r[0], r[1]) for r in df.select("id_a", "id_b").collect())
 
 
+def _span_key(df):
+    return sorted(
+        map(tuple, df.select("doc_id", "n_tokens", "n_dup_windows", "dup_tokens").collect())
+    )
+
+
 def run(args):
     from literature_to_facts_spark.config import get_spark
 
@@ -281,7 +309,7 @@ def run(args):
     if args.emb_planes is not None:
         EMBED["n_planes"] = int(args.emb_planes)
     fam_filter = set(args.families.split(","))
-    known = {"minhash", "simhash", "embedding"}
+    known = {"minhash", "simhash", "embedding", "span"}
     if not fam_filter <= known:
         raise SystemExit(f"unknown families {sorted(fam_filter - known)}; "
                          f"choose from {sorted(known)}")
@@ -294,7 +322,7 @@ def run(args):
         "families": {},
     }
 
-    need_docs = bool(fam_filter & {"minhash", "simhash"})
+    need_docs = bool(fam_filter & {"minhash", "simhash", "span"})
     need_vecs = "embedding" in fam_filter
 
     # ---- corpora (deterministic, Spark-side; written to parquet so every
@@ -346,8 +374,13 @@ def run(args):
     # ---- persisted history indexes (bucketed catalog tables — the probe
     # shape's zero-Exchange property needs the bucket metadata)
     t0 = time.monotonic()
-    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx"):
+    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if "span" in fam_filter:
+        write_bucketed(
+            build_window_frequency_index(docs, window=SPAN["window"]),
+            "ab_sp_idx", "win_key", 32, path=f"{wd}/sp_idx",
+        )
     if "minhash" in fam_filter:
         write_bucketed(
             build_lsh_band_index(
@@ -440,10 +473,30 @@ def run(args):
             max_bucket=EMBED["max_bucket"],
         ).count()
 
+    def probe_sp():
+        reg = []
+        out = span_dedup_incremental(
+            batch, spark.table("ab_sp_idx"), window=SPAN["window"],
+            min_df=SPAN["min_df"], cache_registry=reg,
+        )
+        c = out.count()
+        for df in reg:
+            df.unpersist()
+        return c
+
+    def union_sp():
+        all_idx = spark.table("ab_sp_idx").unionByName(
+            build_window_frequency_index(batch, window=SPAN["window"])
+        )
+        return union_span(
+            all_idx, batch, window=SPAN["window"], min_df=SPAN["min_df"]
+        ).count()
+
     fams = {
         "minhash": (probe_mh, union_mh),
         "simhash": (probe_sh, union_sh),
         "embedding": (probe_em, union_em),
+        "span": (probe_sp, union_sp),
     }
     fams = {k: v for k, v in fams.items() if k in fam_filter}
     for fam, (probe_fn, union_fn) in fams.items():
@@ -479,6 +532,17 @@ def run(args):
                 max_hamming=SIMHASH["max_hamming"],
                 max_bucket=SIMHASH["max_bucket"],
             )
+        elif fam == "span":
+            probe_df = span_dedup_incremental(
+                batch, spark.table("ab_sp_idx"), window=SPAN["window"],
+                min_df=SPAN["min_df"], cache_registry=reg,
+            )
+            union_df = union_span(
+                spark.table("ab_sp_idx").unionByName(
+                    build_window_frequency_index(batch, window=SPAN["window"])
+                ),
+                batch, window=SPAN["window"], min_df=SPAN["min_df"],
+            )
         else:
             probe_df = embedding_near_dup_pairs_incremental(
                 vbatch, vecs, old_index=spark.table("ab_em_idx"),
@@ -495,7 +559,8 @@ def run(args):
                 vecs_all, threshold=EMBED["threshold"],
                 max_bucket=EMBED["max_bucket"],
             )
-        pk, uk = _pairs_key(probe_df), _pairs_key(union_df)
+        key_fn = _span_key if fam == "span" else _pairs_key
+        pk, uk = key_fn(probe_df), key_fn(union_df)
         for df in reg:
             df.unpersist()
         parity = pk == uk
@@ -535,7 +600,7 @@ def run(args):
             json.dump(result, f, indent=1)
         print("wrote", out_path)
     print(json.dumps(result))
-    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx"):
+    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return 0 if all(f["parity_ok"] for f in result["families"].values()) else 1
 
@@ -551,5 +616,5 @@ if __name__ == "__main__":
     ap.add_argument("--emb-planes", type=int, default=None,
                     help="override EMBED n_planes (operational sizing: "
                     "~log2(n_history) + 1 keeps buckets O(1))")
-    ap.add_argument("--families", default="minhash,simhash,embedding")
+    ap.add_argument("--families", default="minhash,simhash,embedding,span")
     sys.exit(run(ap.parse_args()))
