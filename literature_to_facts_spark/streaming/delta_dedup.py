@@ -330,3 +330,64 @@ def stream_near_dup_pairs(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_span_clean_batch_fn(
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_df: int = 2,
+):
+    """``foreachBatch`` function for STREAMING duplicated-substring cleaning
+    (the span-dedup delta family as a micro-batch pipeline): each batch's
+    documents are scored against the accumulated window-frequency state
+    (``datapipe.textclean.span_dedup_incremental``), the per-doc coverage
+    rows land in ``<state_dir>/clean/_batch=<id>`` and the batch's own
+    window counts append to ``<state_dir>/win_index/_batch=<id>`` — the
+    same idempotent ``_batch=``-keyed replay contract as the MinHash
+    stream.
+
+    The index rows carry a ``src_batch`` column: per-batch counts for the
+    SAME window are separate rows that a full-row ``distinct()`` must not
+    collapse (cnt=1 rows for one window across two batches are otherwise
+    identical), which is exactly what makes :func:`compact_stream_state`'s
+    distinct-merge — crash-healing by idempotence — valid for this store
+    too: ``compact_stream_state(spark, state_dir, upto,
+    stores=("win_index",))``.  Probes SUM counts, so the extra column and
+    the row layout are transparent to them."""
+    win_root = os.path.join(state_dir, "win_index")
+    clean_root = os.path.join(state_dir, "clean")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from literature_to_facts_spark.datapipe.textclean import (
+            build_window_frequency_index,
+            span_dedup_incremental,
+        )
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        old_index = _read_state(spark, win_root, batch_id)
+        cached: list = []
+        cleaned = span_dedup_incremental(
+            batch, old_index, id_col, text_col, window, min_df,
+            cache_registry=cached,
+        )
+        try:
+            # clean output first: a crash before the index write replays
+            # the batch and overwrites both dirs (idempotent)
+            cleaned.write.mode("overwrite").parquet(
+                os.path.join(clean_root, f"_batch={batch_id}")
+            )
+            build_window_frequency_index(
+                batch, id_col, text_col, window
+            ).withColumn(
+                "src_batch", F.lit(int(batch_id)).cast("bigint")
+            ).write.mode("overwrite").parquet(
+                os.path.join(win_root, f"_batch={batch_id}")
+            )
+        finally:
+            for df in cached:
+                df.unpersist()
+
+    return process

@@ -554,3 +554,68 @@ def test_stream_state_compaction(spark, tmp_path):
         for r in spark.read.parquet(f"{tmp_path}/s1/band_index").drop("_batch").collect()
     )
     assert after == before
+
+
+def test_streaming_span_clean(spark, tmp_path):
+    """Streaming span dedup: per-micro-batch cleaning equals the batch
+    delta contract (full span_dedup over everything-so-far restricted to
+    the batch), replay is idempotent, and the distinct-merge compaction is
+    count-safe because per-batch index rows carry src_batch."""
+    from literature_to_facts_spark.datapipe.textclean import span_dedup
+    from literature_to_facts_spark.streaming.delta_dedup import (
+        compact_stream_state,
+        make_span_clean_batch_fn,
+    )
+
+    texts = {
+        1: "a b c d e f",
+        2: "x a b c d y",
+        3: "a b c q r s",          # 'a b c' recurs across batches
+        4: "q r s t u v",
+        5: "a b c d e z",
+    }
+    mk = lambda ids: spark.createDataFrame(
+        [(i, texts[i]) for i in ids], ["doc_id", "text"]
+    )
+    state = str(tmp_path / "span_state")
+    fn = make_span_clean_batch_fn(state, window=3, min_df=2)
+    batches = [[1, 2], [3, 4], [5]]
+    for bid, ids in enumerate(batches):
+        fn(mk(ids), bid)
+
+    def cleaned(bid):
+        return sorted(
+            map(tuple, spark.read.parquet(f"{state}/clean/_batch={bid}")
+                .select("doc_id", "n_dup_windows", "dup_tokens").collect())
+        )
+
+    def expected(bid):
+        seen = [i for b in batches[: bid + 1] for i in b]
+        full = span_dedup(mk(seen), window=3, min_df=2)
+        return sorted(
+            map(tuple, full.where(F.col("doc_id").isin(batches[bid]))
+                .select("doc_id", "n_dup_windows", "dup_tokens").collect())
+        )
+
+    for bid in range(3):
+        assert cleaned(bid) == expected(bid), f"batch {bid}"
+
+    # replay of the last batch is idempotent
+    before = cleaned(2)
+    fn(mk(batches[2]), 2)
+    assert cleaned(2) == before
+
+    # compaction: merge batches 0..1, then a NEW batch sees identical state
+    out = compact_stream_state(spark, state, upto_batch=1, stores=("win_index",))
+    assert out["win_index"] == 2
+    # total counts preserved through the distinct-merge (src_batch keeps
+    # equal (win_key, cnt) rows from different batches distinct)
+    tot = (
+        spark.read.option("basePath", f"{state}/win_index")
+        .parquet(f"{state}/win_index/_batch=*")
+        .groupBy().sum("cnt").collect()[0][0]
+    )
+    exp_tot = sum(len(texts[i].split()) - 2 for b in batches for i in b)
+    assert tot == exp_tot
+    fn(mk(batches[2]), 2)          # re-clean batch 2 over compacted state
+    assert cleaned(2) == before
