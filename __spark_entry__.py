@@ -1697,6 +1697,204 @@ def _multimodal_oracle_sql() -> str:
     return f"SELECT * FROM (VALUES {', '.join(rows)}) AS t({cols})"
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization lane (datapipe/urls.py) — the crawl-pipeline stage
+# that precedes every text-level operator.  The fixture synthesizes URLs
+# deterministically from (doc_id, source, lang) with ONE `||`-concatenation
+# template both engines evaluate identically (NULL-propagating concat on
+# both sides per the repo's oracle-NULL-parity rule); {id}/{blk} are the
+# engine-specific string casts of doc_id and its 7-block start.  The seven
+# branches cover: ccSLD host + default https port + tracking params +
+# fragment (0); default http port with a block-keyed id param (1) that
+# NORMALIZES EQUAL to its portless twin (3) — the url_dedup collision pair;
+# userinfo + non-default port + empty-valued and uppercase-UTM params (2);
+# empty path (4); an invalid non-URL (5); NULL (6).
+# ---------------------------------------------------------------------------
+
+_URL_FIXTURE_TMPL = (
+    "CASE doc_id % 7"
+    " WHEN 0 THEN 'HTTPS://WWW.' || upper(source)"
+    "   || '.Example.CO.UK:443/News/' || lang"
+    "   || '/item?utm_source=feed&b=2&a=1&fbclid=xyz#top'"
+    " WHEN 1 THEN 'http://b' || {blk} || '.example.com:80/a/b/c?id=' || {blk}"
+    " WHEN 2 THEN 'https://user:pw@' || source"
+    "   || '.example.org:8443/dl%20x/?z=9&y=&UTM_CAMPAIGN=q'"
+    " WHEN 3 THEN 'http://b' || {blk} || '.example.com/a/b/c?id=' || {blk}"
+    " WHEN 4 THEN 'ftp://files.' || source || '.net'"
+    " WHEN 5 THEN 'not-a-url-' || {id}"
+    " ELSE NULL END"
+)
+_URL_FIXTURE_SPARK = _URL_FIXTURE_TMPL.format(
+    id="cast(doc_id as string)", blk="cast(doc_id - doc_id % 7 as string)"
+)
+_URL_FIXTURE_DUCK = _URL_FIXTURE_TMPL.format(
+    id="cast(doc_id as varchar)", blk="cast(doc_id - doc_id % 7 as varchar)"
+)
+
+
+def _url_docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_URL_FIXTURE_SPARK} AS url"
+    )
+
+
+def q_url_parts(spark, sf_dir):
+    """URL decomposition (datapipe/urls.with_url_parts): scheme/host/port/
+    path/query/registered_domain/path_depth over the synthesized crawl-URL
+    fixture — pure per-row regex battery, zero shuffle.  The reference keys
+    documents per url (facts/core.py:121); this is the typed-parts stage a
+    web-scale corpus needs before host-level curation."""
+    from literature_to_facts_spark.datapipe.urls import with_url_parts
+
+    out = with_url_parts(_url_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "url",
+        "scheme",
+        "host",
+        "port",
+        "path",
+        F.col("query").alias("url_query"),
+        "registered_domain",
+        "path_depth",
+        "is_valid_url",
+    )
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (datapipe/urls.url_normalize): lowercase
+    scheme+host, strip default ports and fragments, drop tracking params,
+    sort the survivors — the page-identity key for crawl-level dedup."""
+    from literature_to_facts_spark.datapipe.urls import url_normalize
+
+    out = url_normalize(_url_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "url", "url_norm"
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """Exact URL-level dedup (datapipe/urls.url_dedup): one row per
+    normalized url with representative id + member count.  The fixture's
+    branch-1/branch-3 pairs (same 7-block) differ only by an explicit
+    default port, so every block contributes one n_docs=2 group — the
+    tracking-variant collapse this stage exists for.  One partial-agg'd
+    groupBy Exchange."""
+    from literature_to_facts_spark.datapipe.urls import url_dedup
+
+    return url_dedup(_url_docs(spark, sf_dir)).select(
+        "url_norm",
+        F.col("rep_id").cast("bigint").alias("rep_id"),
+        "n_docs",
+    )
+
+
+def _duck_url_group(i: int, src: str = "url") -> str:
+    from literature_to_facts_spark.datapipe.urls import URL_PATTERN
+
+    return f"regexp_extract({src}, '{URL_PATTERN}', {i})"
+
+
+def _url_parts_oracle() -> str:
+    """DuckDB recomputation of with_url_parts over the same fixture —
+    regex and second-level-TLD set interpolated from datapipe.urls, so
+    operator edits propagate."""
+    from literature_to_facts_spark.datapipe.urls import SECOND_LEVEL_TLDS
+
+    slds = ", ".join(f"'{s}'" for s in SECOND_LEVEL_TLDS)
+    g = _duck_url_group
+    return f"""
+        WITH u AS (
+          SELECT doc_id, {_URL_FIXTURE_DUCK} AS url FROM documents
+        ),
+        p AS (
+          SELECT doc_id, url,
+                 (url IS NOT NULL AND {g(2)} <> '') AS ok,
+                 {g(1)} AS g1, {g(2)} AS g2, {g(3)} AS g3,
+                 {g(4)} AS g4, {g(5)} AS g5
+          FROM u
+        ),
+        h AS (
+          SELECT *, CASE WHEN ok THEN lower(g2) END AS host,
+                 CASE WHEN ok THEN string_split(lower(g2), '.') END AS labs
+          FROM p
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
+               CASE WHEN ok THEN lower(g1) END AS scheme,
+               host,
+               CASE WHEN ok AND g3 <> '' THEN TRY_CAST(g3 AS BIGINT) END AS port,
+               CASE WHEN ok THEN g4 END AS path,
+               CASE WHEN ok THEN g5 END AS url_query,
+               CASE WHEN NOT ok THEN NULL
+                    WHEN len(labs) <= 2 THEN host
+                    WHEN (labs[-2] || '.' || labs[-1]) IN ({slds})
+                      THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]
+                    ELSE labs[-2] || '.' || labs[-1] END AS registered_domain,
+               CASE WHEN ok THEN CAST(len(list_filter(
+                    string_split(g4, '/'), s -> s <> '')) AS BIGINT)
+                    END AS path_depth,
+               CASE WHEN url IS NULL THEN NULL ELSE ok END AS is_valid_url
+        FROM h
+    """
+
+
+def _duck_url_norm(src: str = "url") -> str:
+    """DuckDB expression block computing url_norm from ``src`` — shared by
+    the normalize and dedup oracles; tracking-param set interpolated from
+    datapipe.urls."""
+    from literature_to_facts_spark.datapipe.urls import (
+        TRACKING_PARAM_PREFIX,
+        TRACKING_PARAMS,
+    )
+
+    g = lambda i: _duck_url_group(i, src)  # noqa: E731
+    names = ", ".join(f"'{t}'" for t in TRACKING_PARAMS)
+    pref = TRACKING_PARAM_PREFIX
+    params = (
+        f"list_sort(list_filter(string_split({g(5)}, '&'), p -> p <> '' "
+        f"AND NOT (substr(lower(split_part(p, '=', 1)), 1, {len(pref)}) = '{pref}' "
+        f"OR lower(split_part(p, '=', 1)) IN ({names}))))"
+    )
+    return f"""
+        CASE WHEN {src} IS NULL OR {g(2)} = '' THEN NULL ELSE
+          lower({g(1)}) || '://' || lower({g(2)})
+          || CASE WHEN {g(3)} = ''
+                    OR (lower({g(1)}) = 'http' AND {g(3)} = '80')
+                    OR (lower({g(1)}) = 'https' AND {g(3)} = '443')
+               THEN '' ELSE ':' || {g(3)} END
+          || CASE WHEN {g(4)} = '' THEN '/' ELSE {g(4)} END
+          || CASE WHEN len({params}) > 0
+               THEN '?' || array_to_string({params}, '&') ELSE '' END
+        END
+    """
+
+
+def _url_normalize_oracle() -> str:
+    return f"""
+        WITH u AS (
+          SELECT doc_id, {_URL_FIXTURE_DUCK} AS url FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
+               {_duck_url_norm()} AS url_norm
+        FROM u
+    """
+
+
+def _url_dedup_oracle() -> str:
+    return f"""
+        WITH u AS (
+          SELECT doc_id, {_URL_FIXTURE_DUCK} AS url FROM documents
+        ),
+        n AS (
+          SELECT doc_id, {_duck_url_norm()} AS url_norm FROM u
+        )
+        SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS rep_id,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM n WHERE url_norm IS NOT NULL
+        GROUP BY url_norm
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_melt": q_kg_triples_melt,
@@ -1772,6 +1970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_mixture_temperature": q_sample_mixture_temperature,
         "multimodal_features": q_multimodal_features,
+        "url_parts": q_url_parts,
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -3358,5 +3559,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_H1.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000 < fr.t
         """,
         "multimodal_features": _multimodal_oracle_sql(),
+        "url_parts": _url_parts_oracle(),
+        "url_normalize": _url_normalize_oracle(),
+        "url_dedup": _url_dedup_oracle(),
         "text_lang_trigram": _lang_trigram_oracle_sql(),
     }

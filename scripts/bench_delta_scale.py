@@ -473,13 +473,23 @@ def run(args):
             max_bucket=EMBED["max_bucket"],
         ).count()
 
+    # span consumers must aggregate the COVERAGE columns, not count(): the
+    # frequent-set join is a LEFT join with a unique right key, so under a
+    # bare count() Catalyst's join elimination deletes the entire history
+    # subtree and both shapes measure nothing (r6 fix; the other families
+    # count inner-join pair frames, which cannot be eliminated)
+    def _force_span(out):
+        return out.agg(
+            F.sum("n_dup_windows").alias("a"), F.sum("dup_tokens").alias("b")
+        ).collect()[0]
+
     def probe_sp():
         reg = []
         out = span_dedup_incremental(
             batch, spark.table("ab_sp_idx"), window=SPAN["window"],
             min_df=SPAN["min_df"], cache_registry=reg,
         )
-        c = out.count()
+        c = _force_span(out)
         for df in reg:
             df.unpersist()
         return c
@@ -488,9 +498,11 @@ def run(args):
         all_idx = spark.table("ab_sp_idx").unionByName(
             build_window_frequency_index(batch, window=SPAN["window"])
         )
-        return union_span(
-            all_idx, batch, window=SPAN["window"], min_df=SPAN["min_df"]
-        ).count()
+        return _force_span(
+            union_span(
+                all_idx, batch, window=SPAN["window"], min_df=SPAN["min_df"]
+            )
+        )
 
     fams = {
         "minhash": (probe_mh, union_mh),

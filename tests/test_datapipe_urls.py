@@ -1,0 +1,154 @@
+"""URL canonicalization operators (datapipe/urls.py).
+
+The contract queries in __spark_entry__ oracle the fixture corpus against
+DuckDB end-to-end; these tests pin the per-case semantics — RFC-ish part
+extraction, registered-domain suffix handling, tracking-param stripping,
+normalize idempotence and the dedup grouping — plus the loud collision
+guards.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from literature_to_facts_spark.datapipe.urls import (
+    url_dedup,
+    url_normalize,
+    with_url_parts,
+)
+
+
+def _parts(spark, url):
+    df = spark.createDataFrame([Row(doc_id=1, url=url)])
+    return with_url_parts(df).collect()[0]
+
+
+def _norm(spark, url):
+    df = spark.createDataFrame([Row(doc_id=1, url=url)])
+    return url_normalize(df).collect()[0]["url_norm"]
+
+
+def test_parts_full_url(spark):
+    r = _parts(
+        spark,
+        "HTTPS://User:Pw@WWW.BBC.CO.UK:8443/News/UK/item.html?a=1&b=2#frag",
+    )
+    assert r.scheme == "https"
+    assert r.host == "www.bbc.co.uk"
+    assert r.port == 8443
+    assert r.path == "/News/UK/item.html"  # path case preserved
+    assert r.query == "a=1&b=2"  # fragment dropped
+    assert r.registered_domain == "bbc.co.uk"  # ccSLD -> three labels
+    assert r.path_depth == 3
+    assert r.is_valid_url is True
+
+
+def test_parts_minimal_and_generic_tld(spark):
+    r = _parts(spark, "http://example.com")
+    assert (r.scheme, r.host, r.port, r.path, r.query) == (
+        "http", "example.com", None, "", ""
+    )
+    assert r.registered_domain == "example.com"
+    assert r.path_depth == 0
+    r = _parts(spark, "https://a.b.news.example.org/x")
+    assert r.registered_domain == "example.org"  # last two labels
+
+
+def test_parts_single_label_host(spark):
+    r = _parts(spark, "http://localhost:9000/x")
+    assert r.host == "localhost"
+    assert r.registered_domain == "localhost"
+    assert r.port == 9000
+
+
+def test_parts_invalid_and_null(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, url="not a url"), Row(doc_id=2, url=None)]
+    )
+    rows = {r.doc_id: r for r in with_url_parts(df).collect()}
+    assert rows[1].is_valid_url is False
+    assert rows[1].host is None and rows[1].path_depth is None
+    assert rows[2].is_valid_url is None
+    assert rows[2].host is None
+
+
+def test_parts_ipv6_out_of_scope(spark):
+    # documented limit: bracket hosts parse as invalid, never wrong
+    assert _parts(spark, "http://[::1]:8080/x").is_valid_url is False
+
+
+def test_parts_rejects_colliding_columns(spark):
+    df = spark.createDataFrame([Row(doc_id=1, url="http://a.com", host="x")])
+    with pytest.raises(ValueError, match="host"):
+        with_url_parts(df)
+
+
+def test_normalize_tracking_and_sorting(spark):
+    n = _norm(
+        spark,
+        "HTTP://Example.COM:80/a?utm_source=x&b=2&UTM_CAMPAIGN=y&a=1&fbclid=z#f",
+    )
+    assert n == "http://example.com/a?a=1&b=2"
+
+
+def test_normalize_default_vs_explicit_port(spark):
+    assert _norm(spark, "https://a.com:443/x") == "https://a.com/x"
+    assert _norm(spark, "https://a.com:8443/x") == "https://a.com:8443/x"
+    # default-port rule is scheme-aware: 443 on http is NOT default
+    assert _norm(spark, "http://a.com:443/x") == "http://a.com:443/x"
+
+
+def test_normalize_empty_path_userinfo_and_bare_names(spark):
+    assert _norm(spark, "http://u:p@A.com?Z=1&y=") == "http://a.com/?Z=1&y="
+    # bare param names (no '=') pass the tracking check by full name
+    assert _norm(spark, "http://a.com/?ref&x") == "http://a.com/?x"
+
+
+def test_normalize_invalid_null_and_idempotent(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="nope"),
+            Row(doc_id=2, url=None),
+            Row(doc_id=3, url="HTTPS://A.com:443/p?b=2&a=1&utm_x=1#z"),
+        ]
+    )
+    out = {r.doc_id: r.url_norm for r in url_normalize(df).collect()}
+    assert out[1] is None and out[2] is None
+    assert out[3] == "https://a.com/p?a=1&b=2"
+    # normalize(normalize(u)) == normalize(u)
+    df2 = spark.createDataFrame([Row(doc_id=3, url=out[3])])
+    assert url_normalize(df2).collect()[0]["url_norm"] == out[3]
+
+
+def test_normalize_output_collision_guard(spark):
+    df = spark.createDataFrame([Row(doc_id=1, url="http://a.com", url_norm="x")])
+    with pytest.raises(ValueError, match="url_norm"):
+        url_normalize(df)
+
+
+def test_url_dedup_groups_variants(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="http://A.com:80/p?b=2&a=1&utm_s=x"),
+            Row(doc_id=2, url="HTTP://a.com/p?a=1&b=2#frag"),
+            Row(doc_id=3, url="http://a.com/p?a=1"),
+            Row(doc_id=4, url="garbage"),
+            Row(doc_id=5, url=None),
+        ]
+    )
+    rows = {r.url_norm: r for r in url_dedup(df).collect()}
+    assert set(rows) == {"http://a.com/p?a=1&b=2", "http://a.com/p?a=1"}
+    dup = rows["http://a.com/p?a=1&b=2"]
+    assert (dup.rep_id, dup.n_docs) == (1, 2)
+    assert rows["http://a.com/p?a=1"].n_docs == 1
+
+
+def test_url_dedup_plan_partial_agg(spark):
+    """The one Exchange carries partially-aggregated rows (map-side
+    min/count before the shuffle) — the canonical exact-dedup plan."""
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "'http://a.com/' || cast(id % 10 as string) AS url"
+    )
+    plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    first_agg = plan.index("HashAggregate")
+    assert "Exchange" in plan[first_agg:], "expected partial agg before exchange"
