@@ -1789,6 +1789,181 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+_SEMDEDUP_PARAMS = dict(n_clusters=8, refine_iters=1, threshold=0.4, max_cluster=400)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """Semantic dedup (datapipe/similarity.semantic_dedup — SemDeDup):
+    fixed-point k-means clustering + intra-cluster exact-cosine pruning
+    with the min-id-representative rule; clusters above max_cluster are
+    excluded from pair generation and flagged.  Full SQL oracle — DuckDB
+    recomputes seeds, the Lloyd pass, assignment, sizes and the pruning
+    join end-to-end."""
+    from literature_to_facts_spark.datapipe.similarity import semantic_dedup
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    reg = []
+    out = semantic_dedup(emb, cache_registry=reg, **_SEMDEDUP_PARAMS)
+    out = out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        "n_cluster",
+        "capped",
+        # row-tuple sort safety (the gate sorts rows; None < int raises):
+        # NULL dup_of -> -1, is_dup still derives from the raw column
+        F.coalesce(F.col("dup_of").cast("bigint"), F.lit(-1)).alias("dup_of"),
+        "is_dup",
+    )
+    out._l2f_cache_registry = reg  # released by callers that materialize
+    return out
+
+
+def _semantic_dedup_oracle(
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    max_cluster: int = 400,
+    dim: int = 64,
+    train_restrict: str | None = None,
+    out_restrict: str | None = None,
+) -> str:
+    """Mirrors semantic_dedup end-to-end: the _ann_ivf_oracle head (seed +
+    one fixed-point Lloyd pass + assignment), then cluster sizes, the cap
+    flag and the min-lower-id pruning join.  ``train_restrict`` freezes
+    centroid training to a corpus subset and ``out_restrict`` keeps only
+    those rows (and their dup groups' b-side) — together they are the
+    incremental query's frozen-quantizer contract."""
+    h = _H1.format(x="CAST(vec_id AS VARCHAR)")
+    train_where = f"WHERE {train_restrict}" if train_restrict else ""
+    out_and = f"AND ({out_restrict.replace('vec_id', 'b.vec_id')})" if out_restrict else ""
+    out_where = f"WHERE {out_restrict.replace('vec_id', 's.vec_id')}" if out_restrict else ""
+    avgs = ", ".join(
+        f"FLOOR(SUM(CAST(FLOOR(e[{i + 1}] * 1000000.0 + 0.5) AS BIGINT))"
+        f" / COUNT(*) + 0.5) / 1000000.0 AS a{i}"
+        for i in range(dim)
+    )
+    relist = "[" + ", ".join(f"a{i}" for i in range(dim)) + "]"
+    return f"""
+            WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                              embedding::DOUBLE[] AS e
+                       FROM embeddings),
+            vt AS (SELECT * FROM v {train_where}),
+            seed AS (SELECT vec_id AS centroid_id, e AS ce FROM vt
+                     ORDER BY {h} ASC, vec_id ASC LIMIT {n_clusters}),
+            assign0 AS (
+              SELECT vec_id, e, centroid_id FROM (
+                SELECT v.vec_id, v.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY list_dot_product(v.e, c.ce) DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM vt v, seed c) WHERE rn = 1),
+            lmeans AS (SELECT centroid_id, {avgs}
+                       FROM assign0 GROUP BY centroid_id),
+            cent AS (SELECT centroid_id, {relist}::DOUBLE[] AS ce FROM lmeans),
+            assign AS (
+              SELECT vec_id, e, centroid_id FROM (
+                SELECT v.vec_id, v.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY list_dot_product(v.e, c.ce) DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, cent c) WHERE rn = 1),
+            sizes AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_cluster
+                      FROM assign GROUP BY centroid_id),
+            spine AS (SELECT a.vec_id, a.e, a.centroid_id, s.n_cluster,
+                             s.n_cluster > {max_cluster} AS capped
+                      FROM assign a JOIN sizes s USING (centroid_id)),
+            dups AS (
+              SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+              FROM spine a JOIN spine b USING (centroid_id)
+              WHERE NOT a.capped AND a.vec_id < b.vec_id {out_and}
+                AND ROUND(list_dot_product(a.e, b.e) /
+                      (sqrt(list_dot_product(a.e, a.e)) *
+                       sqrt(list_dot_product(b.e, b.e))), 6) >= {threshold}
+              GROUP BY b.vec_id)
+            SELECT s.vec_id, CAST(s.centroid_id AS BIGINT) AS centroid_id,
+                   s.n_cluster, s.capped,
+                   coalesce(CAST(d.dup_of AS BIGINT), -1) AS dup_of,
+                   d.dup_of IS NOT NULL AS is_dup
+            FROM spine s LEFT JOIN dups d USING (vec_id)
+            {out_where}
+        """
+
+
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """Delta SemDeDup (datapipe/similarity.semantic_dedup_incremental — the
+    eighth probe-shaped incremental family): the new batch (vec_id % 5 ==
+    0) quantized against centroids trained on HISTORY ONLY (frozen-quantizer
+    contract shared with emb_ann_ivf_incremental), scored only against
+    history members of its touched clusters.  Oracle = the frozen-quantizer
+    full semantic dedup restricted to the batch ids."""
+    from literature_to_facts_spark.datapipe.similarity import (
+        build_ivf_index,
+        semantic_dedup_incremental,
+    )
+
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    reg = []
+    cents, assigns = build_ivf_index(
+        old, n_centroids=_SEMDEDUP_PARAMS["n_clusters"],
+        refine_iters=_SEMDEDUP_PARAMS["refine_iters"], cache_registry=reg,
+    )
+    out = semantic_dedup_incremental(
+        new, assigns, cents,
+        threshold=_SEMDEDUP_PARAMS["threshold"],
+        max_cluster=_SEMDEDUP_PARAMS["max_cluster"],
+        cache_registry=reg,
+    )
+    out = out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        "n_cluster",
+        "capped",
+        F.coalesce(F.col("dup_of").cast("bigint"), F.lit(-1)).alias("dup_of"),
+        "is_dup",
+    )
+    out._l2f_cache_registry = reg
+    return out
+
+
+_SHUFFLE_SEED, _SHUFFLE_SHARDS = 42, 8
+
+
+def q_sample_shuffle_shards(spark, sf_dir):
+    """Seeded global training shuffle (datapipe/sampling.
+    shuffle_deterministic): reproducible (shard, pos) permutation layout
+    keyed by the portable md5 family — one hash Exchange + per-shard sort
+    window, the physical work of a sharded training export."""
+    from literature_to_facts_spark.datapipe.sampling import shuffle_deterministic
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_deterministic(
+        docs, seed=_SHUFFLE_SEED, n_shards=_SHUFFLE_SHARDS
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("shard").cast("bigint").alias("shard"),
+        "pos",
+    )
+
+
+def _shuffle_shards_oracle() -> str:
+    key = _H1.format(
+        x=f"'{_SHUFFLE_SEED}' || ':' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+        WITH k AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, {key} AS key
+          FROM documents WHERE doc_id IS NOT NULL
+        )
+        SELECT doc_id, CAST(key % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY key % {_SHUFFLE_SHARDS}
+                 ORDER BY key ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+        FROM k
+    """
+
+
 def _duck_url_group(i: int, src: str = "url") -> str:
     from literature_to_facts_spark.datapipe.urls import URL_PATTERN
 
@@ -1970,6 +2145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_mixture_temperature": q_sample_mixture_temperature,
         "multimodal_features": q_multimodal_features,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "sample_shuffle_shards": q_sample_shuffle_shards,
         "url_parts": q_url_parts,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
@@ -3559,6 +3737,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_H1.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000 < fr.t
         """,
         "multimodal_features": _multimodal_oracle_sql(),
+        "semantic_dedup_incremental": _semantic_dedup_oracle(
+            train_restrict="vec_id % 5 <> 0",
+            out_restrict="vec_id % 5 = 0",
+            **{k: v for k, v in _SEMDEDUP_PARAMS.items() if k != "refine_iters"},
+        ),
+        "sample_shuffle_shards": _shuffle_shards_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(**{k: v for k, v in _SEMDEDUP_PARAMS.items() if k != "refine_iters"}),
         "url_parts": _url_parts_oracle(),
         "url_normalize": _url_normalize_oracle(),
         "url_dedup": _url_dedup_oracle(),

@@ -117,6 +117,12 @@ HEADLINE = [
     "text_span_dedup_incremental",
     "source_quality_stats",
     "sample_pack_sequences",
+    # round-6 second wave (appended; earlier entries stay comparable)
+    "url_normalize",
+    "url_dedup",
+    "semantic_dedup",
+    "semantic_dedup_incremental",
+    "sample_shuffle_shards",
 ]
 
 

@@ -464,3 +464,55 @@ def pack_sequences(
             "seq_offset",
         )
     )
+
+
+def shuffle_deterministic(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Seeded global training shuffle: a reproducible pseudo-random
+    permutation of the corpus, materialized as ``(shard, pos)`` — the
+    layout every pretraining data loader consumes (read shards in any
+    order / in parallel; within a shard, rows come pre-shuffled).
+
+    Each row's permutation key is the portable md5 hash of
+    ``seed || ':' || id`` — changing ``seed`` yields an independent
+    permutation, and the SAME (seed, corpus) pair yields the SAME
+    permutation on any engine, partitioning or cluster size (the
+    reproducibility ``df.sample()``/``rand()`` cannot give).  ``shard`` is
+    the key's value mod ``n_shards`` (shards are statistically equal-sized,
+    not exact); ``pos`` is the row's rank within its shard by (key, id).
+    Reading shards in ANY concatenation order is a valid uniform shuffle —
+    keys are iid uniform, so no global cross-shard sort is needed.
+
+    Scale shape (100 TB): ONE hash Exchange on ``shard`` plus a per-shard
+    sort window — exactly the physical work a sharded training export must
+    do anyway (pair with :func:`~literature_to_facts_spark.datapipe.
+    storage.write_sharded`: ``repartition(n, shard)`` + sortWithinPartitions
+    keeps the window and the file layout in the same shuffle).  Size
+    ``n_shards`` >= cluster parallelism so every executor sorts one
+    shard-sized run.  Rows with NULL id are excluded (no stable key).
+    """
+    if not n_shards or n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    for c in ("_shuffle_key", "shard", "pos"):
+        if c in docs.columns:
+            raise ValueError(
+                f"input column {c!r} collides with shuffle_deterministic's "
+                "outputs; rename it first"
+            )
+    key = _h52(f"concat('{int(seed)}', ':', cast({id_col} as string))")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_shuffle_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.where(F.col(id_col).isNotNull())
+        .withColumn("_shuffle_key", key)
+        .withColumn(
+            "shard", F.pmod(F.col("_shuffle_key"), F.lit(int(n_shards))).cast("int")
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_shuffle_key")
+    )

@@ -622,3 +622,181 @@ def cosine_topk_ivf_from_index(
     zero Exchange — query cost scales with the probed lists, not the
     corpus."""
     return _ivf_query(assignments, centroids, queries, k, nprobe, q_id_col, q_emb_col)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_clusters: int = 8,
+    refine_iters: int = 1,
+    threshold: float = 0.95,
+    max_cluster: int = 10_000,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then prune near-identical vectors WITHIN each cluster
+    by exact cosine — the semantic layer above the lexical dedup families
+    (MinHash/SimHash catch re-posts; this catches paraphrases and
+    translations that share an embedding neighborhood but no n-grams).
+
+    Returns ONE row per input vector::
+
+        (vec_id, centroid_id, n_cluster, capped, dup_of, is_dup)
+
+    ``dup_of`` is the MINIMUM lower-id same-cluster neighbor with
+    ``round(cosine, 6) >= threshold`` (NULL when none) and ``is_dup =
+    dup_of IS NOT NULL`` — the deterministic min-id-representative variant
+    of the paper's per-cluster pruning (chain-transitive grouping, when
+    wanted, is one :func:`~literature_to_facts_spark.datapipe.dedup.
+    cluster_connected_components` call over the (dup_of, vec_id) pairs).
+
+    Scale shape (100 TB): centroid training/assignment is the IVF machinery
+    (:func:`cosine_topk_ivf` — broadcast k-row centroids, map-side argmax
+    partial, fixed-point Lloyd so the whole operator stays bit-portable and
+    oracle-able); the intra-cluster self-join is the ONLY quadratic risk, so
+    clusters above ``max_cluster`` members are excluded from pair generation
+    and their rows flagged ``capped = true`` (the LSH families' max_bucket
+    convention: at web scale you raise ``n_clusters`` until clusters fit,
+    and the flag makes the skipped mass auditable instead of silent).  The
+    assignment frame feeds three consumers (both self-join sides + the
+    output spine), so it is persisted — pass ``cache_registry`` to release
+    it."""
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    centroids = _ivf_train(base, n_clusters, refine_iters, cache_registry)
+    assigned = _ivf_assign(base, centroids)
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cluster")
+    )
+    spine = (
+        assigned.join(F.broadcast(sizes), on="centroid_id")
+        .withColumn("capped", F.col("n_cluster") > F.lit(int(max_cluster)))
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(spine)
+    small = spine.where(~F.col("capped"))
+    a = small.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("_id_a"),
+        F.col("embedding").alias("_emb_a"),
+    )
+    b = small.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("_id_b"),
+        F.col("embedding").alias("_emb_b"),
+    )
+    dups = (
+        a.join(b, on="centroid_id")
+        .where(F.col("_id_a") < F.col("_id_b"))
+        .where(
+            F.round(
+                _dot("_emb_a", "_emb_b") / (_norm("_emb_a") * _norm("_emb_b")), 6
+            )
+            >= F.lit(float(threshold))
+        )
+        .groupBy(F.col("_id_b").alias("vec_id"))
+        .agg(F.min("_id_a").alias("dup_of"))
+    )
+    return (
+        spine.join(dups, on="vec_id", how="left")
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+        .select(
+            "vec_id", "centroid_id", "n_cluster", "capped", "dup_of", "is_dup"
+        )
+    )
+
+
+def semantic_dedup_incremental(
+    new_vectors: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster: int = 10_000,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Delta SemDeDup (the eighth probe-shaped incremental family): score a
+    NEW batch against the persisted cluster state without retraining or
+    re-reading untouched history.
+
+    ``centroids``/``assignments`` are :func:`build_ivf_index`'s outputs over
+    the history corpus (centroids FROZEN — the FAISS operational contract
+    shared with :func:`ivf_index_append`; periodic retraining is a full
+    :func:`semantic_dedup` rebuild, the compaction analog).  The batch is
+    quantized map-side against the broadcast k-row quantizer; only history
+    members of the batch's TOUCHED clusters are read (broadcast the
+    batch-sized touched-cluster set -> left_semi at the assignment index's
+    scan — over a ``write_bucketed(centroid_id)`` catalog table this plans
+    with ZERO Exchange on the history side, the repo-wide probe shape).
+    At web scale ``n_clusters`` grows ~sqrt(corpus), so a batch touches at
+    most batch-size clusters and probe cost is O(batch + touched members),
+    never O(history).
+
+    Returns one row per batch vector, shaped like :func:`semantic_dedup`:
+    ``(vec_id, centroid_id, n_cluster, capped, dup_of, is_dup)`` where
+    ``n_cluster`` counts history+batch members of the vector's cluster and
+    ``dup_of`` is the minimum lower-id neighbor (history or batch) at
+    ``round(cosine,6) >= threshold``.  Equals the full frozen-quantizer
+    semantic dedup restricted to the batch ids (the delta-family oracle
+    contract) — ids may interleave with history; the min-id rule needs no
+    disjointness.  The combined member frame feeds both self-join sides,
+    so it is persisted (pass ``cache_registry`` to release it)."""
+    batch = _ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+        ),
+        centroids,
+    )
+    touched = batch.select("centroid_id").distinct()
+    hist = assignments.select("vec_id", "embedding", "centroid_id").join(
+        F.broadcast(touched), on="centroid_id", how="left_semi"
+    )
+    members = hist.withColumn("_is_new", F.lit(False)).unionByName(
+        batch.withColumn("_is_new", F.lit(True))
+    )
+    sizes = members.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cluster")
+    )
+    spine = (
+        members.join(F.broadcast(sizes), on="centroid_id")
+        .withColumn("capped", F.col("n_cluster") > F.lit(int(max_cluster)))
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(spine)
+    small = spine.where(~F.col("capped"))
+    a = small.select(
+        "centroid_id",
+        F.col("vec_id").alias("_id_a"),
+        F.col("embedding").alias("_emb_a"),
+    )
+    b = small.where(F.col("_is_new")).select(
+        "centroid_id",
+        F.col("vec_id").alias("_id_b"),
+        F.col("embedding").alias("_emb_b"),
+    )
+    dups = (
+        a.join(b, on="centroid_id")
+        .where(F.col("_id_a") < F.col("_id_b"))
+        .where(
+            F.round(
+                _dot("_emb_a", "_emb_b") / (_norm("_emb_a") * _norm("_emb_b")), 6
+            )
+            >= F.lit(float(threshold))
+        )
+        .groupBy(F.col("_id_b").alias("vec_id"))
+        .agg(F.min("_id_a").alias("dup_of"))
+    )
+    return (
+        spine.where(F.col("_is_new"))
+        .join(dups, on="vec_id", how="left")
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+        .select(
+            "vec_id", "centroid_id", "n_cluster", "capped", "dup_of", "is_dup"
+        )
+    )

@@ -1976,3 +1976,155 @@ def test_pack_sequences_semantics(spark):
         pack_sequences(docs, seq_len=0)
     with _pt.raises(ValueError, match="n_buckets"):
         pack_sequences(docs, n_buckets=0)
+
+
+def test_semantic_dedup_semantics(spark):
+    """SemDeDup contract: min-lower-id representative within a cluster,
+    cap flag excludes oversized clusters from pair generation, NULL-free
+    spine (one row per input vector)."""
+    from literature_to_facts_spark.datapipe.similarity import semantic_dedup
+
+    # two well-separated directions in 4-d; ids 1..3 colinear (cos=1),
+    # ids 10..11 colinear on the other axis, id 12 orthogonal-ish
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),
+        (3, [3.0, 0.0, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 2.0, 0.0, 0.0]),
+        (12, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    reg = []
+    out = semantic_dedup(
+        vecs, n_clusters=2, refine_iters=1, threshold=0.95,
+        max_cluster=100, cache_registry=reg,
+    )
+    got = {r.vec_id: r for r in out.collect()}
+    for df in reg:
+        df.unpersist()
+    assert len(got) == len(rows)  # spine preserved
+    # colinear group 1,2,3: 1 kept, 2 and 3 both point at min id 1
+    assert not got[1].is_dup and got[1].dup_of is None
+    assert got[2].is_dup and got[2].dup_of == 1
+    assert got[3].is_dup and got[3].dup_of == 1
+    assert not got[10].is_dup or got[10].dup_of is None  # min of its own group
+
+
+def test_semantic_dedup_capped_cluster(spark):
+    """Clusters above max_cluster are excluded from pair generation: rows
+    flagged capped, never marked dup."""
+    from literature_to_facts_spark.datapipe.similarity import semantic_dedup
+
+    rows = [(i, [1.0 + i * 0.001, 0.0]) for i in range(10)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    reg = []
+    out = semantic_dedup(
+        vecs, n_clusters=1, refine_iters=0, threshold=0.5,
+        max_cluster=5, cache_registry=reg,
+    ).collect()
+    for df in reg:
+        df.unpersist()
+    assert all(r.capped for r in out)
+    assert all(not r.is_dup and r.dup_of is None for r in out)
+    assert all(r.n_cluster == 10 for r in out)
+
+
+def test_shuffle_deterministic_semantics(spark):
+    """Seeded shuffle: exact permutation (every row once, dense per-shard
+    positions), reproducible across partitionings, seed-sensitive, NULL ids
+    excluded, collision guard loud."""
+    import pytest as _pt
+
+    from literature_to_facts_spark.datapipe.sampling import shuffle_deterministic
+
+    docs = spark.range(200).selectExpr(
+        "CASE WHEN id = 199 THEN NULL ELSE id END AS doc_id"
+    )
+    out = shuffle_deterministic(docs, n_shards=4).collect()
+    assert len(out) == 199  # NULL id dropped
+    assert sorted(r.doc_id for r in out) == list(range(199))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():  # dense 0..n-1 within each shard
+        assert sorted(poss) == list(range(len(poss)))
+
+    # partitioning-independent: same layout from a different partitioning
+    out2 = shuffle_deterministic(docs.repartition(7), n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    # a different seed yields a different permutation
+    out3 = shuffle_deterministic(docs, seed=7, n_shards=4).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, out3))
+
+    with _pt.raises(ValueError, match="shard"):
+        shuffle_deterministic(docs.withColumn("shard", F.lit(1)))
+    with _pt.raises(ValueError, match="n_shards"):
+        shuffle_deterministic(docs, n_shards=0)
+
+
+def test_semantic_dedup_incremental_vs_numpy_reference(spark, embeddings):
+    """Delta SemDeDup equals an INDEPENDENT row-level reference: frozen
+    centroids from the history index, numpy assignment (same tie-break),
+    full-cluster sizes, pairwise HALF_UP-rounded cosine, min-lower-id rule
+    restricted to the batch."""
+    import math
+
+    from literature_to_facts_spark.datapipe.similarity import (
+        build_ivf_index,
+        semantic_dedup_incremental,
+    )
+
+    emb = embeddings.limit(120).select("vec_id", "embedding")
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    reg = []
+    cents, assigns = build_ivf_index(
+        old, n_centroids=4, refine_iters=1, cache_registry=reg
+    )
+    got = {
+        r.vec_id: r
+        for r in semantic_dedup_incremental(
+            new, assigns, cents, threshold=0.4, max_cluster=100,
+            cache_registry=reg,
+        ).collect()
+    }
+    for df in reg:
+        df.unpersist()
+
+    c = {r.centroid_id: r.c_emb for r in cents.collect()}
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def assign(v):  # max sim, then lowest centroid id
+        return max(c, key=lambda k: (dot(vecs[v], c[k]), -k))
+
+    member = {v: assign(v) for v in vecs}
+    sizes = {}
+    for v, k in member.items():
+        sizes[k] = sizes.get(k, 0) + 1
+
+    def cos6(a, b):
+        x = dot(vecs[a], vecs[b]) / (
+            math.sqrt(dot(vecs[a], vecs[a])) * math.sqrt(dot(vecs[b], vecs[b]))
+        )
+        return math.floor(x * 1e6 + 0.5) / 1e6  # Spark round() HALF_UP (x>0)
+
+    batch_ids = [v for v in vecs if v % 5 == 0]
+    assert set(got) == set(batch_ids)
+    for v in batch_ids:
+        k = member[v]
+        assert got[v].centroid_id == k
+        assert got[v].n_cluster == sizes[k]
+        assert not got[v].capped
+        lower = [
+            a for a in vecs
+            if a < v and member[a] == k and cos6(a, v) >= 0.4
+        ]
+        exp = min(lower) if lower else None
+        assert got[v].dup_of == exp, f"vec {v}: {got[v].dup_of} != {exp}"
+        assert got[v].is_dup == (exp is not None)
