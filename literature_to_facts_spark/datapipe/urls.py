@@ -78,6 +78,7 @@ _RESERVED_URL_COLS = frozenset(
     {
         "scheme", "host", "port", "path", "query",
         "registered_domain", "path_depth", "is_valid_url",
+        "_url_params_raw", "_url_params",
     }
 )
 
@@ -129,10 +130,8 @@ def with_url_parts(docs: DataFrame, url_col: str = "url") -> DataFrame:
         F.col(url_col).isNotNull(), host_raw != F.lit("")
     )  # NULL url -> NULL
     host = F.when(valid, F.lower(host_raw))
-    path_raw = F.when(valid, _grp(url_col, 4))
     port_s = _grp(url_col, 3)
-    segs = F.filter(F.split(path_raw, "/"), lambda s: s != F.lit(""))
-    return docs.withColumns(
+    out = docs.withColumns(
         {
             "scheme": F.when(valid, F.lower(_grp(url_col, 1))),
             "host": host,
@@ -141,14 +140,20 @@ def with_url_parts(docs: DataFrame, url_col: str = "url") -> DataFrame:
             "port": F.when(
                 valid & (port_s != F.lit("")), port_s.try_cast("bigint")
             ),
-            "path": path_raw,
+            "path": F.when(valid, _grp(url_col, 4)),
             "query": F.when(valid, _grp(url_col, 5)),
             "registered_domain": F.when(valid, _registered_domain(host)),
-            "path_depth": F.when(valid, F.size(segs).cast("bigint")),
             "is_valid_url": valid.otherwise(
                 F.when(F.col(url_col).isNotNull(), F.lit(False))
             ),
         }
+    )
+    # the path-segment array is projected from the ALREADY-COMPUTED `path`
+    # column (repo invariant: never inline a non-cheap expression into a
+    # HOF consumer — it re-evaluates per element)
+    segs = F.filter(F.split(F.col("path"), "/"), lambda s: s != F.lit(""))
+    return out.withColumns(
+        {"path_depth": F.when(F.col("path").isNotNull(), F.size(segs)).cast("bigint")}
     )
 
 
@@ -179,6 +184,12 @@ def url_normalize(
         raise ValueError(
             f"output column {output_col!r} already exists; rename it first"
         )
+    clash = sorted({"_url_params_raw", "_url_params"} & set(docs.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with url_normalize internals; "
+            "rename them first"
+        )
     host_raw = _grp(url_col, 2)
     valid = F.when(F.col(url_col).isNotNull(), host_raw != F.lit(""))
     scheme = F.lower(_grp(url_col, 1))
@@ -194,18 +205,31 @@ def url_normalize(
     )
     path_raw = _grp(url_col, 4)
     path_n = F.when(path_raw == F.lit(""), F.lit("/")).otherwise(path_raw)
-    # project the split array once; filter + sort are array-sized HOF work
-    params = F.array_sort(
-        F.filter(
-            F.split(_grp(url_col, 5), "&"),
-            lambda p: (p != F.lit("")) & ~_is_tracking(p),
-        )
+    # project the raw param array ONCE into a real column before the filter
+    # HOF consumes it (repo invariant: an expression inlined into a HOF
+    # argument re-evaluates per element — here that would rerun the query
+    # regex + split for every parameter)
+    staged = docs.withColumns(
+        {"_url_params_raw": F.when(valid, F.split(_grp(url_col, 5), "&"))}
+    )
+    staged = staged.withColumns(
+        {
+            "_url_params": F.array_sort(
+                F.filter(
+                    F.col("_url_params_raw"),
+                    lambda p: (p != F.lit("")) & ~_is_tracking(p),
+                )
+            )
+        }
     )
     qs = F.when(
-        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        F.size(F.col("_url_params")) > 0,
+        F.concat(F.lit("?"), F.array_join(F.col("_url_params"), "&")),
     ).otherwise(F.lit(""))
     norm = F.concat(scheme, F.lit("://"), host, port_part, path_n, qs)
-    return docs.withColumns({output_col: F.when(valid, norm)})
+    return staged.withColumns({output_col: F.when(valid, norm)}).drop(
+        "_url_params_raw", "_url_params"
+    )
 
 
 def url_dedup(

@@ -2128,3 +2128,55 @@ def test_semantic_dedup_incremental_vs_numpy_reference(spark, embeddings):
         exp = min(lower) if lower else None
         assert got[v].dup_of == exp, f"vec {v}: {got[v].dup_of} != {exp}"
         assert got[v].is_dup == (exp is not None)
+
+
+def test_semantic_incremental_history_probe_shape(spark, embeddings, tmp_path):
+    """Delta SemDeDup history access is probe-shaped: the centroid_id-
+    bucketed assignment index is consumed by a broadcast LEFT SEMI directly
+    at its scan (zero Exchange between scan and filter), so untouched
+    clusters are never read past the filter and nothing history-sized is
+    shuffled."""
+    from literature_to_facts_spark.datapipe.similarity import (
+        build_ivf_index,
+        semantic_dedup_incremental,
+    )
+    from literature_to_facts_spark.datapipe.storage import write_bucketed
+
+    emb = embeddings.limit(100).select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    reg = []
+    try:
+        cents, assigns = build_ivf_index(
+            old, n_centroids=4, refine_iters=1, cache_registry=reg
+        )
+        write_bucketed(
+            assigns, "t_sem_probe_idx", "centroid_id", 4,
+            path=str(tmp_path / "sem_idx"),
+        )
+        t = spark.table("t_sem_probe_idx")
+        # (a) the operator's own plan consumes the bucketed scan through a
+        # broadcast LeftSemi (the probe filter sits AT the scan)
+        out = semantic_dedup_incremental(
+            new, t, cents, threshold=0.4, max_cluster=400, cache_registry=reg
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        i = plan.find("t_sem_probe_idx")
+        assert i > 0 and "Bucketed: true" in plan
+        assert "LeftSemi" in plan[max(0, i - 2500):i], plan[max(0, i - 2500):i]
+        # (b) the isolated history fragment (semi-filter -> per-cluster agg)
+        # plans with ZERO Exchange on the streamed side, like the other
+        # probe families
+        probe_keys = t.limit(3).select("centroid_id")
+        frag = (
+            t.join(F.broadcast(probe_keys), on="centroid_id", how="left_semi")
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        fplan = frag._jdf.queryExecution().executedPlan().toString()
+        streamed = fplan.split("BroadcastExchange")[0]
+        assert "Exchange" not in streamed, fplan
+    finally:
+        for df in reg:
+            df.unpersist()
+        spark.sql("DROP TABLE IF EXISTS t_sem_probe_idx")
