@@ -2055,6 +2055,75 @@ def _url_normalize_oracle() -> str:
     """
 
 
+def q_url_domain_quality(spark, sf_dir):
+    """Composed crawl-curation chain: URL fixture -> registered-domain
+    extraction (datapipe/urls.with_url_parts) -> host-level quality stats
+    (datapipe/textstats.source_stats keyed on the registered domain — the
+    RefinedWeb whole-domain drop on URL-derived domains instead of a given
+    source column).  Invalid/NULL urls form the '<invalid>' group (coalesced
+    post-group so the NULL group stays visible and row-sortable)."""
+    from literature_to_facts_spark.datapipe.textstats import source_stats
+    from literature_to_facts_spark.datapipe.urls import with_url_parts
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text", f"{_URL_FIXTURE_SPARK} AS url"
+    )
+    out = source_stats(
+        with_url_parts(docs), source_col="registered_domain",
+        min_mean_quality=0.78, max_doc_share=0.3,
+    )
+    return out.select(
+        F.coalesce(F.col("source"), F.lit("<invalid>")).alias(
+            "registered_domain"
+        ),
+        "n_docs",
+        "doc_share",
+        F.col("mean_quality").cast("double").alias("mean_quality"),
+        "keep",
+    )
+
+
+def _url_domain_quality_oracle() -> str:
+    """The composed chain in one statement: fixture urls -> DuckDB
+    registered-domain extraction (same regex/TLD interpolation as
+    _url_parts_oracle) -> the generalized source_stats oracle over the
+    derived (source, text) relation."""
+    from literature_to_facts_spark.datapipe.urls import SECOND_LEVEL_TLDS
+
+    slds = ", ".join(f"'{t}'" for t in SECOND_LEVEL_TLDS)
+    g2 = _duck_url_group(2)
+    prelude = f"""u AS (
+          SELECT text, {_URL_FIXTURE_DUCK} AS url FROM documents
+        ),
+        hh AS (
+          SELECT text, (url IS NOT NULL AND {g2} <> '') AS ok,
+                 lower({g2}) AS host
+          FROM u
+        ),
+        ll AS (
+          SELECT text, ok, host, string_split(host, '.') AS labs FROM hh
+        ),
+        srcrel AS (
+          SELECT CASE WHEN NOT ok THEN NULL
+                      WHEN len(labs) <= 2 THEN host
+                      WHEN (labs[-2] || '.' || labs[-1]) IN ({slds})
+                        THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]
+                      ELSE labs[-2] || '.' || labs[-1] END AS source,
+                 text
+          FROM ll
+        ),
+        """
+    inner = _source_stats_oracle(
+        min_mean_quality=0.78, max_doc_share=0.3,
+        src="srcrel", prelude=prelude,
+    )
+    return f"""
+        SELECT coalesce(source, '<invalid>') AS registered_domain,
+               n_docs, doc_share, mean_quality, keep
+        FROM ({inner})
+    """
+
+
 def _url_dedup_oracle() -> str:
     return f"""
         WITH u AS (
@@ -2151,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parts": q_url_parts,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
+        "url_domain_quality": q_url_domain_quality,
     }
 
 
@@ -2709,19 +2779,22 @@ def _pack_sequences_oracle(seq_len: int = 512) -> str:
 
 
 def _source_stats_oracle(
-    min_mean_quality: float = 0.78, max_doc_share: float = 0.5
+    min_mean_quality: float = 0.78, max_doc_share: float = 0.5,
+    src: str = "documents", prelude: str = "",
 ) -> str:
     """DuckDB recomputation of source_stats: the with_quality score formula
     per doc, quantized to integer micro-units, summed exactly per source,
     floor-rounded once — the same fixed-point mean the Spark side computes,
-    so means (and the keep decisions derived from them) match bit-exactly."""
+    so means (and the keep decisions derived from them) match bit-exactly.
+    ``src``/``prelude`` let composed oracles feed a derived (source, text)
+    relation (the url_domain_quality chain)."""
     return f"""
-        WITH t AS (
+        WITH {prelude}t AS (
           SELECT source,
                  list_filter(string_split(lower(text), ' '), x -> x != '')
                    AS toks,
                  text
-          FROM documents
+          FROM {src}
         ),
         m AS (
           SELECT source,
@@ -3747,5 +3820,6 @@ def oracle_sql() -> dict[str, str]:
         "url_parts": _url_parts_oracle(),
         "url_normalize": _url_normalize_oracle(),
         "url_dedup": _url_dedup_oracle(),
+        "url_domain_quality": _url_domain_quality_oracle(),
         "text_lang_trigram": _lang_trigram_oracle_sql(),
     }

@@ -123,6 +123,7 @@ HEADLINE = [
     "semantic_dedup",
     "semantic_dedup_incremental",
     "sample_shuffle_shards",
+    "url_domain_quality",
 ]
 
 
