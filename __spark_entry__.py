@@ -1926,6 +1926,27 @@ def q_semantic_dedup_incremental(spark, sf_dir):
     return out
 
 
+def q_text_span_dedup_clean(spark, sf_dir):
+    """ExactSubstr removal (datapipe/textclean.span_dedup_clean — the
+    cut-the-duplicates-out half of Lee et al. 2021): tokens covered by a
+    duplicated window are removed, survivors re-joined; untouched documents
+    pass through verbatim.  One id-keyed join over span_dedup's coverage
+    stats; full SQL oracle recomputes the rewrite end-to-end."""
+    from literature_to_facts_spark.datapipe.textclean import span_dedup_clean
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    out = span_dedup_clean(
+        docs, window=_SPAN_DEDUP_WINDOW, min_df=_SPAN_DEDUP_MIN_DF
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        # 'span_clean_text' (not clean_text): the gate sorts row tuples by
+        # alphabetical column order and a NULL (NULL-text doc) must not
+        # lead the tuple
+        F.col("clean_text").alias("span_clean_text"),
+    )
+
+
 _SHUFFLE_SEED, _SHUFFLE_SHARDS = 42, 8
 
 
@@ -2203,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup_incremental": q_text_line_dedup_incremental,
         "text_span_dedup": q_text_span_dedup,
         "text_span_dedup_incremental": q_text_span_dedup_incremental,
+        "text_span_dedup_clean": q_text_span_dedup_clean,
         "text_quality_clf": q_text_quality_clf,
         "source_quality_stats": q_source_quality_stats,
         "sample_pack_sequences": q_sample_pack_sequences,
@@ -2879,6 +2901,7 @@ def _span_dedup_oracle(
     window: int = _SPAN_DEDUP_WINDOW,
     min_df: int = _SPAN_DEDUP_MIN_DF,
     restrict: str | None = None,
+    emit: str = "stats",
 ) -> str:
     """DuckDB recomputation of span_dedup end-to-end: the same split-on-space
     tokens, md5-52-bit window keys, global occurrence counts and
@@ -2889,6 +2912,30 @@ def _span_dedup_oracle(
     where = f"WHERE {restrict}" if restrict else ""
     w = int(window)
     key = _H1.format(x=f"array_to_string(toks[i:i+{w - 1}], ' ')")
+    if emit == "stats":
+        tail = f"""        SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+               CAST(b.ntok AS BIGINT) AS n_tokens,
+               CAST(coalesce(c.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE)
+                     / greatest(b.ntok, 1), 6) AS dup_frac
+        FROM b LEFT JOIN cov c ON b.doc_id = c.doc_id"""
+    else:
+        tail = f"""        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CASE WHEN a.ps IS NULL OR len(a.ps) = 0 THEN d.text
+                    -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+                    -- array_join([]) is '' (a fully-duplicated doc)
+                    ELSE coalesce(array_to_string(list_filter(
+                      list_transform(range(1, len(t.toks) + 1),
+                        i -> CASE WHEN len(list_filter(a.ps,
+                               p -> p <= i AND i < p + {w})) > 0 THEN NULL
+                             ELSE t.toks[i] END),
+                      x -> x IS NOT NULL), ' '), '')
+               END AS span_clean_text
+        FROM documents d
+        LEFT JOIN t ON d.doc_id = t.doc_id
+        LEFT JOIN agg a ON d.doc_id = a.doc_id"""
     return f"""
         WITH t AS (
           SELECT doc_id,
@@ -2928,14 +2975,7 @@ def _span_dedup_oracle(
                  END AS dup_tokens
           FROM agg
         )
-        SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
-               CAST(b.ntok AS BIGINT) AS n_tokens,
-               CAST(coalesce(c.n_windows, 0) AS BIGINT) AS n_windows,
-               CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
-               CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-               round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE)
-                     / greatest(b.ntok, 1), 6) AS dup_frac
-        FROM b LEFT JOIN cov c ON b.doc_id = c.doc_id
+        {tail}
         {where}
     """
 
@@ -3791,6 +3831,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_line_dedup_incremental": _line_dedup_oracle(restrict="k.doc_id % 5 = 0"),
         "text_span_dedup": _span_dedup_oracle(),
+        "text_span_dedup_clean": _span_dedup_oracle(emit="clean"),
         "text_span_dedup_incremental": _span_dedup_oracle(
             restrict="b.doc_id % 5 = 0"
         ),

@@ -124,6 +124,7 @@ HEADLINE = [
     "semantic_dedup_incremental",
     "sample_shuffle_shards",
     "url_domain_quality",
+    "text_span_dedup_clean",
 ]
 
 
@@ -742,6 +743,8 @@ def write_baseline_md(result: dict) -> None:
                 "exchanges only batch-bounded rows regardless of history "
                 "size.",
             ]
+            if ab.get("note"):
+                ab_lines += ["", f"Note: {ab['note']}"]
             lines += ab_lines
         except Exception:
             pass

@@ -340,6 +340,7 @@ _RESERVED_SPAN_COLS = frozenset(
         "n_dup_windows",
         "dup_tokens",
         "dup_frac",
+        "dup_positions",
     }
 )
 
@@ -352,6 +353,7 @@ def span_dedup(
     min_df: int = 2,
     broadcast_frequent: bool = False,
     carry_cols: tuple = (),
+    emit_positions: bool = False,
 ) -> DataFrame:
     """Duplicated-substring detection (ExactSubstr dedup, Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): flag every
@@ -413,7 +415,7 @@ def span_dedup(
     if broadcast_frequent:
         freq = F.broadcast(freq)
     flagged = inst.join(freq, inst["_wkey"] == freq["_fkey"], "left")
-    return _span_aggregate(flagged, id_col, w, carry_cols)
+    return _span_aggregate(flagged, id_col, w, carry_cols, emit_positions)
 
 
 def _span_instances(
@@ -461,7 +463,8 @@ def _span_instances(
 
 
 def _span_aggregate(
-    flagged: DataFrame, id_col: str, w: int, carry_cols: tuple = ()
+    flagged: DataFrame, id_col: str, w: int, carry_cols: tuple = (),
+    emit_positions: bool = False,
 ) -> DataFrame:
     """Per-document tail shared by the full and incremental span dedup:
     window counts plus interval-union coverage of the duplicated windows —
@@ -494,8 +497,8 @@ def _span_aggregate(
             "dup_frac",
             F.round(F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
         )
-        .drop("_ps")
-    )
+        .withColumnRenamed("_ps", "dup_positions")
+    ).drop(*([] if emit_positions else ["dup_positions"]))
 
 
 def build_window_frequency_index(
@@ -645,4 +648,68 @@ def pii_redact(
         docs.withColumns(counts)
         .withColumn(output_col, clean)
         .withColumn("has_pii", flag)
+    )
+
+
+def span_dedup_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_df: int = 2,
+    broadcast_frequent: bool = False,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the second half of Lee et al. 2021: the paper
+    cuts the duplicated spans out, :func:`span_dedup` only scores them):
+    every token covered by a duplicated ``window``-token span is removed
+    and the survivors re-joined with single spaces into ``clean_text``.
+
+    Documents with NO duplicated window pass through with their text
+    VERBATIM (including original whitespace); rewritten documents are
+    single-space token joins — tokenization is whitespace-lossy by
+    construction, same as :func:`line_dedup`'s newline reassembly.  NULL
+    text passes through NULL.  A fully-duplicated document yields ``''``
+    (curate on it like an empty doc).
+
+    Scale shape: the coverage stats ride :func:`span_dedup` unchanged; the
+    rewrite adds ONE id-keyed join of the (id, dup_positions) rows — only
+    documents that actually have duplicated spans carry a positions array
+    through the shuffle — and a per-row array rewrite (``exists`` over the
+    doc's duplicated positions per token, O(n_tokens x n_dup_spans) worst
+    case, boilerplate-bounded in practice).  Output: all input columns +
+    ``clean_text``."""
+    w = int(window)
+    clash = sorted({"clean_text", "_sdc_id", "_sdc_ps", "_toks"} & set(docs.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with span_dedup_clean's "
+            "output/internal columns; rename them first"
+        )
+    flagged = (
+        span_dedup(
+            docs, id_col, text_col, w, min_df,
+            broadcast_frequent=broadcast_frequent, emit_positions=True,
+        )
+        .where(F.col("n_dup_windows") > 0)
+        .select(
+            F.col(id_col).alias("_sdc_id"),
+            F.col("dup_positions").alias("_sdc_ps"),
+        )
+    )
+    joined = docs.join(
+        flagged, docs[id_col] == F.col("_sdc_id"), "left"
+    ).withColumn("_toks", F.expr(f"filter(split({text_col}, ' '), t -> t != '')"))
+    # rewritten only when a positions array arrived: those docs have
+    # n_tokens >= window >= 2, so sequence(1, size) is ascending (ANSI-safe)
+    rewrite = F.expr(
+        f"array_join(filter(transform(sequence(1, size(_toks)), i -> "
+        f"CASE WHEN exists(_sdc_ps, p -> p <= i AND i < p + {w}) THEN NULL "
+        f"ELSE element_at(_toks, i) END), t -> t IS NOT NULL), ' ')"
+    )
+    return (
+        joined.withColumn(
+            "clean_text",
+            F.when(F.col("_sdc_id").isNull(), F.col(text_col)).otherwise(rewrite),
+        )
+        .drop("_sdc_id", "_sdc_ps", "_toks")
     )

@@ -913,3 +913,43 @@ def test_span_dedup_reserved_internal_explode_alias(spark, span_docs):
         span_dedup(
             span_docs.withColumn("_w", F.lit(1)), window=3, carry_cols=("_w",)
         )
+
+
+def test_span_dedup_clean_semantics(spark):
+    """ExactSubstr removal: covered tokens cut, survivors single-space
+    joined, untouched docs verbatim (whitespace preserved), NULL text
+    passes through, fully-duplicated doc yields ''."""
+    from literature_to_facts_spark.datapipe.textclean import span_dedup_clean
+
+    rows = [
+        (1, "a b c d e"),          # window 'a b c' occurs in 1, 2, 4
+        (2, "x a b c d"),
+        (3, "p  q   r"),           # untouched: runs of spaces preserved
+        (4, "a b c"),              # fully covered -> ''
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.clean_text
+        for r in span_dedup_clean(docs, window=3, min_df=2).collect()
+    }
+    # doc 1 windows: 'a b c'(1) 'b c d'(2) 'c d e'(3); 'a b c' AND 'b c d'
+    # recur across docs 1/2 -> positions [1,2] cover tokens 1..4, keep 'e'
+    assert out[1] == "e"
+    # doc 2 positions [2,3] cover tokens 2..5, keep 'x'
+    assert out[2] == "x"
+    assert out[3] == "p  q   r"
+    assert out[4] == ""
+    assert out[5] is None
+
+
+def test_span_dedup_clean_collision_guard(spark):
+    import pytest as _pt
+
+    from literature_to_facts_spark.datapipe.textclean import span_dedup_clean
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "x")], ["doc_id", "text", "clean_text"]
+    )
+    with _pt.raises(ValueError, match="clean_text"):
+        span_dedup_clean(docs)
