@@ -1947,6 +1947,95 @@ def q_text_span_dedup_clean(spark, sf_dir):
     )
 
 
+# corpus-vocabulary demo bigram LM for the perplexity contract query — ONE
+# source of truth interpolated into both the Spark model DataFrame and the
+# DuckDB VALUES clause (integer micro-unit log10 probs: bit-portable sums)
+_LM_PPL_MODEL = [
+    ("the row", -1_300_000), ("a row", -1_500_000), ("data query", -1_700_000),
+    ("batch window", -2_100_000), ("value table", -2_300_000),
+    ("slow fast", -2_500_000), ("join batch", -2_700_000),
+    ("the part", -1_900_000),
+]
+_LM_PPL_PARAMS = dict(
+    n_gram=2, oov_lp_micro=-14_000_000, head_max=8.0, middle_max=13.9
+)
+
+
+def q_text_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM perplexity scoring + head/middle/tail bucketing
+    (datapipe/textstats.lm_perplexity — Wenzek et al. 2020's model-based
+    quality stage): per-doc mean negative log10 prob under a broadcast
+    (gram, lp_micro) bigram table with a fixed OOV penalty, bucket decided
+    on the rounded value.  The model here is a corpus-vocabulary demo; the
+    operator contract takes any exported KenLM-style table as a
+    DataFrame."""
+    from literature_to_facts_spark.datapipe.textstats import lm_perplexity
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    model = spark.createDataFrame(_LM_PPL_MODEL, "gram string, lp_micro long")
+    out = lm_perplexity(docs, model, **_LM_PPL_PARAMS)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_grams",
+        "lp_sum_micro",
+        F.col("log_ppl").cast("double").alias("log_ppl"),
+        "ppl_bucket",
+    )
+
+
+def _lm_perplexity_oracle() -> str:
+    """DuckDB recomputation of lm_perplexity under the shared _LM_PPL_MODEL:
+    same lowercased bigrams, integer micro-unit sums with the OOV penalty
+    (zero-gram documents score it once via the spine coalesce), rounded
+    log-perplexity and tercile bucket."""
+    g = _LM_PPL_PARAMS["n_gram"]
+    oov = _LM_PPL_PARAMS["oov_lp_micro"]
+    values = ", ".join(f"('{t}', {w})" for t, w in _LM_PPL_MODEL)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x != '')
+                   AS toks
+          FROM documents
+        ),
+        gr AS (
+          SELECT doc_id,
+                 CASE WHEN toks IS NULL THEN []
+                      WHEN len(toks) >= {g} THEN
+                        list_transform(range(1, len(toks) - {g} + 2),
+                          i -> array_to_string(toks[i:i+{g - 1}], ' '))
+                      ELSE [] END AS grams
+          FROM t
+        ),
+        inst AS (SELECT doc_id, u AS gram FROM gr, UNNEST(grams) AS s(u)),
+        m(gram, lp) AS (VALUES {values}),
+        agg AS (
+          SELECT i.doc_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(coalesce(m.lp, {oov})) AS BIGINT) AS s
+          FROM inst i LEFT JOIN m ON i.gram = m.gram
+          GROUP BY i.doc_id
+        ),
+        sp AS (
+          SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                 coalesce(a.n, 0) AS n_grams,
+                 coalesce(a.s, {oov}) AS lp_sum_micro
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        )
+        SELECT doc_id, n_grams, lp_sum_micro,
+               ROUND(-lp_sum_micro / 1000000.0
+                     / greatest(n_grams, 1), 6) AS log_ppl,
+               CASE WHEN ROUND(-lp_sum_micro / 1000000.0
+                         / greatest(n_grams, 1), 6)
+                         <= {_LM_PPL_PARAMS["head_max"]} THEN 'head'
+                    WHEN ROUND(-lp_sum_micro / 1000000.0
+                         / greatest(n_grams, 1), 6)
+                         <= {_LM_PPL_PARAMS["middle_max"]} THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM sp
+    """
+
+
 _SHUFFLE_SEED, _SHUFFLE_SHARDS = 42, 8
 
 
@@ -2225,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_dedup": q_text_span_dedup,
         "text_span_dedup_incremental": q_text_span_dedup_incremental,
         "text_span_dedup_clean": q_text_span_dedup_clean,
+        "text_lm_perplexity": q_text_lm_perplexity,
         "text_quality_clf": q_text_quality_clf,
         "source_quality_stats": q_source_quality_stats,
         "sample_pack_sequences": q_sample_pack_sequences,
@@ -3832,6 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedup_incremental": _line_dedup_oracle(restrict="k.doc_id % 5 = 0"),
         "text_span_dedup": _span_dedup_oracle(),
         "text_span_dedup_clean": _span_dedup_oracle(emit="clean"),
+        "text_lm_perplexity": _lm_perplexity_oracle(),
         "text_span_dedup_incremental": _span_dedup_oracle(
             restrict="b.doc_id % 5 = 0"
         ),

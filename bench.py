@@ -125,6 +125,7 @@ HEADLINE = [
     "sample_shuffle_shards",
     "url_domain_quality",
     "text_span_dedup_clean",
+    "text_lm_perplexity",
 ]
 
 

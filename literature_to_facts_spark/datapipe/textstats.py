@@ -625,3 +625,84 @@ def filter_by_source(docs: DataFrame, stats: DataFrame, source_col: str = "sourc
     return docs.join(
         F.broadcast(kept), docs[source_col] == F.col("_keep_src"), "left_semi"
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_gram: int = 2,
+    oov_lp_micro: int = -12_000_000,
+    head_max: float = 8.0,
+    middle_max: float = 12.0,
+) -> DataFrame:
+    """CCNet-style n-gram LM perplexity scoring + head/middle/tail
+    bucketing (Wenzek et al. 2020: documents are kept/weighted by which
+    perplexity tercile of a Wikipedia-trained KenLM they land in — the
+    model-based quality stage between the heuristic gate and a learned
+    classifier).
+
+    ``model`` is a ``(gram string, lp_micro bigint)`` DataFrame: log10
+    probabilities in INTEGER MICRO-UNITS (the repo-wide fixed-point
+    contract — sums stay exact and engine-portable; a real KenLM table
+    quantizes to micro-units at export).  Grams are lowercased
+    space-joined word ``n_gram``-grams; documents shorter than ``n_gram``
+    tokens have no grams and score the OOV penalty once (a too-short doc
+    is maximally surprising, matching CCNet's treatment of empty lines).
+    Out-of-vocabulary grams score ``oov_lp_micro``.
+
+    Outputs per document: ``n_grams``, ``lp_sum_micro`` (exact integer),
+    ``log_ppl = round(-lp_sum_micro / 1e6 / max(n_grams, 1), 6)`` (base-10
+    negative mean log-prob — the log of perplexity) and ``ppl_bucket``
+    ('head' <= ``head_max`` < 'middle' <= ``middle_max`` < 'tail'),
+    compared on the ROUNDED value so the bucket is bit-portable.
+
+    Scale shape (100 TB): same plan family as :func:`quality_classifier` —
+    grams explode MAP-SIDE from a once-projected token array, the model is
+    a BROADCAST hash join (KenLM-pruned web vocabularies broadcast fine;
+    beyond that, bucket both sides by gram), and the one Exchange is the
+    per-doc partial-agg'd groupBy carrying (id, two longs).  Zipf skew on
+    hot grams is absorbed by map-side partial aggregation."""
+    if n_gram < 1:
+        raise ValueError(f"n_gram must be >= 1, got {n_gram}")
+    g = int(n_gram)
+    gram_expr = (
+        f"CASE WHEN _toks IS NULL THEN CAST(array() AS array<string>) "
+        f"WHEN size(_toks) >= {g} THEN "
+        f"transform(sequence(1, size(_toks) - {g} + 1), "
+        f"i -> concat_ws(' ', slice(_toks, i, {g}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    inst = (
+        _with_tokens(docs.select(F.col(id_col), F.col(text_col)), text_col)
+        .withColumn("_grams", F.expr(gram_expr))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer("_grams").alias("gram"),
+        )
+        .join(F.broadcast(model), on="gram", how="left")
+    )
+    agg = inst.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count("gram").cast("bigint").alias("n_grams"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("lp_micro"), F.lit(int(oov_lp_micro)))),
+            # zero grams (short/NULL doc): one OOV penalty, not zero
+            F.lit(int(oov_lp_micro)),
+        )
+        .cast("bigint")
+        .alias("lp_sum_micro"),
+    )
+    log_ppl = F.round(
+        -F.col("lp_sum_micro")
+        / F.lit(1_000_000.0)
+        / F.greatest(F.col("n_grams"), F.lit(1)),
+        6,
+    )
+    out = agg.withColumn("log_ppl", log_ppl)
+    bucket = (
+        F.when(F.col("log_ppl") <= F.lit(float(head_max)), "head")
+        .when(F.col("log_ppl") <= F.lit(float(middle_max)), "middle")
+        .otherwise("tail")
+    )
+    return out.withColumn("ppl_bucket", bucket)

@@ -2180,3 +2180,52 @@ def test_semantic_incremental_history_probe_shape(spark, embeddings, tmp_path):
         for df in reg:
             df.unpersist()
         spark.sql("DROP TABLE IF EXISTS t_sem_probe_idx")
+
+
+def test_lm_perplexity_semantics(spark):
+    """CCNet perplexity stage: exact micro-unit sums, OOV penalty, the
+    one-penalty rule for sub-n-gram/NULL docs, and all three buckets."""
+    from literature_to_facts_spark.datapipe.textstats import lm_perplexity
+
+    model = spark.createDataFrame(
+        [("a b", -1_000_000), ("b c", -2_000_000)], "gram string, lp_micro long"
+    )
+    rows = [
+        (1, "a b c"),     # grams: 'a b'(-1), 'b c'(-2) -> mean 1.5 -> head
+        (2, "a b z z"),   # 'a b'(-1), 'b z'(oov), 'z z'(oov) -> (1+20+20)/3
+        (3, "q q q"),     # all OOV -> 20 -> tail
+        (4, "solo"),      # sub-bigram: one penalty, n_grams 0 -> 20 -> tail
+        (5, None),        # NULL text: same one-penalty rule
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in lm_perplexity(
+            docs, model, oov_lp_micro=-20_000_000, head_max=2.0,
+            middle_max=15.0,
+        ).collect()
+    }
+    assert (out[1].n_grams, out[1].lp_sum_micro) == (2, -3_000_000)
+    assert out[1].log_ppl == 1.5 and out[1].ppl_bucket == "head"
+    assert (out[2].n_grams, out[2].lp_sum_micro) == (3, -41_000_000)
+    assert out[2].ppl_bucket == "middle"
+    assert out[3].ppl_bucket == "tail" and out[3].log_ppl == 20.0
+    assert (out[4].n_grams, out[4].lp_sum_micro) == (0, -20_000_000)
+    assert out[4].log_ppl == 20.0 and out[4].ppl_bucket == "tail"
+    assert (out[5].n_grams, out[5].lp_sum_micro) == (0, -20_000_000)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_gram"):
+        lm_perplexity(docs, model, n_gram=0)
+
+
+def test_lm_perplexity_plan_broadcast(spark):
+    """The model joins broadcast (never shuffling the corpus side) and the
+    per-doc groupBy partial-aggregates map-side."""
+    from literature_to_facts_spark.datapipe.textstats import lm_perplexity
+
+    docs = spark.range(50).selectExpr("id AS doc_id", "'a b c d' AS text")
+    model = spark.createDataFrame([("a b", -1_000_000)], "gram string, lp_micro long")
+    plan = lm_perplexity(docs, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
