@@ -2036,6 +2036,79 @@ def _lm_perplexity_oracle() -> str:
     """
 
 
+_PAGERANK_PARAMS = dict(iters=3, damping_micro=850_000)
+_PAGERANK_MOD = 97  # fixture graph: nodes are doc_id mod 97
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Link-graph centrality (datapipe/graphs.pagerank — the Common-Crawl
+    host-ranking signal): 3 exact fixed-point power iterations over a
+    deterministic synthetic hyperlink graph (src = doc_id mod 97, dst =
+    (31*doc_id + 7) mod 97, deduplicated) — integer micro-unit ranks, so
+    the DuckDB oracle recomputes every iteration bit-exactly."""
+    from literature_to_facts_spark.datapipe.graphs import pagerank
+
+    m = _PAGERANK_MOD
+    edges = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            f"cast(doc_id % {m} as bigint) AS src",
+            f"cast((31 * doc_id + 7) % {m} as bigint) AS dst",
+        )
+        .distinct()
+    )
+    reg = []
+    out = pagerank(edges, cache_registry=reg, **_PAGERANK_PARAMS)
+    out = out.select(
+        F.col("node").cast("bigint").alias("node"),
+        "rank_micro",
+        F.col("rank").cast("double").alias("rank"),
+    )
+    out._l2f_cache_registry = reg
+    return out
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB recomputation of the fixed-point PageRank: the same fixture
+    edges, out-degrees joined once, and each power iteration unrolled as a
+    chained CTE (aggregates over a recursive reference are not allowed in
+    recursive CTEs, and with fixed iters the unroll IS the contract)."""
+    m, it = _PAGERANK_MOD, _PAGERANK_PARAMS["iters"]
+    d = _PAGERANK_PARAMS["damping_micro"]
+    base = 1_000_000 - d
+    ctes = [
+        f"""e AS (
+          SELECT DISTINCT CAST(doc_id % {m} AS BIGINT) AS src,
+                 CAST((31 * doc_id + 7) % {m} AS BIGINT) AS dst
+          FROM documents
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+        w AS (SELECT e.src, e.dst, d.dg FROM e JOIN deg d ON e.src = d.src),
+        pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    ]
+    for k in range(1, it + 1):
+        ctes.append(
+            f"""c{k} AS (
+          SELECT w.dst AS node, SUM(p.r // w.dg) AS s
+          FROM w JOIN pr{k - 1} p ON w.src = p.node
+          GROUP BY w.dst
+        ),
+        pr{k} AS (
+          SELECT n.node,
+                 CAST({base} + ({d} * coalesce(c.s, 0)) // 1000000 AS BIGINT)
+                   AS r
+          FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+        )"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT node, r AS rank_micro,
+               ROUND(r / 1000000.0, 6) AS rank
+        FROM pr{it}
+    """
+
+
 _SHUFFLE_SEED, _SHUFFLE_SHARDS = 42, 8
 
 
@@ -2315,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_dedup_incremental": q_text_span_dedup_incremental,
         "text_span_dedup_clean": q_text_span_dedup_clean,
         "text_lm_perplexity": q_text_lm_perplexity,
+        "graph_pagerank": q_graph_pagerank,
         "text_quality_clf": q_text_quality_clf,
         "source_quality_stats": q_source_quality_stats,
         "sample_pack_sequences": q_sample_pack_sequences,
@@ -3923,6 +3997,7 @@ def oracle_sql() -> dict[str, str]:
         "text_span_dedup": _span_dedup_oracle(),
         "text_span_dedup_clean": _span_dedup_oracle(emit="clean"),
         "text_lm_perplexity": _lm_perplexity_oracle(),
+        "graph_pagerank": _pagerank_oracle(),
         "text_span_dedup_incremental": _span_dedup_oracle(
             restrict="b.doc_id % 5 = 0"
         ),

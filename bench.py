@@ -126,6 +126,7 @@ HEADLINE = [
     "url_domain_quality",
     "text_span_dedup_clean",
     "text_lm_perplexity",
+    "graph_pagerank",
 ]
 
 

@@ -2229,3 +2229,44 @@ def test_lm_perplexity_plan_broadcast(spark):
     plan = lm_perplexity(docs, model)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_fixed_point_semantics(spark):
+    """Fixed-point PageRank equals an independent integer-arithmetic
+    reference on a graph with a cycle, a dangling node and a hub; guards
+    fire loudly."""
+    import pytest as _pt
+
+    from literature_to_facts_spark.datapipe.graphs import pagerank
+
+    # 1 -> 2, 2 -> 1 (cycle); 1 -> 3 (3 dangles); 4 -> 1, 4 -> 2
+    edges = [(1, 2), (2, 1), (1, 3), (4, 1), (4, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    reg = []
+    got = {
+        r.node: (r.rank_micro, r.rank)
+        for r in pagerank(df, iters=3, cache_registry=reg).collect()
+    }
+    for d in reg:
+        d.unpersist()
+
+    # independent reference with the exact integer ops
+    nodes = {1, 2, 3, 4}
+    deg = {1: 2, 2: 1, 4: 2}
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {n: 150_000 + (850_000 * s[n]) // 1_000_000 for n in nodes}
+    for n in nodes:
+        assert got[n][0] == r[n], (n, got[n][0], r[n])
+        assert got[n][1] == round(r[n] / 1e6, 6)
+    # hub 4 receives nothing; dangling 3 receives but never forwards
+    assert got[4][0] == 150_000
+    assert got[3][0] > 150_000
+
+    with _pt.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    with _pt.raises(ValueError, match="damping"):
+        pagerank(df, damping_micro=1_000_000)
