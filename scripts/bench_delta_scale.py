@@ -47,8 +47,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from literature_to_facts_spark.datapipe.dedup import (  # noqa: E402
     _verify_jaccard,
+    build_exact_hash_index,
     build_lsh_band_index,
     build_simhash_band_index,
+    exact_duplicate_clusters_incremental,
     minhash_lsh_pairs_incremental,
     simhash_near_dups_incremental,
 )
@@ -60,9 +62,13 @@ from literature_to_facts_spark.datapipe.similarity import (  # noqa: E402
 )
 from literature_to_facts_spark.datapipe.storage import write_bucketed  # noqa: E402
 from literature_to_facts_spark.datapipe.textclean import (  # noqa: E402
+    _lines,
+    _reassemble,
     _span_aggregate,
     _span_instances,
+    build_line_frequency_index,
     build_window_frequency_index,
+    line_dedup_incremental,
     span_dedup_incremental,
 )
 from literature_to_facts_spark.sources.corpus import (  # noqa: E402
@@ -79,6 +85,10 @@ MINHASH = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5, max_bucket=1000)
 SIMHASH = dict(max_hamming=8, max_bucket=1000)
 EMBED = dict(n_planes=16, threshold=0.9, dim=64, max_bucket=1000)
 SPAN = dict(window=8, min_df=2)
+LINE = dict(min_df=2, min_line_chars=10)
+# line-family docs: the scale corpus is single-line; fold every 6th token
+# boundary into a newline so documents have CCNet-shaped line structure
+_LINEIFY = r"regexp_replace(text, '((\\S+ ){5}\\S+) ', '$1\n') AS text"
 # n_planes is the embedding family's SCALE KNOB: avg bucket population is
 # n_history / 2^n_planes, and the candidate-verify cost in EITHER shape is
 # O(batch x avg bucket).  An operational deployment grows n_planes with the
@@ -166,6 +176,39 @@ def union_simhash(all_index, *, max_hamming, max_bucket):
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def union_exact(all_idx):
+    """Round-4 shape for the exact family: the FULL (old + new) hash index
+    re-grouped per batch, clusters restricted to those containing a new
+    member."""
+    return (
+        all_idx.withColumn("is_new", (F.col("doc_id") >= OFFSET).cast("int"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("canonical_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.max("is_new").alias("_any_new"),
+        )
+        .where((F.col("cluster_size") >= 2) & (F.col("_any_new") == 1))
+        .select("text_hash", "cluster_size", "canonical_id", "members")
+    )
+
+
+def union_line(all_idx, batch_docs, *, min_df, min_line_chars):
+    """Round-4 shape for the line family: the FULL (old + new) line index
+    re-grouped per batch, the corpus-sized frequent set shuffle-joined
+    against the batch lines."""
+    freq = (
+        all_idx.groupBy("line_key")
+        .agg(F.sum("df").alias("c"))
+        .where(F.col("c") >= min_df)
+        .select(F.col("line_key").alias("_fkey"))
+    )
+    lines = _lines(batch_docs, "doc_id", "text", min_line_chars, ())
+    flagged = lines.join(freq, lines["_key"] == F.col("_fkey"), "left")
+    return _reassemble(flagged, "doc_id", ())
 
 
 def union_span(all_idx, batch_docs, *, window, min_df):
@@ -272,6 +315,20 @@ def _pairs_key(df):
     return sorted((r[0], r[1]) for r in df.select("id_a", "id_b").collect())
 
 
+def _exact_key(df):
+    return sorted(
+        (r["text_hash"], r["cluster_size"], r["canonical_id"], tuple(r["members"]))
+        for r in df.collect()
+    )
+
+
+def _line_key(df):
+    return sorted(
+        (r["doc_id"], r["n_lines"], r["n_dropped"], r["clean_text"])
+        for r in df.collect()
+    )
+
+
 def _span_key(df):
     return sorted(
         map(tuple, df.select("doc_id", "n_tokens", "n_dup_windows", "dup_tokens").collect())
@@ -309,7 +366,7 @@ def run(args):
     if args.emb_planes is not None:
         EMBED["n_planes"] = int(args.emb_planes)
     fam_filter = set(args.families.split(","))
-    known = {"minhash", "simhash", "embedding", "span"}
+    known = {"minhash", "simhash", "embedding", "span", "line", "exact"}
     if not fam_filter <= known:
         raise SystemExit(f"unknown families {sorted(fam_filter - known)}; "
                          f"choose from {sorted(known)}")
@@ -322,7 +379,7 @@ def run(args):
         "families": {},
     }
 
-    need_docs = bool(fam_filter & {"minhash", "simhash", "span"})
+    need_docs = bool(fam_filter & {"minhash", "simhash", "span", "line", "exact"})
     need_vecs = "embedding" in fam_filter
 
     # ---- corpora (deterministic, Spark-side; written to parquet so every
@@ -374,8 +431,23 @@ def run(args):
     # ---- persisted history indexes (bucketed catalog tables — the probe
     # shape's zero-Exchange property needs the bucket metadata)
     t0 = time.monotonic()
-    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx"):
+    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx", "ab_ln_idx", "ab_ex_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if "exact" in fam_filter:
+        write_bucketed(
+            build_exact_hash_index(docs), "ab_ex_idx", "text_hash", 32,
+            path=f"{wd}/ex_idx",
+        )
+    docs_ln = batch_ln = None
+    if "line" in fam_filter:
+        docs_ln = docs.selectExpr("doc_id", _LINEIFY)
+        batch_ln = batch.selectExpr("doc_id", _LINEIFY)
+        write_bucketed(
+            build_line_frequency_index(
+                docs_ln, min_line_chars=LINE["min_line_chars"]
+            ),
+            "ab_ln_idx", "line_key", 32, path=f"{wd}/ln_idx",
+        )
     if "span" in fam_filter:
         write_bucketed(
             build_window_frequency_index(docs, window=SPAN["window"]),
@@ -504,11 +576,61 @@ def run(args):
             )
         )
 
+    # line consumers aggregate the computed columns (same LEFT-join
+    # elimination hazard as span: a bare count() would delete the frequent
+    # set join)
+    def _force_line(out):
+        return out.agg(
+            F.sum("n_dropped").alias("a"), F.sum("n_lines").alias("b")
+        ).collect()[0]
+
+    def probe_ln():
+        reg = []
+        out = line_dedup_incremental(
+            batch_ln, spark.table("ab_ln_idx"), min_df=LINE["min_df"],
+            min_line_chars=LINE["min_line_chars"], cache_registry=reg,
+        )
+        c = _force_line(out)
+        for df in reg:
+            df.unpersist()
+        return c
+
+    def union_ln():
+        all_idx = spark.table("ab_ln_idx").unionByName(
+            build_line_frequency_index(
+                batch_ln, min_line_chars=LINE["min_line_chars"]
+            )
+        )
+        return _force_line(
+            union_line(
+                all_idx, batch_ln, min_df=LINE["min_df"],
+                min_line_chars=LINE["min_line_chars"],
+            )
+        )
+
+    def probe_ex():
+        reg = []
+        out = exact_duplicate_clusters_incremental(
+            batch, spark.table("ab_ex_idx"), cache_registry=reg
+        )
+        c = out.count()
+        for df in reg:
+            df.unpersist()
+        return c
+
+    def union_ex():
+        all_idx = spark.table("ab_ex_idx").unionByName(
+            build_exact_hash_index(batch)
+        )
+        return union_exact(all_idx).count()
+
     fams = {
         "minhash": (probe_mh, union_mh),
         "simhash": (probe_sh, union_sh),
         "embedding": (probe_em, union_em),
         "span": (probe_sp, union_sp),
+        "line": (probe_ln, union_ln),
+        "exact": (probe_ex, union_ex),
     }
     fams = {k: v for k, v in fams.items() if k in fam_filter}
     for fam, (probe_fn, union_fn) in fams.items():
@@ -544,6 +666,29 @@ def run(args):
                 max_hamming=SIMHASH["max_hamming"],
                 max_bucket=SIMHASH["max_bucket"],
             )
+        elif fam == "exact":
+            probe_df = exact_duplicate_clusters_incremental(
+                batch, spark.table("ab_ex_idx"), cache_registry=reg
+            )
+            union_df = union_exact(
+                spark.table("ab_ex_idx").unionByName(
+                    build_exact_hash_index(batch)
+                )
+            )
+        elif fam == "line":
+            probe_df = line_dedup_incremental(
+                batch_ln, spark.table("ab_ln_idx"), min_df=LINE["min_df"],
+                min_line_chars=LINE["min_line_chars"], cache_registry=reg,
+            )
+            union_df = union_line(
+                spark.table("ab_ln_idx").unionByName(
+                    build_line_frequency_index(
+                        batch_ln, min_line_chars=LINE["min_line_chars"]
+                    )
+                ),
+                batch_ln, min_df=LINE["min_df"],
+                min_line_chars=LINE["min_line_chars"],
+            )
         elif fam == "span":
             probe_df = span_dedup_incremental(
                 batch, spark.table("ab_sp_idx"), window=SPAN["window"],
@@ -571,7 +716,7 @@ def run(args):
                 vecs_all, threshold=EMBED["threshold"],
                 max_bucket=EMBED["max_bucket"],
             )
-        key_fn = _span_key if fam == "span" else _pairs_key
+        key_fn = {"span": _span_key, "line": _line_key, "exact": _exact_key}.get(fam, _pairs_key)
         pk, uk = key_fn(probe_df), key_fn(union_df)
         for df in reg:
             df.unpersist()
@@ -612,7 +757,7 @@ def run(args):
             json.dump(result, f, indent=1)
         print("wrote", out_path)
     print(json.dumps(result))
-    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx"):
+    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx", "ab_ln_idx", "ab_ex_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return 0 if all(f["parity_ok"] for f in result["families"].values()) else 1
 
@@ -628,5 +773,5 @@ if __name__ == "__main__":
     ap.add_argument("--emb-planes", type=int, default=None,
                     help="override EMBED n_planes (operational sizing: "
                     "~log2(n_history) + 1 keeps buckets O(1))")
-    ap.add_argument("--families", default="minhash,simhash,embedding,span")
+    ap.add_argument("--families", default="minhash,simhash,embedding,span,line,exact")
     sys.exit(run(ap.parse_args()))
