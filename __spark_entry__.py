@@ -2109,6 +2109,59 @@ def _pagerank_oracle() -> str:
     """
 
 
+# the html fixture wraps each document's text in a page skeleton exercising
+# every strip stage: script + style blocks, a comment, tags, the six
+# entities, and messy whitespace — ONE template both engines evaluate
+# (||-concat, NULL-propagating)
+_HTML_FIXTURE = (
+    "'<html><head><STYLE type=\"x\">p{color:red}</STYLE>"
+    "<script>var a=1&&2;</script></head>' || "
+    "'<body><!-- c --><h1>T&amp;amp;A</h1><p class=\"z\">' || text || "
+    "'</p>&lt;tag&gt;&nbsp;&quot;q&#39;</body></html>'"
+)
+
+
+def q_html_extract_text(spark, sf_dir):
+    """HTML -> text extraction (datapipe/html.html_extract_text — the strip
+    stage between the input table's html and text columns): script/style/
+    comment removal, tag strip, entity decode, whitespace collapse, as a
+    pure scan-fused regexp chain.  Patterns interpolate from the module
+    into the DuckDB oracle (the PII_PATTERNS contract)."""
+    from literature_to_facts_spark.datapipe.html import html_extract_text
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_HTML_FIXTURE} AS html"
+    )
+    out = html_extract_text(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "extracted_text",
+    )
+
+
+def _html_extract_oracle() -> str:
+    from literature_to_facts_spark.datapipe.html import (
+        HTML_ENTITIES,
+        HTML_STRIP_PATTERNS,
+        _WS_CLASS,
+    )
+
+    col = "html"
+    for pat, repl in HTML_STRIP_PATTERNS:
+        col = f"regexp_replace({col}, '{pat}', '{repl}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        col = f"replace({col}, '{ent}', '{ch_sql}')"
+    col = f"trim(regexp_replace({col}, '{_WS_CLASS}', ' ', 'g'))"
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {_HTML_FIXTURE} AS html FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {col} AS extracted_text
+        FROM h
+    """
+
+
 _SHUFFLE_SEED, _SHUFFLE_SHARDS = 42, 8
 
 
@@ -2389,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_dedup_clean": q_text_span_dedup_clean,
         "text_lm_perplexity": q_text_lm_perplexity,
         "graph_pagerank": q_graph_pagerank,
+        "html_extract_text": q_html_extract_text,
         "text_quality_clf": q_text_quality_clf,
         "source_quality_stats": q_source_quality_stats,
         "sample_pack_sequences": q_sample_pack_sequences,
@@ -3998,6 +4052,7 @@ def oracle_sql() -> dict[str, str]:
         "text_span_dedup_clean": _span_dedup_oracle(emit="clean"),
         "text_lm_perplexity": _lm_perplexity_oracle(),
         "graph_pagerank": _pagerank_oracle(),
+        "html_extract_text": _html_extract_oracle(),
         "text_span_dedup_incremental": _span_dedup_oracle(
             restrict="b.doc_id % 5 = 0"
         ),

@@ -127,6 +127,7 @@ HEADLINE = [
     "text_span_dedup_clean",
     "text_lm_perplexity",
     "graph_pagerank",
+    "html_extract_text",
 ]
 
 

@@ -953,3 +953,38 @@ def test_span_dedup_clean_collision_guard(spark):
     )
     with _pt.raises(ValueError, match="clean_text"):
         span_dedup_clean(docs)
+
+
+def test_html_extract_text_semantics(spark):
+    """HTML strip chain: script/style/comment removal, tag strip, entity
+    decode order (&amp; last), binary ascii-replace decode, NULL pass."""
+    from pyspark.sql import Row
+
+    from literature_to_facts_spark.datapipe.html import html_extract_text
+
+    page = (
+        '<html><head><STYLE a="b">p{}</STYLE><script>if(1<2){x()}</script>'
+        "</head><body><!-- no --><p>A&amp;lt;B</p>\n\t<b>bold</b>"
+        "&nbsp;&quot;q&#39; </body></html>"
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=1, html=page), Row(doc_id=2, html=None)]
+    )
+    out = {r.doc_id: r.extracted_text for r in html_extract_text(df).collect()}
+    # &amp;lt; single-pass decodes to the literal &lt;  (amp decoded LAST)
+    assert out[1] == 'A&lt;B bold "q\''
+    assert out[2] is None
+
+    # binary column: ascii-replace decode (U+FFFD for non-ascii bytes),
+    # checked against python's own decode('ascii', 'replace')
+    import re as _re
+
+    raw = b"<p>caf\xc3\xa9</p>"
+    dfb = spark.createDataFrame([Row(doc_id=1, html=bytearray(raw))])
+    got = html_extract_text(dfb).collect()[0].extracted_text
+    exp = _re.sub(r"<[^>]+>", " ", raw.decode("ascii", "replace")).strip()
+    assert got == exp == "caf��"
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="extracted_text"):
+        html_extract_text(df.withColumn("extracted_text", df.html))
