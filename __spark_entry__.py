@@ -857,6 +857,29 @@ def q_dedup_corpus_purge(spark, sf_dir):
     )
 
 
+def q_dedup_corpus_keep_best(spark, sf_dir):
+    """Quality-aware purge (datapipe/dedup.deduplicate_corpus_keep_best —
+    the RefinedWeb-style policy): same MinHash-LSH pairs + CC closure as
+    dedup_corpus_purge, but each cluster keeps its highest-quality member
+    (exact (quality DESC, id ASC) argmax as a min-of-struct aggregate, no
+    window).  Quality fixture: n_chars % 997 (integer-exact in both
+    engines, with real ties exercising the id tie-break)."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        deduplicate_corpus_keep_best,
+        minhash_lsh_pairs,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents")).withColumn(
+        "quality", F.expr("cast(n_chars % 997 as double)")
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, n_hashes=16, bands=4)
+    kept = deduplicate_corpus_keep_best(docs, pairs, quality_col="quality")
+    return kept.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("lang").alias("lang"),
+    )
+
+
 def q_dedup_lsh_bucket_stats(spark, sf_dir):
     """The dedup-monitoring report that makes the LSH bucket cap a measured
     quantity instead of silent recall loss (datapipe/dedup.lsh_bucket_stats):
@@ -1575,6 +1598,82 @@ def q_text_token_topk(spark, sf_dir):
     return token_topk(_spread(_t(spark, sf_dir, "documents")), k=20)
 
 
+_ENCODE_VOCAB_K = 64
+
+
+def q_text_tokenize_encode(spark, sf_dir):
+    """Vocabulary encoding (datapipe/textstats.tokenize_encode, the
+    broadcast_map strategy): the corpus' own top-64 tokens become the
+    vocab (ids 1..64 by frequency, deterministic tie-break), documents
+    encode to position-ordered id streams with OOV=0 — one Arrow-batched
+    mapInPandas pass over a broadcast dict, ZERO shuffle (the join-method
+    variant is regroup-tested equal in tests).  token_ids emit comma-
+    joined (the array-hash parity convention)."""
+    from pyspark.sql import Window
+
+    from literature_to_facts_spark.datapipe.textstats import (
+        token_topk,
+        tokenize_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = token_topk(docs, k=_ENCODE_VOCAB_K).withColumn(
+        "token_id",
+        F.row_number().over(
+            Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        ),
+    )
+    out = tokenize_encode(docs, vocab, oov_id=0)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(
+            "array_join(transform(token_ids, x -> cast(x as string)), ',')"
+        ).alias("token_ids_csv"),
+        "n_oov",
+    )
+
+
+def _tokenize_encode_oracle() -> str:
+    k = _ENCODE_VOCAB_K
+    return f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), s -> s <> '')
+                   AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (
+          SELECT token, count(*) AS n_occ
+          FROM (SELECT unnest(toks) AS token FROM tk) GROUP BY 1
+        ),
+        vocab AS (
+          SELECT token,
+                 row_number() OVER (ORDER BY n_occ DESC, token ASC) AS tid
+          FROM (SELECT token, n_occ FROM c
+                ORDER BY n_occ DESC, token ASC LIMIT {k})
+        ),
+        p0 AS (
+          SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tk
+        ),
+        p AS (SELECT doc_id, i, toks[i] AS tok FROM p0),
+        e AS (
+          SELECT p.doc_id,
+                 string_agg(CAST(coalesce(v.tid, 0) AS VARCHAR), ','
+                            ORDER BY p.i) AS csv,
+                 CAST(sum(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_oov
+          FROM p LEFT JOIN vocab v ON p.tok = v.token
+          GROUP BY p.doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce(e.csv, '') END AS token_ids_csv,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce(e.n_oov, 0) END AS n_oov
+        FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+    """
+
+
 _BLOCKLIST_TERMS = ["merge", "batch"]
 
 
@@ -2162,6 +2261,127 @@ def _html_extract_oracle() -> str:
     """
 
 
+# link fixture: one page skeleton exercising every href shape — absolute
+# (double-quoted, with fragment), root-relative (single-quoted), dir-relative
+# (unquoted), protocol-relative, and two dropped forms (mailto:, fragment-only)
+# — over the SAME crawl-URL fixture as the url_* queries, so invalid /
+# non-http / NULL page urls exercise the resolution guards.
+_LINKS_HTML_TMPL = (
+    "'<html><body>"
+    '<A HREF="https://cdn' + "' || {mod} || '" + '.example.com/lib.html#top">x</a>'
+    "<a id=''n'' href=''/r/' || {id} || '.html''>y</a>"
+    "<a href=rel' || {mod} || '.html>z</a>"
+    '<a href="//m' + "' || {mod} || '" + '.example.net/mm">w</a>'
+    '<a href="mailto:a@b.c">m</a><a href="#s">s</a>'
+    "</body></html>'"
+)
+_LINKS_HTML_SPARK = _LINKS_HTML_TMPL.format(
+    id="cast(doc_id as string)", mod="cast(doc_id % 5 as string)"
+)
+_LINKS_HTML_DUCK = _LINKS_HTML_TMPL.format(
+    id="cast(doc_id as varchar)", mod="cast(doc_id % 5 as varchar)"
+)
+
+
+def q_html_extract_links(spark, sf_dir):
+    """Anchor extraction + URL resolution (datapipe/html.
+    html_extract_links — the crawl-table -> link-graph edge-list stage
+    feeding graphs.pagerank): three-quote-style href battery, fragment
+    strip, scheme filter, protocol/root/dir-relative resolution against
+    the page URL — all scan-fused per-row expressions, zero shuffle."""
+    from literature_to_facts_spark.datapipe.html import html_extract_links
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_URL_FIXTURE_SPARK} AS url",
+        f"{_LINKS_HTML_SPARK} AS html",
+    )
+    out = html_extract_links(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "link_url",
+        "link_host",
+    )
+
+
+def _html_links_oracle() -> str:
+    """DuckDB replay of html_extract_links: href patterns, scheme regexes
+    and the URL group regex interpolate from datapipe.html / datapipe.urls
+    (operator edits propagate); concat uses || (NULL-propagating) per the
+    DuckDB-concat-skips-NULLs invariant."""
+    from literature_to_facts_spark.datapipe.html import (
+        HREF_PATTERNS,
+        HTTP_LINK_PATTERN,
+        LINK_SCHEME_PATTERN,
+    )
+    from literature_to_facts_spark.datapipe.urls import URL_PATTERN
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    g = _duck_url_group
+    # DuckDB list_concat is binary — fold the three extract arrays pairwise
+    arrays = [f"regexp_extract_all(html, '{q(p)}', 1)" for p in HREF_PATTERNS]
+    extracts = arrays[0]
+    for a in arrays[1:]:
+        extracts = f"list_concat({extracts}, {a})"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {_URL_FIXTURE_DUCK} AS url,
+                 {_LINKS_HTML_DUCK} AS html
+          FROM documents
+        ),
+        pg AS (
+          SELECT doc_id, html,
+                 (url IS NOT NULL AND {g(2)} <> '') AS ok,
+                 lower({g(1)}) AS sch, lower({g(2)}) AS hostl,
+                 {g(3)} AS prt, {g(4)} AS pth
+          FROM d
+        ),
+        pg2 AS (
+          SELECT doc_id, html, ok,
+                 CASE WHEN ok THEN sch END AS pg_scheme,
+                 CASE WHEN ok THEN sch || '://' || hostl ||
+                      CASE WHEN prt = '' THEN '' ELSE ':' || prt END
+                 END AS pg_base,
+                 CASE WHEN ok THEN
+                      CASE WHEN pth = '' THEN '/'
+                           ELSE regexp_extract(pth, '(?s)^(.*/)', 1) END
+                 END AS pg_dir
+          FROM pg
+        ),
+        hr AS (
+          SELECT doc_id, ok, pg_scheme, pg_base, pg_dir,
+                 unnest({extracts}) AS href_raw
+          FROM pg2
+        ),
+        h2 AS (
+          SELECT doc_id, ok, pg_scheme, pg_base, pg_dir,
+                 split_part(trim(href_raw), '#', 1) AS h
+          FROM hr
+        ),
+        r AS (
+          SELECT doc_id,
+                 CASE WHEN h = '' THEN NULL
+                      WHEN regexp_matches(h, '{LINK_SCHEME_PATTERN}')
+                           AND regexp_matches(h, '{HTTP_LINK_PATTERN}')
+                        THEN h
+                      WHEN regexp_matches(h, '{LINK_SCHEME_PATTERN}')
+                        THEN NULL
+                      WHEN NOT ok THEN NULL
+                      WHEN h LIKE '//%' THEN pg_scheme || ':' || h
+                      WHEN h LIKE '/%' THEN pg_base || h
+                      ELSE pg_base || pg_dir || h END AS link_url
+          FROM h2
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, link_url,
+               lower({g(2, "link_url")}) AS link_host
+        FROM r
+        WHERE link_url IS NOT NULL
+          AND regexp_matches(link_url, '{HTTP_LINK_PATTERN}')
+    """
+
+
 _SHUFFLE_SEED, _SHUFFLE_SHARDS = 42, 8
 
 
@@ -2181,6 +2401,61 @@ def q_sample_shuffle_shards(spark, sf_dir):
         F.col("shard").cast("bigint").alias("shard"),
         "pos",
     )
+
+
+_CHUNK_PARAMS = dict(chunk_size=12, overlap=4)
+
+
+def q_text_chunk_sliding(spark, sf_dir):
+    """Sliding-window token chunking (datapipe/sampling.chunk_documents —
+    the long-document context-length stage): whitespace tokens, stride
+    chunk_size - overlap, exact integer chunk math, zero shuffle (explode
+    + slice fused into the scan).  Small chunk_size so multi-chunk docs
+    and the short-last-chunk edge are exercised at test scale."""
+    from literature_to_facts_spark.datapipe.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, **_CHUNK_PARAMS)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "chunk_id",
+        "chunk_start",
+        "n_chunk_tokens",
+        "chunk_text",
+    )
+
+
+def _chunk_sliding_oracle() -> str:
+    cs = _CHUNK_PARAMS["chunk_size"]
+    step = cs - _CHUNK_PARAMS["overlap"]
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), s -> s <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        n AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ),
+        c AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, 1 + (greatest(n - {cs}, 0) + {step} - 1)
+                        // {step})) AS chunk_id
+          FROM n
+        ),
+        s AS (
+          SELECT doc_id, chunk_id,
+                 list_slice(toks, chunk_id * {step} + 1,
+                            chunk_id * {step} + {cs}) AS chunk
+          FROM c
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(chunk_id * {step} AS BIGINT) AS chunk_start,
+               CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM s
+    """
 
 
 def _shuffle_shards_oracle() -> str:
@@ -2402,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_exact_incremental": q_dedup_exact_incremental,
         "dedup_corpus_purge": q_dedup_corpus_purge,
+        "dedup_corpus_keep_best": q_dedup_corpus_keep_best,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
@@ -2443,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_perplexity": q_text_lm_perplexity,
         "graph_pagerank": q_graph_pagerank,
         "html_extract_text": q_html_extract_text,
+        "html_extract_links": q_html_extract_links,
         "text_quality_clf": q_text_quality_clf,
         "source_quality_stats": q_source_quality_stats,
         "sample_pack_sequences": q_sample_pack_sequences,
@@ -2450,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_delta": q_kg_triples_delta,
         "text_blocklist_filter": q_text_blocklist_filter,
         "text_token_topk": q_text_token_topk,
+        "text_tokenize_encode": q_text_tokenize_encode,
         "text_pii_redact": q_text_pii_redact,
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_mixture_temperature": q_sample_mixture_temperature,
@@ -2457,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "sample_shuffle_shards": q_sample_shuffle_shards,
+        "text_chunk_sliding": q_text_chunk_sliding,
         "url_parts": q_url_parts,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
@@ -3845,6 +4124,38 @@ def oracle_sql() -> dict[str, str]:
                 {_cc_oracle(_minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4))}
               ) WHERE doc_id != cluster_rep)
         """,
+        # quality-aware purge: same closure, rep = (quality DESC, id ASC)
+        # argmax per cluster; quality fixture n_chars % 997 (exact, with
+        # ties so the id tie-break is exercised)
+        "dedup_corpus_keep_best": f"""
+            WITH labels AS (
+              SELECT * FROM (
+                {_cc_oracle(_minhash_oracle(n_gram=3, threshold=0.5, n_hashes=16, bands=4))}
+              )
+            ),
+            q AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(CAST(n_chars % 997 AS DOUBLE),
+                              CAST('-infinity' AS DOUBLE)) AS q
+              FROM documents
+            ),
+            m AS (
+              SELECT l.doc_id, l.cluster_rep, q.q
+              FROM labels l JOIN q ON l.doc_id = q.doc_id
+            ),
+            best AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                  PARTITION BY cluster_rep
+                  ORDER BY q DESC, doc_id ASC) AS rn
+                FROM m) WHERE rn = 1
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+            FROM documents d
+            WHERE CAST(d.doc_id AS BIGINT) NOT IN (
+              SELECT doc_id FROM m
+              WHERE doc_id NOT IN (SELECT doc_id FROM best))
+        """,
         # the COMPLETE curation chain: gate -> decontam -> purge -> budget
         # prefix, every stage's SQL fragment nested into one statement over
         # the survivors of the previous one
@@ -4021,6 +4332,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, n_occurrences, n_docs FROM c
             ORDER BY n_occurrences DESC, token ASC LIMIT 20
         """,
+        "text_tokenize_encode": _tokenize_encode_oracle(),
         "text_line_dedup": _line_dedup_oracle(),
         # '||' not concat(): NULL-propagating like Spark's concat, so a
         # NULL-text doc perturbs to NULL (unchanged), matching snapshot_diff
@@ -4053,6 +4365,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_perplexity": _lm_perplexity_oracle(),
         "graph_pagerank": _pagerank_oracle(),
         "html_extract_text": _html_extract_oracle(),
+        "html_extract_links": _html_links_oracle(),
         "text_span_dedup_incremental": _span_dedup_oracle(
             restrict="b.doc_id % 5 = 0"
         ),
@@ -4078,6 +4391,7 @@ def oracle_sql() -> dict[str, str]:
             **{k: v for k, v in _SEMDEDUP_PARAMS.items() if k != "refine_iters"},
         ),
         "sample_shuffle_shards": _shuffle_shards_oracle(),
+        "text_chunk_sliding": _chunk_sliding_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(**{k: v for k, v in _SEMDEDUP_PARAMS.items() if k != "refine_iters"}),
         "url_parts": _url_parts_oracle(),
         "url_normalize": _url_normalize_oracle(),

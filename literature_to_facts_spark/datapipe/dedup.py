@@ -194,6 +194,60 @@ def deduplicate_corpus(
     return docs.join(drop, on=id_col, how="left_anti")
 
 
+def deduplicate_corpus_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Quality-aware near-dup purge: like :func:`deduplicate_corpus`, but
+    each cluster keeps its HIGHEST-``quality_col`` member (ties -> minimum
+    id; NULL quality sorts worst) instead of the minimum id — the
+    RefinedWeb/FineWeb-style policy where dedup doubles as a quality pass
+    (a boilerplate-heavy mirror must not displace the clean original just
+    because it was crawled first).
+
+    Deterministic (exact lexicographic (quality DESC, id ASC) argmax), so
+    an independent engine reproduces the surviving set bit-for-bit.
+
+    Scale shape: the CC label table is PAIR-bounded (only clustered docs),
+    so the quality lookup joins the corpus once on its id with a small
+    right side (AQE broadcasts it when it fits); the per-cluster argmax is
+    one partial-agg'd groupBy over cluster members (min of a 2-field
+    struct — no window, no sort); the final drop set is members minus
+    winners, applied with the same single left-anti join as
+    :func:`deduplicate_corpus`.  EAGER (embeds the CC fixpoint).
+    """
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b, max_iters=max_iters)
+    qual = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(
+            F.col(quality_col).cast("double"), F.lit(float("-inf"))
+        ).alias("_q"),
+    )
+    members = cc.join(qual, on="doc_id")
+    # argmax(quality, tie: min id) == min of the (-quality, id) struct —
+    # a plain aggregate with map-side partial min, not a window
+    best = (
+        members.groupBy("cluster_rep")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_q")).alias("nq"), F.col("doc_id").alias("id")
+                )
+            ).alias("_b")
+        )
+        .select(F.col("_b.id").alias("doc_id"))
+    )
+    drop = members.select("doc_id").join(best, on="doc_id", how="left_anti")
+    return docs.join(
+        drop.select(F.col("doc_id").alias(id_col)), on=id_col, how="left_anti"
+    )
+
+
 def _shingle_frame(
     docs: DataFrame, id_col: str, text_col: str, n: int, explode: bool
 ) -> DataFrame:

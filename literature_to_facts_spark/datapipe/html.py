@@ -45,6 +45,28 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 
 _WS_CLASS = r"[ \t\n\x0B\f\r]+"  # explicit: Java \s includes U+000B, RE2 does not
 
+# anchor href extraction — three quote styles, each a separate RE2-safe
+# pattern with ONE capture group (double-quoted, single-quoted, unquoted).
+# A given href matches exactly one (the char after '=' decides), so
+# concatenating the three extract-all arrays never double-counts.
+_A_WS = r"[ \t\n\x0B\f\r]"
+HREF_PATTERNS: list[str] = [
+    rf'(?is)<a{_A_WS}[^>]*href{_A_WS}*={_A_WS}*"([^"]*)"',
+    rf"(?is)<a{_A_WS}[^>]*href{_A_WS}*={_A_WS}*'([^']*)'",
+    rf"""(?is)<a{_A_WS}[^>]*href{_A_WS}*={_A_WS}*([^"' \t\n\x0B\f\r>][^ \t\n\x0B\f\r>]*)""",
+]
+
+# a link carrying its own scheme ('javascript:', 'mailto:', 'https://...')
+LINK_SCHEME_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+HTTP_LINK_PATTERN = r"(?i)^https?://"
+
+_LINK_INTERNAL_COLS = frozenset(
+    {
+        "_html_txt", "_hrefs", "_href_raw", "_href",
+        "_pg_scheme", "_pg_base", "_pg_dir", "_pg_valid", "_resolved",
+    }
+)
+
 
 def html_extract_text(
     docs: DataFrame,
@@ -82,3 +104,144 @@ def html_extract_text(
         col = F.replace(col, F.lit(ent), F.lit(ch))
     col = F.trim(F.regexp_replace(col, _WS_CLASS, " "))
     return docs.withColumns({output_col: col})
+
+
+def _decoded_html(docs: DataFrame, html_col: str):
+    """html column as a string expression (binary decoded as latin-1 with
+    the high range replaced by U+FFFD — the ascii-replace invariant)."""
+    col = F.col(html_col)
+    if dict(docs.dtypes)[html_col] == "binary":
+        col = F.regexp_replace(F.decode(col, "ISO-8859-1"), r"[^\x00-\x7F]", "�")
+    return col
+
+
+def html_extract_links(
+    docs: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    link_col: str = "link_url",
+    host_col: str = "link_host",
+    dedup: bool = False,
+) -> DataFrame:
+    """Extract anchor hrefs from raw HTML and resolve them against the
+    page URL — the stage that turns a crawl table into the ``(src, dst)``
+    edge list :func:`~literature_to_facts_spark.datapipe.graphs.pagerank`
+    ranks.  One output row per extracted link: all input columns EXCEPT
+    ``html_col`` (dropped so the explode never copies the raw page per
+    link) plus ``link_col`` (the resolved absolute URL, fragment stripped)
+    and ``host_col`` (its lowercased host).
+
+    Resolution semantics (RFC 3986 subset, documented not silent):
+    absolute ``http(s)`` links pass through; other schemes
+    (``javascript:``, ``mailto:``, ``ftp:``) are dropped;
+    protocol-relative ``//host/p`` takes the page scheme; root-relative
+    ``/p`` takes ``scheme://host[:port]``; everything else resolves
+    against the page path's directory (no ``..`` segment normalization —
+    crawl graphs compare the unnormalized form).  Fragment-only / empty
+    hrefs are dropped; relative links on an invalid or NULL page URL are
+    dropped (nothing to resolve against); pages with no links emit no
+    rows; every emitted ``link_col`` is an absolute http(s) URL (a
+    relative link inheriting a non-http page scheme is filtered, not
+    emitted).  Pattern battery (:data:`HREF_PATTERNS`) covers double-quoted /
+    single-quoted / unquoted hrefs and stays RE2-safe so the DuckDB
+    oracle replays it verbatim.
+
+    Scale shape: extract-all + resolution fuse into the scan (the decoded
+    html and the page parts are projected ONCE each before the HOF /
+    multi-consumer expressions — repo invariant); the only wide op is the
+    optional ``dedup`` distinct.  Reference tie: the reference builds its
+    citation graph from in-text links (facts/common.py:22-35); this is
+    the crawl-scale analog over raw pages.
+    """
+    clash = sorted(_LINK_INTERNAL_COLS & set(docs.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with html_extract_links "
+            "internals; rename them first"
+        )
+    for out_name in (link_col, host_col):
+        if out_name in docs.columns:
+            raise ValueError(
+                f"output column {out_name!r} already exists; rename it first"
+            )
+    from .urls import URL_PATTERN
+
+    # decoded html projected once (three extract-all consumers)
+    staged = docs.withColumns({"_html_txt": _decoded_html(docs, html_col)})
+    hrefs = F.concat(
+        *[
+            F.regexp_extract_all(F.col("_html_txt"), F.lit(p), 1)
+            for p in HREF_PATTERNS
+        ]
+    )
+    url = F.col(url_col)
+    host_raw = F.regexp_extract(url, URL_PATTERN, 2)
+    pg_valid = F.when(url.isNotNull(), host_raw != F.lit(""))
+    scheme = F.lower(F.regexp_extract(url, URL_PATTERN, 1))
+    port_s = F.regexp_extract(url, URL_PATTERN, 3)
+    base = F.concat(
+        scheme,
+        F.lit("://"),
+        F.lower(host_raw),
+        F.when(port_s == F.lit(""), F.lit("")).otherwise(
+            F.concat(F.lit(":"), port_s)
+        ),
+    )
+    path = F.regexp_extract(url, URL_PATTERN, 4)
+    pg_dir = F.when(path == F.lit(""), F.lit("/")).otherwise(
+        F.regexp_extract(path, r"(?s)^(.*/)", 1)
+    )
+    staged = staged.withColumns(
+        {
+            "_hrefs": hrefs,
+            "_pg_valid": pg_valid,
+            "_pg_scheme": F.when(pg_valid, scheme),
+            "_pg_base": F.when(pg_valid, base),
+            "_pg_dir": F.when(pg_valid, pg_dir),
+        }
+    ).drop(html_col, "_html_txt")
+    exploded = staged.withColumns(
+        {"_href_raw": F.explode(F.col("_hrefs"))}
+    ).drop("_hrefs")
+    # trim + strip fragment, projected once (six consumers below)
+    exploded = exploded.withColumns(
+        {"_href": F.substring_index(F.trim(F.col("_href_raw")), "#", 1)}
+    )
+    h = F.col("_href")
+    has_scheme = h.rlike(LINK_SCHEME_PATTERN)
+    is_http = h.rlike(HTTP_LINK_PATTERN)
+    resolved = (
+        F.when(h == F.lit(""), F.lit(None).cast("string"))
+        .when(has_scheme & is_http, h)
+        .when(has_scheme, F.lit(None).cast("string"))
+        .when(~F.col("_pg_valid"), F.lit(None).cast("string"))
+        .when(
+            h.startswith("//"),
+            F.concat(F.col("_pg_scheme"), F.lit(":"), h),
+        )
+        .when(h.startswith("/"), F.concat(F.col("_pg_base"), h))
+        .otherwise(F.concat(F.col("_pg_base"), F.col("_pg_dir"), h))
+    )
+    out = (
+        exploded.withColumns({"_resolved": resolved})
+        # every output link is an absolute http(s) URL: relative links
+        # inherit the page scheme, so a link resolved against an ftp://
+        # page is filtered here, not silently emitted
+        .where(
+            F.col("_resolved").isNotNull()
+            & F.col("_resolved").rlike(HTTP_LINK_PATTERN)
+        )
+        .withColumns(
+            {
+                link_col: F.col("_resolved"),
+                host_col: F.lower(
+                    F.regexp_extract(F.col("_resolved"), URL_PATTERN, 2)
+                ),
+            }
+        )
+        .drop(
+            "_href_raw", "_href", "_resolved",
+            "_pg_valid", "_pg_scheme", "_pg_base", "_pg_dir",
+        )
+    )
+    return out.distinct() if dedup else out

@@ -466,6 +466,74 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 2048,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into sliding token windows — the long-document
+    stage of a training-data pipeline (context-length-bounded chunks with
+    ``overlap`` tokens of continuity between adjacent chunks; the
+    alternative layout to :func:`pack_sequences`' cross-document packing).
+
+    Tokens are non-empty whitespace splits (same tokenizer as
+    ``pack_sequences``).  Per document with ``n > 0`` tokens and stride
+    ``step = chunk_size - overlap``, emits ``1 + ceil(max(n - chunk_size,
+    0) / step)`` rows: ``(id_col, chunk_id, chunk_start, n_chunk_tokens,
+    chunk_text)`` with ``chunk_start = chunk_id * step`` (token offset) and
+    the last chunk possibly shorter.  NULL-text / zero-token docs emit no
+    rows.  Pure integer arithmetic — bit-portable, fully oracle-able.
+
+    Scale shape: the token array is projected ONCE (HOF invariant), the
+    chunk count is exact integer math on its size, and the explode +
+    slice + join run in the same codegen stage as the scan — zero
+    shuffle.  Chunk rows carry only the sliced tokens (the full array and
+    raw text are dropped before emit), so output bytes ~ input bytes *
+    (1 + overlap/step), not * n_chunks.
+    """
+    cs, ov = int(chunk_size), int(overlap)
+    if cs < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    if not 0 <= ov < cs:
+        raise ValueError(
+            f"overlap must be in [0, chunk_size), got {overlap} vs {chunk_size}"
+        )
+    step = cs - ov
+    staged = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias(
+                "_toks"
+            ),
+        )
+        .withColumn("_n", F.size("_toks"))
+        .where(F.col("_n") > 0)
+        .withColumn(
+            "chunk_id",
+            F.explode(
+                F.expr(
+                    f"sequence(0, (greatest(_n - {cs}, 0) + {step} - 1)"
+                    f" div {step})"
+                )
+            ),
+        )
+        .withColumn(
+            "_chunk",
+            F.expr(f"slice(_toks, chunk_id * {step} + 1, {cs})"),
+        )
+    )
+    return staged.select(
+        F.col("_id").alias(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        (F.col("chunk_id") * F.lit(step)).cast("bigint").alias("chunk_start"),
+        F.size("_chunk").cast("bigint").alias("n_chunk_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )
+
+
 def shuffle_deterministic(
     docs: DataFrame,
     id_col: str = "doc_id",

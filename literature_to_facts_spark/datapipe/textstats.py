@@ -706,3 +706,118 @@ def lm_perplexity(
         .otherwise("tail")
     )
     return out.withColumn("ppl_bucket", bucket)
+
+
+def tokenize_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    token_id_col: str = "token_id",
+    oov_id: int = 0,
+    method: str = "broadcast_map",
+) -> DataFrame:
+    """Encode each document's token stream into integer ids against a
+    ``(token, token_id)`` vocabulary — the text -> model-input stage that
+    precedes :func:`~literature_to_facts_spark.datapipe.sampling.pack_sequences`.
+    Tokens are the same lowercased non-empty whitespace splits as
+    :func:`token_topk` (build the vocab with it and the normalization
+    matches by construction); out-of-vocabulary tokens encode as
+    ``oov_id``.  Adds ``token_ids array<bigint>`` (position-ordered) and
+    ``n_oov bigint``; NULL text -> NULL in both, zero-token text -> empty
+    array / 0.
+
+    Two physical strategies, results identical (tested):
+
+    * ``method='broadcast_map'`` (default, the 10^12-document shape): the
+      vocab is collected (EAGER — vocabularies are bounded: 10^4-10^6
+      rows, the same contract as the gazetteer broadcast) and shipped once
+      per executor as a broadcast dict; encoding is one Arrow-batched
+      ``mapInPandas`` pass — ZERO shuffle, the corpus is never exploded.
+      Python-side ``str.split(' ')``/``str.lower()`` mirror the JVM
+      expressions (ASCII-exact; exotic-locale casing is out of scope for
+      the fixture corpora, same caveat as every lower() oracle).
+    * ``method='join'`` (pure-JVM declarative alternative): posexplode ->
+      broadcast left join on the token -> per-doc regroup via
+      ``array_sort(collect_list(struct(pos, id)))``.  Lazy, whole-plan
+      optimizable, but the regroup Exchange carries every token instance —
+      at web scale that shuffle is the corpus; prefer the default.
+    """
+    if method not in ("broadcast_map", "join"):
+        raise ValueError(f"unknown method {method!r}")
+    for out_name in ("token_ids", "n_oov"):
+        if out_name in docs.columns:
+            raise ValueError(
+                f"output column {out_name!r} already exists; rename it first"
+            )
+    oov = int(oov_id)
+    if method == "join":
+        toks = docs.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("_eid"),
+            F.posexplode(F.expr(_tokens(text_col))).alias("_pos", "_tok"),
+        )
+        v = vocab.select(
+            F.col(token_col).alias("_tok"),
+            F.col(token_id_col).cast("bigint").alias("_tid"),
+        )
+        enc = (
+            toks.join(F.broadcast(v), on="_tok", how="left")
+            .groupBy("_eid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(_pos, "
+                    f"coalesce(_tid, {oov}L) AS tid))), x -> x.tid)"
+                ).alias("_ids"),
+                F.sum(
+                    F.when(F.col("_tid").isNull(), 1).otherwise(0)
+                ).cast("bigint").alias("_noov"),
+            )
+        )
+        joined = docs.join(
+            enc, on=docs[id_col] == enc["_eid"], how="left"
+        ).drop("_eid")
+        has_text = F.col(text_col).isNotNull()
+        return joined.withColumns(
+            {
+                "token_ids": F.when(
+                    has_text,
+                    F.coalesce(
+                        F.col("_ids"),
+                        F.expr("CAST(array() AS array<bigint>)"),
+                    ),
+                ),
+                "n_oov": F.when(
+                    has_text, F.coalesce(F.col("_noov"), F.lit(0).cast("bigint"))
+                ),
+            }
+        ).drop("_ids", "_noov")
+
+    # broadcast_map: vocab dict on executors, one Arrow pass, zero shuffle
+    from pyspark.sql.types import ArrayType, LongType, StructType
+
+    rows = vocab.select(token_col, token_id_col).collect()
+    vmap = {r[0]: int(r[1]) for r in rows}
+    bc = docs.sparkSession.sparkContext.broadcast(vmap)
+    # copy the field list: StructType.add mutates it in place, and
+    # StructType(df.schema.fields) would alias the input frame's own schema
+    schema = StructType(list(docs.schema.fields)).add(
+        "token_ids", ArrayType(LongType())
+    ).add("n_oov", LongType())
+
+    def _encode(batches):
+        m = bc.value
+        for pdf in batches:
+            ids, noov = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    ids.append(None)
+                    noov.append(None)
+                    continue
+                ws = [w for w in t.lower().split(" ") if w != ""]
+                ids.append([m.get(w, oov) for w in ws])
+                noov.append(sum(1 for w in ws if w not in m))
+            pdf = pdf.assign(token_ids=ids, n_oov=noov)
+            yield pdf
+
+    return docs.mapInPandas(_encode, schema=schema)

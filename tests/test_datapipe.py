@@ -2270,3 +2270,103 @@ def test_pagerank_fixed_point_semantics(spark):
         pagerank(df, iters=0)
     with _pt.raises(ValueError, match="damping"):
         pagerank(df, damping_micro=1_000_000)
+
+
+def test_deduplicate_corpus_keep_best(spark):
+    """Quality-aware purge: per-cluster argmax on (quality DESC, id ASC),
+    NULL quality sorts worst, unclustered docs all survive."""
+    from literature_to_facts_spark.datapipe.dedup import (
+        deduplicate_corpus_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (10, 1.0), (11, 9.0), (12, 9.0),   # cluster {10,11,12}: 11 wins (tie 11<12)
+            (13, None), (14, 0.5),             # cluster {13,14}: NULL worst -> 14 wins
+            (15, 0.0),                         # unclustered
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (13, 14)], "id_a long, id_b long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in deduplicate_corpus_keep_best(
+            docs, pairs, quality_col="quality"
+        ).collect()
+    }
+    assert kept == {11, 14, 15}
+
+
+def test_chunk_documents_sliding(spark):
+    """Sliding chunks: stride = chunk_size - overlap, short last chunk,
+    exact coverage, zero rows for empty/NULL docs, param validation."""
+    from literature_to_facts_spark.datapipe.sampling import chunk_documents
+
+    toks = " ".join(str(i) for i in range(9))  # 9 tokens
+    docs = spark.createDataFrame(
+        [(1, toks), (2, "a b"), (3, ""), (4, None), (5, "  ")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_size=4, overlap=2).collect()
+    )
+    # doc 1: n=9, step=2 -> 1 + ceil(5/2) = 4 chunks at starts 0,2,4,6
+    assert rows == [
+        (1, 0, 0, 4, "0 1 2 3"),
+        (1, 1, 2, 4, "2 3 4 5"),
+        (1, 2, 4, 4, "4 5 6 7"),
+        (1, 3, 6, 3, "6 7 8"),
+        (2, 0, 0, 2, "a b"),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_size=4, overlap=4)
+    with _pt.raises(ValueError, match="chunk_size"):
+        chunk_documents(docs, chunk_size=0)
+
+
+def test_tokenize_encode_methods_agree(spark):
+    """broadcast_map (mapInPandas + broadcast dict) and join (posexplode +
+    broadcast join + ordered regroup) produce identical encodings; NULL /
+    empty / OOV semantics; collision guard."""
+    from literature_to_facts_spark.datapipe.textstats import tokenize_encode
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat SAT on the mat"),
+            (2, "unknown words only"),
+            (3, ""),
+            (4, None),
+            (5, "the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the", 1), ("cat", 2), ("sat", 3), ("on", 4), ("mat", 5)],
+        "token string, token_id long",
+    )
+    exp = {
+        1: ([1, 2, 3, 4, 1, 5], 0),
+        2: ([0, 0, 0], 3),
+        3: ([], 0),
+        5: ([1, 1, 1], 0),
+    }
+    for method in ("broadcast_map", "join"):
+        got = {
+            r.doc_id: (r.token_ids, r.n_oov)
+            for r in tokenize_encode(docs, vocab, method=method).collect()
+        }
+        assert got[4] == (None, None), method
+        for k, v in exp.items():
+            assert got[k] == v, (method, k)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="token_ids"):
+        tokenize_encode(docs.withColumn("token_ids", F.lit("x")), vocab)
+    with _pt.raises(ValueError, match="method"):
+        tokenize_encode(docs, vocab, method="nope")
