@@ -1243,6 +1243,102 @@ def q_decontam_pairs(spark, sf_dir):
     )
 
 
+_BLOOM_PARAMS = dict(m_bits=1 << 16, k_hashes=5, n_gram=4)
+
+
+def q_decontam_bloom(spark, sf_dir):
+    """Constant-memory decontamination (datapipe/decontam.
+    build_bloom_filter + bloom_contaminated): the eval split's 4-gram set
+    folds into a 2^16-bit Bloom table (<= 1,041 bigint words — executor
+    state independent of eval-corpus size); training grams probe it
+    through k=5 reused BroadcastHashJoins with NO gram-level shuffle.
+    The portable md5 hash family makes the filter — false positives
+    included — bit-identical in DuckDB, so the oracle is exact."""
+    from literature_to_facts_spark.datapipe.decontam import (
+        bloom_contaminated,
+        build_bloom_filter,
+    )
+    from literature_to_facts_spark.datapipe.dedup import _shingle_frame
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    tr = docs.where(F.col("doc_id") % 17 != 0)
+    ev_grams = _shingle_frame(
+        ev.where(F.col("text").isNotNull()), "doc_id", "text",
+        _BLOOM_PARAMS["n_gram"], explode=True,
+    )
+    bloom = build_bloom_filter(
+        ev_grams, key_col="sh",
+        m_bits=_BLOOM_PARAMS["m_bits"], k_hashes=_BLOOM_PARAMS["k_hashes"],
+    )
+    out = bloom_contaminated(tr, bloom, **_BLOOM_PARAMS)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_flagged_grams",
+        "contaminated",
+    )
+
+
+def _decontam_bloom_oracle() -> str:
+    """DuckDB replay of the Bloom build + probe: identical md5-derived
+    positions, 63-bit words, bit_or aggregation, k-way hit conjunction."""
+    from literature_to_facts_spark.datapipe.decontam import (
+        BLOOM_WORD_BITS as WB,
+    )
+
+    m = _BLOOM_PARAMS["m_bits"]
+    k = _BLOOM_PARAMS["k_hashes"]
+    n = _BLOOM_PARAMS["n_gram"]
+
+    def pos(key: str, i: int) -> str:
+        return (
+            f"(CAST('0x' || substr(md5('{i}:' || {key}), 1, 13) AS BIGINT)"
+            f" % {m})"
+        )
+
+    gram_cte = f"""
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 unnest({_duck_shingles(n)}) AS sh
+          FROM documents WHERE text IS NOT NULL"""
+    ev_pos = " UNION ALL ".join(
+        f"SELECT {pos('sh', i)} AS p FROM evg" for i in range(k)
+    )
+    probe_cols = ", ".join(
+        f"{pos('sh', i)} // {WB} AS w{i}, "
+        f"(CAST(1 AS BIGINT) << CAST({pos('sh', i)} % {WB} AS INTEGER))"
+        f" AS mk{i}"
+        for i in range(k)
+    )
+    joins = " ".join(
+        f"LEFT JOIN bloom b{i} ON g.w{i} = b{i}.word_idx" for i in range(k)
+    )
+    hit = " AND ".join(f"(coalesce(b{i}.bits, 0) & g.mk{i}) <> 0" for i in range(k))
+    return f"""
+        WITH evg AS (
+          SELECT doc_id, sh FROM ({gram_cte}) WHERE doc_id % 17 = 0
+        ),
+        positions AS ({ev_pos}),
+        bloom AS (
+          SELECT p // {WB} AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(p % {WB} AS INTEGER)) AS bits
+          FROM positions GROUP BY 1
+        ),
+        trg AS (
+          SELECT doc_id, sh FROM ({gram_cte}) WHERE doc_id % 17 <> 0
+        ),
+        g AS (SELECT doc_id, {probe_cols} FROM trg),
+        flags AS (
+          SELECT g.doc_id,
+                 CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nf
+          FROM g {joins}
+          GROUP BY g.doc_id
+        )
+        SELECT doc_id, nf AS n_flagged_grams, nf >= 1 AS contaminated
+        FROM flags
+    """
+
+
 def q_decontam_purge(spark, sf_dir):
     """The shipped decontamination artifact (datapipe/decontam.
     decontaminate): the training split minus every flagged doc.  Full SQL
@@ -2711,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "decontam_pairs": q_decontam_pairs,
         "decontam_purge": q_decontam_purge,
+        "decontam_bloom": q_decontam_bloom,
         "text_line_dedup": q_text_line_dedup,
         "text_line_dedup_incremental": q_text_line_dedup_incremental,
         "text_span_dedup": q_text_span_dedup,
@@ -4002,6 +4099,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM gram_pairs UNION ALL SELECT * FROM contain_pairs)
             GROUP BY doc_id, eval_id
         """,
+        "decontam_bloom": _decontam_bloom_oracle(),
         "decontam_purge": f"""
             WITH tr_g AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -128,6 +128,13 @@ HEADLINE = [
     "text_lm_perplexity",
     "graph_pagerank",
     "html_extract_text",
+    # round-6 third wave (appended; earlier entries stay comparable).
+    # dedup_corpus_keep_best is deliberately NOT here: eager CC fixpoint
+    # over the full minhash pipeline (same rule as dedup_clusters_cc).
+    "html_extract_links",
+    "text_chunk_sliding",
+    "text_tokenize_encode",
+    "decontam_bloom",
 ]
 
 

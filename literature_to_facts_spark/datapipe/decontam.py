@@ -117,3 +117,133 @@ def decontaminate(
         n_gram, min_overlap, eval_df_cap,
     ).select(F.col("doc_id").alias(id_col)).distinct()
     return docs.join(bad, on=id_col, how="left_anti")
+
+
+# --- Bloom-filter membership (constant-memory decontamination) -------------
+#
+# The exact broadcast-gram-set shape above ships the full eval gram set to
+# every executor; a Bloom filter makes the shipped state CONSTANT-SIZE in
+# the eval corpus (m bits regardless of gram count) at the cost of a
+# deterministic, engine-portable false-positive rate.  Representation: a
+# (word_idx, bits) table with 63 usable bits per bigint word (bit 63 never
+# set, so no engine hits signed-shift overflow), hashes from the portable
+# md5 family ("i:key" -> first 13 hex chars as bigint) — DuckDB recomputes
+# the identical filter, so membership answers (INCLUDING false positives)
+# match bit-for-bit.
+
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_pos(key_sql: str, i: int, m_bits: int) -> str:
+    """Portable probe position i for a key expression: 52-bit md5 slice of
+    'i:key' mod m_bits (same hash family as dedup._h52)."""
+    return (
+        f"(cast(conv(substr(md5(concat('{i}:', {key_sql})), 1, 13), 16, 10)"
+        f" as bigint) % {m_bits})"
+    )
+
+
+def build_bloom_filter(
+    keys: DataFrame,
+    key_col: str = "sh",
+    m_bits: int = 1 << 18,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Aggregate a key set into a Bloom filter table ``(word_idx bigint,
+    bits bigint)`` — only non-zero words are materialized (probe misses on
+    absent words read as 0 via a left-join coalesce).
+
+    Scale shape: k probe positions explode map-side; the single Exchange
+    is the ``groupBy(word_idx)`` whose map-side partial ``bit_or`` caps
+    each partition's contribution at m/63 rows — the shuffle carries
+    filter-sized data, not key-instance-sized.  The result is
+    ceil(m/63) rows max (2^18 bits -> <=4,162 rows), broadcastable
+    regardless of how many keys went in.
+    """
+    if m_bits < BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be >= {BLOOM_WORD_BITS}, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    poss = ", ".join(
+        _bloom_pos(key_col, i, int(m_bits)) for i in range(int(k_hashes))
+    )
+    return (
+        keys.where(F.col(key_col).isNotNull())
+        .selectExpr(f"explode(array({poss})) AS _pos")
+        .selectExpr(
+            f"_pos div {BLOOM_WORD_BITS} AS word_idx",
+            f"shiftleft(1L, cast(_pos % {BLOOM_WORD_BITS} as int)) AS _mask",
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(_mask)").alias("bits"))
+    )
+
+
+def bloom_contaminated(
+    docs: DataFrame,
+    bloom: DataFrame,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 5,
+    n_gram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Probe every training document's distinct word ``n_gram``-grams
+    against a Bloom filter built with the SAME (m_bits, k_hashes).
+    Returns a REPORT frame — ``(id_col, n_flagged_grams, contaminated)``,
+    one row per non-NULL-text doc (``n_flagged_grams`` counts grams whose
+    k probe bits are all set: true matches plus the filter's deterministic
+    false positives; ``contaminated`` is ``>= min_hits``).  NULL-text docs
+    are omitted (they have no grams to probe); feed ``contaminated`` ids
+    to a left-anti purge, or left-join the report back for decoration —
+    returning the full input decorated would force a second corpus-keyed
+    shuffle here, which at 100 TB costs more than the probe itself.
+    ``m_bits``/``k_hashes`` must match the build — a mismatch silently
+    probes wrong bits, so pass them explicitly from one config.
+
+    Scale shape: NO gram-level shuffle — each gram row computes its k
+    (word, mask) pairs in-plan and resolves them through k
+    BroadcastHashJoins against the (<= m/63)-row filter table (one
+    broadcast, reused); the ONLY Exchange is the per-doc count groupBy
+    carrying (id, one int).  Compare ``contamination_pairs``: same
+    one-pass-over-the-corpus story, but executor state is m bits instead
+    of the eval gram set.
+    """
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    k = int(k_hashes)
+    grams = _shingle_frame(
+        docs.where(F.col(text_col).isNotNull()), id_col, text_col,
+        int(n_gram), explode=True,
+    )
+    # positions projected ONCE (each feeds a word and a mask expression)
+    g = grams.selectExpr(
+        "doc_id",
+        *[f"{_bloom_pos('sh', i, int(m_bits))} AS _p{i}" for i in range(k)],
+    ).selectExpr(
+        "doc_id",
+        *[f"_p{i} div {BLOOM_WORD_BITS} AS _w{i}" for i in range(k)],
+        *[
+            f"shiftleft(1L, cast(_p{i} % {BLOOM_WORD_BITS} as int)) AS _m{i}"
+            for i in range(k)
+        ],
+    )
+    for i in range(k):
+        side = bloom.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        g = g.join(F.broadcast(side), on=f"_w{i}", how="left")
+    hit_all = " AND ".join(
+        f"(coalesce(_b{i}, 0L) & _m{i}) != 0" for i in range(k)
+    )
+    return (
+        g.selectExpr("doc_id", f"cast(({hit_all}) as int) AS _f")
+        .groupBy("doc_id")
+        .agg(F.sum("_f").cast("bigint").alias("n_flagged_grams"))
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_flagged_grams",
+            (F.col("n_flagged_grams") >= int(min_hits)).alias("contaminated"),
+        )
+    )

@@ -2370,3 +2370,51 @@ def test_tokenize_encode_methods_agree(spark):
         tokenize_encode(docs.withColumn("token_ids", F.lit("x")), vocab)
     with _pt.raises(ValueError, match="method"):
         tokenize_encode(docs, vocab, method="nope")
+
+
+def test_bloom_filter_membership_and_plan(spark):
+    """Bloom build/probe: true members always hit, NULL-text semantics,
+    param guards; plan pin — k broadcast joins, no SortMergeJoin, no
+    gram-level aggregation before the per-doc count."""
+    from literature_to_facts_spark.datapipe.decontam import (
+        bloom_contaminated,
+        build_bloom_filter,
+    )
+    from literature_to_facts_spark.datapipe.dedup import _shingle_frame
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    grams = _shingle_frame(ev, "doc_id", "text", 4, explode=True)
+    bloom = build_bloom_filter(grams, key_col="sh", m_bits=1 << 12, k_hashes=5)
+    tr = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # shares 2 grams
+            (2, "totally unrelated words here friend"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = bloom_contaminated(
+        tr, bloom, m_bits=1 << 12, k_hashes=5, n_gram=4
+    )
+    got = {r.doc_id: (r.n_flagged_grams, r.contaminated) for r in out.collect()}
+    assert got[1][0] >= 2 and got[1][1] is True  # true members always hit
+    assert 3 not in got  # NULL-text docs omitted (report shape)
+    # doc 2 can only be flagged by false positives; with 25 set bits in
+    # 4096 the 5-probe FP rate is ~(25/4096)^5 — assert no flag
+    assert got[2] == (0, False)
+
+    # AQE plan strings repeat the tree under '== Initial Plan ==' — count
+    # joins in the final section only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final  # report shape: no corpus rejoin
+    assert final.count("BroadcastHashJoin") == 5
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="m_bits"):
+        build_bloom_filter(grams, m_bits=10)
+    with _pt.raises(ValueError, match="min_hits"):
+        bloom_contaminated(tr, bloom, min_hits=0)
