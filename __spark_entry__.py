@@ -2662,6 +2662,61 @@ def _url_normalize_oracle() -> str:
     """
 
 
+_SNAP_TS_BASE_US = 1_500_000_000_000_000  # 2017-07-14 UTC, arbitrary fixed
+
+
+def q_url_latest_snapshot(spark, sf_dir):
+    """Crawl-snapshot dedup (datapipe/urls.url_latest_snapshot): one row
+    per normalized URL keeping the latest warc_ts (ties -> min id) — the
+    re-crawl-collapse stage over the input table's (url, warc_ts) columns.
+    warc_ts fixture: timestamp_micros of a deterministic doc_id expression
+    with deliberate collisions (mod 11) so the id tie-break is exercised;
+    emitted as epoch micros (the timestamp-parity convention).  Exact
+    argmax as max(struct(micros, -id)) — a plain partial-agg'd aggregate,
+    no window."""
+    from literature_to_facts_spark.datapipe.urls import url_latest_snapshot
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_URL_FIXTURE_SPARK} AS url",
+        f"timestamp_micros(cast(doc_id % 11 as bigint) * 3600000000"
+        f" + {_SNAP_TS_BASE_US}) AS warc_ts",
+    )
+    out = url_latest_snapshot(docs)
+    return out.select(
+        "url_norm",
+        "rep_id",
+        F.unix_micros(F.col("latest_ts")).alias("latest_ts_us"),
+        "n_crawls",
+    )
+
+
+def _url_latest_snapshot_oracle() -> str:
+    return f"""
+        WITH u AS (
+          SELECT doc_id, {_URL_FIXTURE_DUCK} AS url,
+                 CAST(doc_id % 11 AS BIGINT) * 3600000000
+                   + {_SNAP_TS_BASE_US} AS ts_us
+          FROM documents
+        ),
+        n AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, ts_us,
+                 {_duck_url_norm()} AS url_norm
+          FROM u
+        ),
+        r AS (
+          SELECT url_norm, doc_id, ts_us,
+                 row_number() OVER (PARTITION BY url_norm
+                   ORDER BY ts_us DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY url_norm) AS n_crawls
+          FROM n WHERE url_norm IS NOT NULL
+        )
+        SELECT url_norm, doc_id AS rep_id, ts_us AS latest_ts_us,
+               CAST(n_crawls AS BIGINT) AS n_crawls
+        FROM r WHERE rn = 1
+    """
+
+
 def q_url_domain_quality(spark, sf_dir):
     """Composed crawl-curation chain: URL fixture -> registered-domain
     extraction (datapipe/urls.with_url_parts) -> host-level quality stats
@@ -2836,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parts": q_url_parts,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
+        "url_latest_snapshot": q_url_latest_snapshot,
         "url_domain_quality": q_url_domain_quality,
     }
 
@@ -4494,6 +4550,7 @@ def oracle_sql() -> dict[str, str]:
         "url_parts": _url_parts_oracle(),
         "url_normalize": _url_normalize_oracle(),
         "url_dedup": _url_dedup_oracle(),
+        "url_latest_snapshot": _url_latest_snapshot_oracle(),
         "url_domain_quality": _url_domain_quality_oracle(),
         "text_lang_trigram": _lang_trigram_oracle_sql(),
     }

@@ -135,6 +135,7 @@ HEADLINE = [
     "text_chunk_sliding",
     "text_tokenize_encode",
     "decontam_bloom",
+    "url_latest_snapshot",
 ]
 
 

@@ -256,3 +256,52 @@ def url_dedup(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         )
     )
+
+
+def url_latest_snapshot(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Crawl-snapshot dedup: one row per distinct normalized URL keeping
+    the LATEST crawl (max ``ts_col``; ties -> minimum id) — the
+    re-crawl-collapse stage a Common-Crawl-style table needs before
+    content-level dedup (the same page fetched across monthly snapshots
+    must contribute one document, the freshest).  Returns ``(url_norm,
+    rep_id, latest_ts, n_crawls)``; NULL-timestamp crawls sort oldest
+    (a dated crawl always beats an undated one); invalid/NULL urls are
+    excluded (as in :func:`url_dedup`).
+
+    Deterministic exact argmax — ``max(struct(epoch_micros, -id))``, a
+    plain aggregate with map-side partial max (no window, no sort), so
+    the one ``groupBy(url_norm)`` Exchange carries (url_norm, struct,
+    count) partials.  Normalization fuses into the scan.
+    """
+    normed = url_normalize(docs, url_col=url_col, output_col="_url_norm")
+    # argmax(ts, tie: min id): max of (micros, -id); NULL ts -> LONG_MIN
+    # micros so any real timestamp wins
+    best = F.max(
+        F.struct(
+            F.coalesce(
+                F.unix_micros(F.col(ts_col)),
+                F.lit(-(1 << 62)).cast("bigint"),
+            ).alias("t"),
+            (-F.col(id_col)).cast("bigint").alias("ni"),
+            F.col(ts_col).alias("ts"),
+        )
+    )
+    return (
+        normed.where(F.col("_url_norm").isNotNull())
+        .groupBy(F.col("_url_norm").alias("url_norm"))
+        .agg(
+            best.alias("_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_crawls"),
+        )
+        .select(
+            "url_norm",
+            (-F.col("_b.ni")).cast("bigint").alias("rep_id"),
+            F.col("_b.ts").alias("latest_ts"),
+            "n_crawls",
+        )
+    )

@@ -2328,6 +2328,13 @@ def test_chunk_documents_sliding(spark):
     with _pt.raises(ValueError, match="chunk_size"):
         chunk_documents(docs, chunk_size=0)
 
+    # plan pin: chunking is scan-fused — zero Exchange
+    plan = (
+        chunk_documents(docs, chunk_size=4, overlap=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
 
 def test_tokenize_encode_methods_agree(spark):
     """broadcast_map (mapInPandas + broadcast dict) and join (posexplode +

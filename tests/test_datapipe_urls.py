@@ -152,3 +152,33 @@ def test_url_dedup_plan_partial_agg(spark):
     plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
     first_agg = plan.index("HashAggregate")
     assert "Exchange" in plan[first_agg:], "expected partial agg before exchange"
+
+
+def test_url_latest_snapshot(spark):
+    """Latest-crawl argmax: max warc_ts wins, tie -> min id, NULL ts sorts
+    oldest, invalid urls excluded, n_crawls counts all variants."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from literature_to_facts_spark.datapipe.urls import url_latest_snapshot
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.com:80/x?utm_source=f", t("2024-01-01T00:00:00")),
+            (2, "http://a.com/x", t("2024-03-01T00:00:00")),
+            (3, "http://a.com/x#frag", t("2024-03-01T00:00:00")),  # tie -> 2
+            (4, "http://a.com/x", None),  # NULL ts never wins
+            (5, "not a url", t("2024-01-01T00:00:00")),
+            (6, "http://b.com/only", None),  # NULL ts wins a 1-crawl group
+        ],
+        "doc_id long, url string, warc_ts timestamp",
+    )
+    rows = {
+        r.url_norm: (r.rep_id, r.latest_ts, r.n_crawls)
+        for r in url_latest_snapshot(docs).collect()
+    }
+    assert set(rows) == {"http://a.com/x", "http://b.com/only"}
+    assert rows["http://a.com/x"] == (2, t("2024-03-01T00:00:00"), 4)
+    assert rows["http://b.com/only"] == (6, None, 1)

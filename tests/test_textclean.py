@@ -1059,3 +1059,7 @@ def test_html_extract_links_resolution(spark):
         html_extract_links(df.withColumn("_pg_base", F.lit("x")))
     with _pt.raises(ValueError, match="link_url"):
         html_extract_links(df.withColumn("link_url", F.lit("x")))
+
+    # plan pin: the default path is scan-fused — zero Exchange
+    plan = html_extract_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
