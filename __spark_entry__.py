@@ -2263,26 +2263,21 @@ def q_graph_pagerank(spark, sf_dir):
     return out
 
 
-def _pagerank_oracle() -> str:
-    """DuckDB recomputation of the fixed-point PageRank: the same fixture
-    edges, out-degrees joined once, and each power iteration unrolled as a
-    chained CTE (aggregates over a recursive reference are not allowed in
-    recursive CTEs, and with fixed iters the unroll IS the contract)."""
-    m, it = _PAGERANK_MOD, _PAGERANK_PARAMS["iters"]
-    d = _PAGERANK_PARAMS["damping_micro"]
+def _duck_pagerank_ctes(iters: int, damping_micro: int) -> tuple[str, str]:
+    """(ctes, final_relation): the fixed-point PageRank unrolled as chained
+    CTEs over an ALREADY-DEFINED relation ``e(src, dst)`` (aggregates over
+    a recursive reference are not allowed in recursive CTEs, and with fixed
+    iters the unroll IS the contract).  Shared by the pagerank and composed
+    web-link-rank oracles."""
+    d = int(damping_micro)
     base = 1_000_000 - d
     ctes = [
-        f"""e AS (
-          SELECT DISTINCT CAST(doc_id % {m} AS BIGINT) AS src,
-                 CAST((31 * doc_id + 7) % {m} AS BIGINT) AS dst
-          FROM documents
-        ),
-        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        """nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
         w AS (SELECT e.src, e.dst, d.dg FROM e JOIN deg d ON e.src = d.src),
         pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
     ]
-    for k in range(1, it + 1):
+    for k in range(1, int(iters) + 1):
         ctes.append(
             f"""c{k} AS (
           SELECT w.dst AS node, SUM(p.r // w.dg) AS s
@@ -2296,11 +2291,26 @@ def _pagerank_oracle() -> str:
           FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
         )"""
         )
+    return ", ".join(ctes), f"pr{int(iters)}"
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB recomputation of the fixed-point PageRank: the same fixture
+    edges, out-degrees joined once, each power iteration an unrolled CTE."""
+    m = _PAGERANK_MOD
+    ctes, final = _duck_pagerank_ctes(
+        _PAGERANK_PARAMS["iters"], _PAGERANK_PARAMS["damping_micro"]
+    )
     return f"""
-        WITH {", ".join(ctes)}
+        WITH e AS (
+          SELECT DISTINCT CAST(doc_id % {m} AS BIGINT) AS src,
+                 CAST((31 * doc_id + 7) % {m} AS BIGINT) AS dst
+          FROM documents
+        ),
+        {ctes}
         SELECT node, r AS rank_micro,
                ROUND(r / 1000000.0, 6) AS rank
-        FROM pr{it}
+        FROM {final}
     """
 
 
@@ -2400,17 +2410,18 @@ def q_html_extract_links(spark, sf_dir):
     )
 
 
-def _html_links_oracle() -> str:
-    """DuckDB replay of html_extract_links: href patterns, scheme regexes
-    and the URL group regex interpolate from datapipe.html / datapipe.urls
-    (operator edits propagate); concat uses || (NULL-propagating) per the
-    DuckDB-concat-skips-NULLs invariant."""
+def _duck_links_ctes() -> str:
+    """The html_extract_links replay as a CTE chain ending at
+    ``links(doc_id, src_host, link_url, link_host)`` — shared by the
+    html_extract_links and web_link_rank oracles.  Href patterns, scheme
+    regexes and the URL group regex interpolate from datapipe.html /
+    datapipe.urls (operator edits propagate); concat uses ||
+    (NULL-propagating) per the DuckDB-concat-skips-NULLs invariant."""
     from literature_to_facts_spark.datapipe.html import (
         HREF_PATTERNS,
         HTTP_LINK_PATTERN,
         LINK_SCHEME_PATTERN,
     )
-    from literature_to_facts_spark.datapipe.urls import URL_PATTERN
 
     def q(pat: str) -> str:
         return pat.replace("'", "''")
@@ -2422,7 +2433,7 @@ def _html_links_oracle() -> str:
     for a in arrays[1:]:
         extracts = f"list_concat({extracts}, {a})"
     return f"""
-        WITH d AS (
+        d AS (
           SELECT doc_id, {_URL_FIXTURE_DUCK} AS url,
                  {_LINKS_HTML_DUCK} AS html
           FROM documents
@@ -2435,7 +2446,7 @@ def _html_links_oracle() -> str:
           FROM d
         ),
         pg2 AS (
-          SELECT doc_id, html, ok,
+          SELECT doc_id, html, ok, hostl,
                  CASE WHEN ok THEN sch END AS pg_scheme,
                  CASE WHEN ok THEN sch || '://' || hostl ||
                       CASE WHEN prt = '' THEN '' ELSE ':' || prt END
@@ -2447,17 +2458,17 @@ def _html_links_oracle() -> str:
           FROM pg
         ),
         hr AS (
-          SELECT doc_id, ok, pg_scheme, pg_base, pg_dir,
+          SELECT doc_id, ok, hostl, pg_scheme, pg_base, pg_dir,
                  unnest({extracts}) AS href_raw
           FROM pg2
         ),
         h2 AS (
-          SELECT doc_id, ok, pg_scheme, pg_base, pg_dir,
+          SELECT doc_id, ok, hostl, pg_scheme, pg_base, pg_dir,
                  split_part(trim(href_raw), '#', 1) AS h
           FROM hr
         ),
         r AS (
-          SELECT doc_id,
+          SELECT doc_id, hostl,
                  CASE WHEN h = '' THEN NULL
                       WHEN regexp_matches(h, '{LINK_SCHEME_PATTERN}')
                            AND regexp_matches(h, '{HTTP_LINK_PATTERN}')
@@ -2469,13 +2480,76 @@ def _html_links_oracle() -> str:
                       WHEN h LIKE '/%' THEN pg_base || h
                       ELSE pg_base || pg_dir || h END AS link_url
           FROM h2
+        ),
+        links AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, hostl AS src_host,
+                 link_url, lower({g(2, "link_url")}) AS link_host
+          FROM r
+          WHERE link_url IS NOT NULL
+            AND regexp_matches(link_url, '{HTTP_LINK_PATTERN}')
         )
-        SELECT CAST(doc_id AS BIGINT) AS doc_id, link_url,
-               lower({g(2, "link_url")}) AS link_host
-        FROM r
-        WHERE link_url IS NOT NULL
-          AND regexp_matches(link_url, '{HTTP_LINK_PATTERN}')
     """
+
+
+def _html_links_oracle() -> str:
+    return f"""
+        WITH {_duck_links_ctes()}
+        SELECT doc_id, link_url, link_host FROM links
+    """
+
+
+def _web_link_rank_oracle() -> str:
+    """Composed chain: the shared links CTE -> distinct host-level edges
+    -> the shared unrolled fixed-point PageRank CTEs."""
+    ctes, final = _duck_pagerank_ctes(
+        _PAGERANK_PARAMS["iters"], _PAGERANK_PARAMS["damping_micro"]
+    )
+    return f"""
+        WITH {_duck_links_ctes()},
+        e AS (
+          SELECT DISTINCT src_host AS src, link_host AS dst
+          FROM links
+          WHERE src_host IS NOT NULL AND src_host <> ''
+        ),
+        {ctes}
+        SELECT node, r AS rank_micro,
+               ROUND(r / 1000000.0, 6) AS rank
+        FROM {final}
+    """
+
+
+def q_web_link_rank(spark, sf_dir):
+    """The composed crawl -> graph chain (the Common-Crawl host-ranking
+    recipe end-to-end): raw page html -> html_extract_links (scan-fused)
+    -> distinct host-level edges -> graphs.pagerank (fixed-point, 3
+    iterations).  One operator's output is the next one's input with no
+    materialization between them; the whole chain is oracled bit-exactly
+    through both the link-resolution and the unrolled power iterations."""
+    from literature_to_facts_spark.datapipe.graphs import pagerank
+    from literature_to_facts_spark.datapipe.html import html_extract_links
+    from literature_to_facts_spark.datapipe.urls import URL_PATTERN
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_URL_FIXTURE_SPARK} AS url",
+        f"{_LINKS_HTML_SPARK} AS html",
+    )
+    links = html_extract_links(docs)
+    src = F.lower(F.regexp_extract(F.col("url"), URL_PATTERN, 2))
+    edges = (
+        links.select(src.alias("src"), F.col("link_host").alias("dst"))
+        .where(F.col("src").isNotNull() & (F.col("src") != ""))
+        .distinct()
+    )
+    reg = []
+    out = pagerank(edges, cache_registry=reg, **_PAGERANK_PARAMS)
+    out = out.select(
+        "node",
+        "rank_micro",
+        F.col("rank").cast("double").alias("rank"),
+    )
+    out._l2f_cache_registry = reg
+    return out
 
 
 _SHUFFLE_SEED, _SHUFFLE_SHARDS = 42, 8
@@ -2872,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "html_extract_text": q_html_extract_text,
         "html_extract_links": q_html_extract_links,
+        "web_link_rank": q_web_link_rank,
         "text_quality_clf": q_text_quality_clf,
         "source_quality_stats": q_source_quality_stats,
         "sample_pack_sequences": q_sample_pack_sequences,
@@ -4520,6 +4595,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle(),
         "html_extract_text": _html_extract_oracle(),
         "html_extract_links": _html_links_oracle(),
+        "web_link_rank": _web_link_rank_oracle(),
         "text_span_dedup_incremental": _span_dedup_oracle(
             restrict="b.doc_id % 5 = 0"
         ),

@@ -136,6 +136,7 @@ HEADLINE = [
     "text_tokenize_encode",
     "decontam_bloom",
     "url_latest_snapshot",
+    "web_link_rank",
 ]
 
 
