@@ -719,10 +719,22 @@ def semantic_dedup_incremental(
     threshold: float = 0.95,
     max_cluster: int = 10_000,
     cache_registry: list | None = None,
+    prune_partitions: bool = False,
 ) -> DataFrame:
     """Delta SemDeDup (the eighth probe-shaped incremental family): score a
     NEW batch against the persisted cluster state without retraining or
     re-reading untouched history.
+
+    ``prune_partitions=True`` (EAGER) collects the batch's touched cluster
+    ids driver-side — bounded by n_clusters, the same bounded-enumeration
+    contract as ``update_cluster_state_partitioned`` — and pushes a static
+    ``centroid_id IN (...)`` filter to the assignment scan.  Over a table
+    written ``partitionBy("centroid_id")`` this is PARTITION PRUNING:
+    untouched clusters' files are never opened, so a topically-concentrated
+    batch (the daily-crawl case) reads O(touched) bytes, not O(history).
+    The default (False, lazy) broadcast-semi-filters at the scan instead —
+    zero Exchange but a full file pass (a bare broadcast semi does not
+    trigger Spark's dynamic partition pruning; measured, not assumed).
 
     ``centroids``/``assignments`` are :func:`build_ivf_index`'s outputs over
     the history corpus (centroids FROZEN — the FAISS operational contract
@@ -744,44 +756,85 @@ def semantic_dedup_incremental(
     ``round(cosine,6) >= threshold``.  Equals the full frozen-quantizer
     semantic dedup restricted to the batch ids (the delta-family oracle
     contract) — ids may interleave with history; the min-id rule needs no
-    disjointness.  The combined member frame feeds both self-join sides,
-    so it is persisted (pass ``cache_registry`` to release it)."""
+    disjointness.
+
+    History-Exchange-free by construction (the round-6 rework — the first
+    version unioned history with the batch before a sizes groupBy, which
+    re-shuffled every touched member): cluster sizes are the SUM of a
+    per-side count — the history count groups the semi-filtered BUCKETED
+    scan directly (zero Exchange, and deliberately NOT persisted: a
+    persist between the bucketed scan and the groupBy reintroduces the
+    shuffle — the repo-wide invariant), the batch count is batch-sized —
+    and the pair join BROADCASTS the batch side, so touched history
+    members stream map-side through both the size join and the cosine
+    verify.  The only Exchanges carry batch- or pair-set-sized data.  The
+    batch assignment frame feeds four consumers and is persisted (pass
+    ``cache_registry`` to release it)."""
     batch = _ivf_assign(
         new_vectors.select(
             F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
         ),
         centroids,
-    )
-    touched = batch.select("centroid_id").distinct()
-    hist = assignments.select("vec_id", "embedding", "centroid_id").join(
-        F.broadcast(touched), on="centroid_id", how="left_semi"
-    )
-    members = hist.withColumn("_is_new", F.lit(False)).unionByName(
-        batch.withColumn("_is_new", F.lit(True))
-    )
-    sizes = members.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cluster")
-    )
-    spine = (
-        members.join(F.broadcast(sizes), on="centroid_id")
-        .withColumn("capped", F.col("n_cluster") > F.lit(int(max_cluster)))
-        .persist()
-    )
+    ).persist()
     if cache_registry is not None:
-        cache_registry.append(spine)
-    small = spine.where(~F.col("capped"))
-    a = small.select(
-        "centroid_id",
-        F.col("vec_id").alias("_id_a"),
-        F.col("embedding").alias("_emb_a"),
+        cache_registry.append(batch)
+    if prune_partitions:
+        ids = [
+            r[0] for r in batch.select("centroid_id").distinct().collect()
+        ]
+        hist = assignments.select("vec_id", "embedding", "centroid_id").where(
+            F.col("centroid_id").isin(ids)
+            if ids
+            else F.lit(False)
+        )
+    else:
+        touched = batch.select("centroid_id").distinct()
+        hist = assignments.select("vec_id", "embedding", "centroid_id").join(
+            F.broadcast(touched), on="centroid_id", how="left_semi"
+        )
+    # sizes = per-side counts summed: the history groupBy sits directly on
+    # the bucketed semi-filtered scan (zero Exchange); both count frames
+    # are at most touched-cluster-sized
+    hist_sizes = hist.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_h")
     )
-    b = small.where(F.col("_is_new")).select(
+    batch_sizes = batch.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_b")
+    )
+    sizes = (
+        hist_sizes.join(batch_sizes, on="centroid_id", how="full")
+        .select(
+            "centroid_id",
+            (
+                F.coalesce(F.col("_n_h"), F.lit(0))
+                + F.coalesce(F.col("_n_b"), F.lit(0))
+            ).alias("n_cluster"),
+        )
+    )
+    capped = (F.col("n_cluster") > F.lit(int(max_cluster))).alias("capped")
+    # batch spine: batch-sized, carries the output rows — history is never
+    # consumed twice (the old spine persisted touched history to feed both
+    # the pair join and the output; the output only ever needed batch rows)
+    spine_new = batch.join(F.broadcast(sizes), on="centroid_id").select(
+        "vec_id", "centroid_id", "embedding", "n_cluster", capped
+    )
+    members = hist.unionByName(batch)
+    a = (
+        members.join(F.broadcast(sizes), on="centroid_id")
+        .where(F.col("n_cluster") <= F.lit(int(max_cluster)))
+        .select(
+            "centroid_id",
+            F.col("vec_id").alias("_id_a"),
+            F.col("embedding").alias("_emb_a"),
+        )
+    )
+    b = spine_new.where(~F.col("capped")).select(
         "centroid_id",
         F.col("vec_id").alias("_id_b"),
         F.col("embedding").alias("_emb_b"),
     )
     dups = (
-        a.join(b, on="centroid_id")
+        a.join(F.broadcast(b), on="centroid_id")
         .where(F.col("_id_a") < F.col("_id_b"))
         .where(
             F.round(
@@ -793,8 +846,7 @@ def semantic_dedup_incremental(
         .agg(F.min("_id_a").alias("dup_of"))
     )
     return (
-        spine.where(F.col("_is_new"))
-        .join(dups, on="vec_id", how="left")
+        spine_new.join(dups, on="vec_id", how="left")
         .withColumn("is_dup", F.col("dup_of").isNotNull())
         .select(
             "vec_id", "centroid_id", "n_cluster", "capped", "dup_of", "is_dup"

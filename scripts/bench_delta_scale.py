@@ -57,8 +57,11 @@ from literature_to_facts_spark.datapipe.dedup import (  # noqa: E402
 from literature_to_facts_spark.datapipe.similarity import (  # noqa: E402
     _dot,
     _norm,
+    _ivf_assign,
     build_embedding_bucket_index,
+    build_ivf_index,
     embedding_near_dup_pairs_incremental,
+    semantic_dedup_incremental,
 )
 from literature_to_facts_spark.datapipe.storage import write_bucketed  # noqa: E402
 from literature_to_facts_spark.datapipe.textclean import (  # noqa: E402
@@ -84,6 +87,11 @@ OFFSET = 10_000_000  # default batch-id offset; run() raises it to stay
 MINHASH = dict(n_gram=3, n_hashes=16, bands=4, threshold=0.5, max_bucket=1000)
 SIMHASH = dict(max_hamming=8, max_bucket=1000)
 EMBED = dict(n_planes=16, threshold=0.9, dim=64, max_bucket=1000)
+# semantic family: own small-dim corpus (the per-pair cosine is interpreted
+# HOF work, dim is its constant factor); n_clusters is the semantic scale
+# knob the way n_planes is the embedding one (avg cluster = n / n_clusters)
+SEMANTIC = dict(n_clusters=128, refine_iters=1, threshold=0.95,
+                max_cluster=200_000, dim=16)
 SPAN = dict(window=8, min_df=2)
 LINE = dict(min_df=2, min_line_chars=10)
 # line-family docs: the scale corpus is single-line; fold every 6th token
@@ -268,6 +276,48 @@ def union_embedding(all_index, vecs_all, *, threshold, max_bucket):
     )
 
 
+def union_semantic(assign_all, *, threshold, max_cluster):
+    """Round-4 shape for the semantic family: ALL assignments (history +
+    batch) re-grouped for cluster sizes and re-joined for the spine — the
+    full-index Exchange per batch — then restricted to the batch rows."""
+    sizes = assign_all.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cluster")
+    )
+    spine = assign_all.join(F.broadcast(sizes), on="centroid_id").withColumn(
+        "capped", F.col("n_cluster") > F.lit(int(max_cluster))
+    )
+    small = spine.where(~F.col("capped"))
+    a = small.select(
+        "centroid_id", F.col("vec_id").alias("_id_a"),
+        F.col("embedding").alias("_emb_a"),
+    )
+    b = small.where(F.col("vec_id") >= OFFSET).select(
+        "centroid_id", F.col("vec_id").alias("_id_b"),
+        F.col("embedding").alias("_emb_b"),
+    )
+    dups = (
+        a.join(b, on="centroid_id")
+        .where(F.col("_id_a") < F.col("_id_b"))
+        .where(
+            F.round(
+                _dot("_emb_a", "_emb_b") / (_norm("_emb_a") * _norm("_emb_b")),
+                6,
+            )
+            >= F.lit(float(threshold))
+        )
+        .groupBy(F.col("_id_b").alias("vec_id"))
+        .agg(F.min("_id_a").alias("dup_of"))
+    )
+    return (
+        spine.where(F.col("vec_id") >= OFFSET)
+        .join(dups, on="vec_id", how="left")
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+        .select(
+            "vec_id", "centroid_id", "n_cluster", "capped", "dup_of", "is_dup"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -329,6 +379,14 @@ def _line_key(df):
     )
 
 
+def _sem_key(df):
+    return sorted(
+        (r["vec_id"], r["centroid_id"], r["n_cluster"], r["capped"],
+         r["dup_of"], r["is_dup"])
+        for r in df.collect()
+    )
+
+
 def _span_key(df):
     return sorted(
         map(tuple, df.select("doc_id", "n_tokens", "n_dup_windows", "dup_tokens").collect())
@@ -366,7 +424,8 @@ def run(args):
     if args.emb_planes is not None:
         EMBED["n_planes"] = int(args.emb_planes)
     fam_filter = set(args.families.split(","))
-    known = {"minhash", "simhash", "embedding", "span", "line", "exact"}
+    known = {"minhash", "simhash", "embedding", "span", "line", "exact",
+             "semantic", "semantic_concentrated", "semantic_partitioned"}
     if not fam_filter <= known:
         raise SystemExit(f"unknown families {sorted(fam_filter - known)}; "
                          f"choose from {sorted(known)}")
@@ -381,6 +440,9 @@ def run(args):
 
     need_docs = bool(fam_filter & {"minhash", "simhash", "span", "line", "exact"})
     need_vecs = "embedding" in fam_filter
+    need_sem = bool(fam_filter & {"semantic", "semantic_concentrated",
+                                  "semantic_partitioned"})
+    need_sem_part = "semantic_partitioned" in fam_filter
 
     # ---- corpora (deterministic, Spark-side; written to parquet so every
     # run scans real splittable files, like a production table).  Only the
@@ -411,10 +473,33 @@ def run(args):
             .withColumn("vec_id", F.col("vec_id") + 2 * OFFSET)
         )
         batch_vecs.write.mode("overwrite").parquet(f"{wd}/batch_vecs")
+    if need_sem:
+        build_scale_embeddings(
+            spark, n, dim=SEMANTIC["dim"], seed=31
+        ).write.mode("overwrite").parquet(f"{wd}/sm_vecs")
+        sm_batch = build_scale_embeddings(
+            spark, nb // 2, dim=SEMANTIC["dim"], seed=31
+        ).withColumn("vec_id", F.col("vec_id") + OFFSET)
+        sm_batch = sm_batch.unionByName(
+            build_scale_embeddings(
+                spark, nb - nb // 2, dim=SEMANTIC["dim"], seed=77
+            ).withColumn("vec_id", F.col("vec_id") + 2 * OFFSET)
+        )
+        sm_batch.write.mode("overwrite").parquet(f"{wd}/sm_batch")
+        # concentrated variant: |x| + 1 folds every vector into the
+        # all-positive orthant — the batch lands in the few clusters
+        # nearest that direction (the topically-clustered daily-crawl
+        # case), while history stays spread over all clusters
+        sm_batch.selectExpr(
+            "vec_id",
+            "transform(embedding, x -> abs(x) + cast(1.0 as float))"
+            " AS embedding",
+        ).write.mode("overwrite").parquet(f"{wd}/sm_batch_c")
     result["corpus_gen_sec"] = round(time.monotonic() - t0, 1)
 
     docs = batch = docs_all = None
     vecs = vbatch = vecs_all = None
+    smv = smb = sm_ctr = None
     if need_docs:
         docs = spark.read.parquet(f"{wd}/docs")
         batch = spark.read.parquet(f"{wd}/batch_docs")
@@ -427,12 +512,37 @@ def run(args):
         vecs_all = vecs.select("vec_id", "embedding").unionByName(
             vbatch.select("vec_id", "embedding")
         )
+    if need_sem:
+        smv = spark.read.parquet(f"{wd}/sm_vecs")
+        smb = spark.read.parquet(f"{wd}/sm_batch")
+        smb_c = spark.read.parquet(f"{wd}/sm_batch_c")
+        sm_part = None  # read lazily after the index build writes it
 
     # ---- persisted history indexes (bucketed catalog tables — the probe
     # shape's zero-Exchange property needs the bucket metadata)
     t0 = time.monotonic()
-    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx", "ab_ln_idx", "ab_ex_idx"):
+    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx",
+                "ab_ln_idx", "ab_ex_idx", "ab_sm_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if need_sem:
+        # frozen quantizer trained on HISTORY only (the FAISS contract);
+        # assignments bucketed by centroid_id = the probe's zero-Exchange
+        # history state
+        reg = []
+        ctr, assigns = build_ivf_index(
+            smv, n_centroids=SEMANTIC["n_clusters"],
+            refine_iters=SEMANTIC["refine_iters"], cache_registry=reg,
+        )
+        ctr.write.mode("overwrite").parquet(f"{wd}/sm_ctr")
+        write_bucketed(assigns, "ab_sm_idx", "centroid_id", 32,
+                       path=f"{wd}/sm_idx")
+        if need_sem_part:
+            spark.table("ab_sm_idx").write.mode("overwrite").partitionBy(
+                "centroid_id"
+            ).parquet(f"{wd}/sm_idx_part")
+        for df in reg:
+            df.unpersist()
+        sm_ctr = spark.read.parquet(f"{wd}/sm_ctr")
     if "exact" in fam_filter:
         write_bucketed(
             build_exact_hash_index(docs), "ab_ex_idx", "text_hash", 32,
@@ -624,6 +734,30 @@ def run(args):
         )
         return union_exact(all_idx).count()
 
+    def _sem_runners(batch_df):
+        def probe_sm():
+            reg = []
+            out = semantic_dedup_incremental(
+                batch_df, spark.table("ab_sm_idx"), sm_ctr,
+                threshold=SEMANTIC["threshold"],
+                max_cluster=SEMANTIC["max_cluster"], cache_registry=reg,
+            )
+            c = out.count()
+            for df in reg:
+                df.unpersist()
+            return c
+
+        def union_sm():
+            assign_all = spark.table("ab_sm_idx").unionByName(
+                _ivf_assign(batch_df.select("vec_id", "embedding"), sm_ctr)
+            )
+            return union_semantic(
+                assign_all, threshold=SEMANTIC["threshold"],
+                max_cluster=SEMANTIC["max_cluster"],
+            ).count()
+
+        return probe_sm, union_sm
+
     fams = {
         "minhash": (probe_mh, union_mh),
         "simhash": (probe_sh, union_sh),
@@ -632,6 +766,36 @@ def run(args):
         "line": (probe_ln, union_ln),
         "exact": (probe_ex, union_ex),
     }
+    if need_sem:
+        fams["semantic"] = _sem_runners(smb)
+        fams["semantic_concentrated"] = _sem_runners(smb_c)
+    if need_sem_part:
+        sm_part = spark.read.parquet(f"{wd}/sm_idx_part")
+
+        def probe_smp():
+            reg = []
+            out = semantic_dedup_incremental(
+                smb_c, sm_part, sm_ctr, threshold=SEMANTIC["threshold"],
+                max_cluster=SEMANTIC["max_cluster"], cache_registry=reg,
+                prune_partitions=True,
+            )
+            c = out.count()
+            for df in reg:
+                df.unpersist()
+            return c
+
+        def union_smp():
+            assign_all = sm_part.select(
+                "vec_id", "embedding", "centroid_id"
+            ).unionByName(
+                _ivf_assign(smb_c.select("vec_id", "embedding"), sm_ctr)
+            )
+            return union_semantic(
+                assign_all, threshold=SEMANTIC["threshold"],
+                max_cluster=SEMANTIC["max_cluster"],
+            ).count()
+
+        fams["semantic_partitioned"] = (probe_smp, union_smp)
     fams = {k: v for k, v in fams.items() if k in fam_filter}
     for fam, (probe_fn, union_fn) in fams.items():
         # parity first (also the probe warmup): identical pair sets
@@ -700,6 +864,22 @@ def run(args):
                 ),
                 batch, window=SPAN["window"], min_df=SPAN["min_df"],
             )
+        elif fam.startswith("semantic"):
+            _sb = smb if fam == "semantic" else smb_c
+            _st = sm_part if fam == "semantic_partitioned" else spark.table("ab_sm_idx")
+            probe_df = semantic_dedup_incremental(
+                _sb, _st, sm_ctr,
+                threshold=SEMANTIC["threshold"],
+                max_cluster=SEMANTIC["max_cluster"], cache_registry=reg,
+                prune_partitions=(fam == "semantic_partitioned"),
+            )
+            union_df = union_semantic(
+                _st.select("vec_id", "embedding", "centroid_id").unionByName(
+                    _ivf_assign(_sb.select("vec_id", "embedding"), sm_ctr)
+                ),
+                threshold=SEMANTIC["threshold"],
+                max_cluster=SEMANTIC["max_cluster"],
+            )
         else:
             probe_df = embedding_near_dup_pairs_incremental(
                 vbatch, vecs, old_index=spark.table("ab_em_idx"),
@@ -716,7 +896,10 @@ def run(args):
                 vecs_all, threshold=EMBED["threshold"],
                 max_bucket=EMBED["max_bucket"],
             )
-        key_fn = {"span": _span_key, "line": _line_key, "exact": _exact_key}.get(fam, _pairs_key)
+        key_fn = {"span": _span_key, "line": _line_key, "exact": _exact_key,
+                  "semantic": _sem_key,
+                  "semantic_concentrated": _sem_key,
+                  "semantic_partitioned": _sem_key}.get(fam, _pairs_key)
         pk, uk = key_fn(probe_df), key_fn(union_df)
         for df in reg:
             df.unpersist()
@@ -757,7 +940,8 @@ def run(args):
             json.dump(result, f, indent=1)
         print("wrote", out_path)
     print(json.dumps(result))
-    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx", "ab_ln_idx", "ab_ex_idx"):
+    for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx",
+                "ab_ln_idx", "ab_ex_idx", "ab_sm_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return 0 if all(f["parity_ok"] for f in result["families"].values()) else 1
 
@@ -773,5 +957,7 @@ if __name__ == "__main__":
     ap.add_argument("--emb-planes", type=int, default=None,
                     help="override EMBED n_planes (operational sizing: "
                     "~log2(n_history) + 1 keeps buckets O(1))")
-    ap.add_argument("--families", default="minhash,simhash,embedding,span,line,exact")
+    ap.add_argument("--families",
+                    default="minhash,simhash,embedding,span,line,exact,"
+                    "semantic,semantic_concentrated,semantic_partitioned")
     sys.exit(run(ap.parse_args()))

@@ -2425,3 +2425,43 @@ def test_bloom_filter_membership_and_plan(spark):
         build_bloom_filter(grams, m_bits=10)
     with _pt.raises(ValueError, match="min_hits"):
         bloom_contaminated(tr, bloom, min_hits=0)
+
+
+def test_semantic_incremental_partition_pruning(spark, embeddings, tmp_path):
+    """prune_partitions=True pushes a static centroid_id IN filter to a
+    partitionBy('centroid_id') state table — PartitionFilters prunes
+    untouched clusters' files — and the results equal the default path."""
+    from literature_to_facts_spark.datapipe.similarity import (
+        build_ivf_index,
+        semantic_dedup_incremental,
+    )
+
+    emb = embeddings.limit(120).select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0).limit(8)
+    reg = []
+    try:
+        cents, assigns = build_ivf_index(
+            old, n_centroids=6, refine_iters=1, cache_registry=reg
+        )
+        path = str(tmp_path / "sm_part_idx")
+        assigns.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+        t = spark.read.parquet(path)
+        pruned = semantic_dedup_incremental(
+            new, t, cents, threshold=0.4, max_cluster=400,
+            cache_registry=reg, prune_partitions=True,
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "centroid_id#" in plan and "PartitionFilters" in plan
+        import re as _re
+
+        m = _re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*IN", plan)
+        assert m, plan[:2000]
+        default = semantic_dedup_incremental(
+            new, t, cents, threshold=0.4, max_cluster=400, cache_registry=reg
+        )
+        key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+        assert key(pruned) == key(default)
+    finally:
+        for df in reg:
+            df.unpersist()
