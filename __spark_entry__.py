@@ -2736,6 +2736,60 @@ def _url_normalize_oracle() -> str:
     """
 
 
+_BLOCKED_DOMAINS = ["example.com", "news.net"]
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Registered-domain blocklist gate (datapipe/urls.
+    url_domain_blocklist — the UT1-list stage): docs whose registered
+    domain is blocked are dropped via ONE broadcast left-anti join; the
+    domain extraction (incl. second-level-TLD handling) fuses into the
+    scan.  Fixture blocks example.com (cases 1/3) so subdomain variants
+    b<k>.example.com prove the registered-domain matching."""
+    from literature_to_facts_spark.datapipe.urls import url_domain_blocklist
+
+    docs = _url_docs(spark, sf_dir)
+    blocked = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    out = url_domain_blocklist(docs, blocked)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "url")
+
+
+def _url_blocklist_oracle() -> str:
+    from literature_to_facts_spark.datapipe.urls import SECOND_LEVEL_TLDS
+
+    slds = ", ".join(f"'{s}'" for s in SECOND_LEVEL_TLDS)
+    blocked = ", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)
+    g = _duck_url_group
+    return f"""
+        WITH u AS (
+          SELECT doc_id, {_URL_FIXTURE_DUCK} AS url FROM documents
+        ),
+        p AS (
+          SELECT doc_id, url,
+                 (url IS NOT NULL AND {g(2)} <> '') AS ok,
+                 lower({g(2)}) AS host
+          FROM u
+        ),
+        h AS (
+          SELECT doc_id, url, ok, host, string_split(host, '.') AS labs
+          FROM p
+        ),
+        rd AS (
+          SELECT doc_id, url, ok,
+                 CASE WHEN NOT ok THEN NULL
+                      WHEN len(labs) <= 2 THEN host
+                      WHEN (labs[-2] || '.' || labs[-1]) IN ({slds})
+                        THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]
+                      ELSE labs[-2] || '.' || labs[-1] END AS dom
+          FROM h
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, url
+        FROM rd WHERE ok AND dom NOT IN ({blocked})
+    """
+
+
 _SNAP_TS_BASE_US = 1_500_000_000_000_000  # 2017-07-14 UTC, arbitrary fixed
 
 
@@ -2967,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
         "url_latest_snapshot": q_url_latest_snapshot,
+        "url_blocklist": q_url_blocklist,
         "url_domain_quality": q_url_domain_quality,
     }
 
@@ -4627,6 +4682,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _url_normalize_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "url_latest_snapshot": _url_latest_snapshot_oracle(),
+        "url_blocklist": _url_blocklist_oracle(),
         "url_domain_quality": _url_domain_quality_oracle(),
         "text_lang_trigram": _lang_trigram_oracle_sql(),
     }

@@ -137,6 +137,7 @@ HEADLINE = [
     "decontam_bloom",
     "url_latest_snapshot",
     "web_link_rank",
+    "url_blocklist",
 ]
 
 

@@ -258,6 +258,48 @@ def url_dedup(
     )
 
 
+def url_domain_blocklist(
+    docs: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    blocked_col: str = "domain",
+    keep_invalid: bool = False,
+) -> DataFrame:
+    """Drop documents whose REGISTERED DOMAIN appears in a blocklist table
+    — the UT1/adult-domain-list gate every crawl pipeline runs before any
+    text-level stage (RefinedWeb/FineWeb block by registered domain so
+    ``spam.bad.com`` and ``www.bad.com`` both match a ``bad.com`` entry).
+
+    ``blocked`` is a one-column DataFrame of lowercase registered domains
+    (blocklist-sized: 10^4-10^6 rows).  Invalid/NULL-url docs are dropped
+    by default (an unparseable URL cannot be cleared against the list);
+    ``keep_invalid=True`` retains them for a downstream quarantine stage.
+
+    Scale shape: domain extraction fuses into the scan (the
+    :func:`with_url_parts` regex battery) and the gate is ONE broadcast
+    left-anti join — zero shuffle of the corpus, blocklist shipped once
+    per executor.  Output = input columns unchanged (the parts columns are
+    internal here).
+    """
+    clash = sorted(_RESERVED_URL_COLS & set(docs.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with url_domain_blocklist "
+            "internals; rename them first"
+        )
+    parts = with_url_parts(docs, url_col=url_col)
+    gated = parts.join(
+        F.broadcast(
+            blocked.select(F.col(blocked_col).alias("registered_domain"))
+        ),
+        on="registered_domain",
+        how="left_anti",
+    )
+    if not keep_invalid:
+        gated = gated.where(F.col("is_valid_url"))
+    return gated.select(*docs.columns)
+
+
 def url_latest_snapshot(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -182,3 +182,37 @@ def test_url_latest_snapshot(spark):
     assert set(rows) == {"http://a.com/x", "http://b.com/only"}
     assert rows["http://a.com/x"] == (2, t("2024-03-01T00:00:00"), 4)
     assert rows["http://b.com/only"] == (6, None, 1)
+
+
+def test_url_domain_blocklist(spark):
+    """Registered-domain gate: subdomains of a blocked domain drop, SLD
+    domains handled, invalid urls dropped by default / kept on request,
+    output columns unchanged."""
+    from pyspark.sql import functions as F
+
+    from literature_to_facts_spark.datapipe.urls import url_domain_blocklist
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://spam.bad.com/x"),       # subdomain of blocked
+            (2, "http://bad.com/y"),            # exactly blocked
+            (3, "http://good.org/z"),
+            (4, "http://a.bad.co.uk/w"),        # SLD: registered bad.co.uk
+            (5, "not-a-url"),
+            (6, None),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame(
+        [("bad.com",), ("bad.co.uk",)], "domain string"
+    )
+    out = url_domain_blocklist(docs, blocked)
+    assert out.columns == ["doc_id", "url"]
+    assert {r.doc_id for r in out.collect()} == {3}
+    kept = url_domain_blocklist(docs, blocked, keep_invalid=True)
+    assert {r.doc_id for r in kept.collect()} == {3, 5, 6}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="host"):
+        url_domain_blocklist(docs.withColumn("host", F.lit("x")), blocked)
