@@ -2929,6 +2929,107 @@ def _url_dedup_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# KG store-side query lane (engine/kgquery.py): statistics + path joins over
+# the materialized triple table
+# ---------------------------------------------------------------------------
+
+_KG_MENTION_RE = "(spark|window|merge|batch)"
+
+
+def _kg_rich_triples(spark, sf_dir):
+    """Melted doc triples + per-doc mention-count triples — the entry()
+    flagship's triple table, reused by the store-side query lane so the
+    characteristic sets actually vary across subjects."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "CAST(doc_id AS BIGINT) AS subj",
+        "stack(3, 'source', source, 'lang', lang, 'n_chars', CAST(n_chars AS STRING)) AS (pred, obj)",
+    )
+    mentions = (
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("subj"),
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(_KG_MENTION_RE), F.lit(1))
+            ).alias("kw"),
+        )
+        .groupBy("subj", "kw")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "subj",
+            F.concat(F.lit("mentions_"), F.col("kw")).alias("pred"),
+            F.col("_n").cast("string").alias("obj"),
+        )
+    )
+    return base.unionByName(mentions)
+
+
+_KG_RICH_TRIPLES_DUCK = f"""
+          SELECT CAST(doc_id AS BIGINT) AS subj, 'source' AS pred, source AS obj FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT), 'lang', lang FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT), 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+          UNION ALL
+          SELECT subj, 'mentions_' || kw, CAST(COUNT(*) AS VARCHAR)
+          FROM (
+            SELECT CAST(doc_id AS BIGINT) AS subj,
+                   unnest(regexp_extract_all(text, '{_KG_MENTION_RE}', 1)) AS kw
+            FROM documents
+          ) GROUP BY subj, kw
+"""
+
+
+def q_kg_predicate_stats(spark, sf_dir):
+    """RDF-store predicate cardinality statistics (engine/kgquery.py) over
+    the flagship triple table — the stats a store keeps for join ordering
+    (reference analog: rdflib graph introspection, facts/learn.py:95)."""
+    from literature_to_facts_spark.engine.kgquery import predicate_stats
+
+    return predicate_stats(_kg_rich_triples(spark, sf_dir))
+
+
+def q_kg_characteristic_sets(spark, sf_dir):
+    """Characteristic-set histogram (Neumann & Moerkotte ICDE'11) of the
+    flagship triple table: one row per distinct per-subject predicate set."""
+    from literature_to_facts_spark.engine.kgquery import characteristic_sets
+
+    return characteristic_sets(_kg_rich_triples(spark, sf_dir))
+
+
+def q_kg_entity_cooccurrence(spark, sf_dir):
+    """Co-mention edge building: unordered keyword-entity pairs sharing a
+    document, with distinct-doc counts and the quadratic-blowup cap."""
+    from literature_to_facts_spark.engine.kgquery import entity_cooccurrence
+
+    docs = _t(spark, sf_dir, "documents")
+    mentions = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_KG_MENTION_RE), F.lit(1))
+        ).alias("entity"),
+    )
+    return entity_cooccurrence(mentions, max_entities_per_doc=64)
+
+
+def q_kg_two_hop(spark, sf_dir):
+    """Two-triple-pattern path join (SPARQL ``?src p1 ?doc . ?doc p2 ?ent``):
+    which entities each source co-occurs with, via how many distinct docs."""
+    from literature_to_facts_spark.engine.kgquery import two_hop
+
+    docs = _t(spark, sf_dir, "documents")
+    ab = docs.select(
+        F.col("source").alias("src"), F.col("doc_id").cast("bigint").alias("dst")
+    )
+    bc = docs.select(
+        F.col("doc_id").cast("bigint").alias("src"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_KG_MENTION_RE), F.lit(1))
+        ).alias("dst"),
+    )
+    return two_hop(ab, bc)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_melt": q_kg_triples_melt,
@@ -3023,6 +3124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_latest_snapshot": q_url_latest_snapshot,
         "url_blocklist": q_url_blocklist,
         "url_domain_quality": q_url_domain_quality,
+        "kg_predicate_stats": q_kg_predicate_stats,
+        "kg_characteristic_sets": q_kg_characteristic_sets,
+        "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
+        "kg_two_hop": q_kg_two_hop,
     }
 
 
@@ -4685,4 +4790,48 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": _url_blocklist_oracle(),
         "url_domain_quality": _url_domain_quality_oracle(),
         "text_lang_trigram": _lang_trigram_oracle_sql(),
+        "kg_predicate_stats": f"""
+            WITH triples AS ({_KG_RICH_TRIPLES_DUCK})
+            SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples,
+                   CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+                   CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+            FROM triples GROUP BY pred
+        """,
+        "kg_characteristic_sets": f"""
+            WITH triples AS ({_KG_RICH_TRIPLES_DUCK})
+            SELECT pred_set, CAST(COUNT(*) AS BIGINT) AS n_subj,
+                   CAST(MIN(np) AS BIGINT) AS n_preds
+            FROM (
+              SELECT subj,
+                     array_to_string(list_sort(list_distinct(list(pred))), ',') AS pred_set,
+                     len(list_distinct(list(pred))) AS np
+              FROM triples GROUP BY subj
+            ) GROUP BY pred_set
+        """,
+        "kg_entity_cooccurrence": f"""
+            WITH de AS (
+              SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc,
+                     unnest(regexp_extract_all(text, '{_KG_MENTION_RE}', 1)) AS ent
+              FROM documents
+            ),
+            keep AS (SELECT doc FROM de GROUP BY doc HAVING COUNT(*) <= 64)
+            SELECT a.ent AS entity_a, b.ent AS entity_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM de a
+            JOIN de b ON a.doc = b.doc AND a.ent < b.ent
+            JOIN keep k ON a.doc = k.doc
+            GROUP BY a.ent, b.ent
+        """,
+        "kg_two_hop": f"""
+            WITH ab AS (
+              SELECT DISTINCT source AS a, CAST(doc_id AS BIGINT) AS b FROM documents
+            ),
+            bc AS (
+              SELECT DISTINCT CAST(doc_id AS BIGINT) AS b,
+                     unnest(regexp_extract_all(text, '{_KG_MENTION_RE}', 1)) AS c
+              FROM documents
+            )
+            SELECT a, c, CAST(COUNT(DISTINCT b) AS BIGINT) AS n_mid
+            FROM ab JOIN bc USING (b) GROUP BY a, c
+        """,
     }

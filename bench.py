@@ -138,6 +138,11 @@ HEADLINE = [
     "url_latest_snapshot",
     "web_link_rank",
     "url_blocklist",
+    # round-6 fourth wave: KG store-side query lane (appended)
+    "kg_predicate_stats",
+    "kg_characteristic_sets",
+    "kg_entity_cooccurrence",
+    "kg_two_hop",
 ]
 
 
