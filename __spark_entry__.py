@@ -2940,8 +2940,10 @@ _KG_MENTION_RE = "(spark|window|merge|batch)"
 def _kg_rich_triples(spark, sf_dir):
     """Melted doc triples + per-doc mention-count triples — the entry()
     flagship's triple table, reused by the store-side query lane so the
-    characteristic sets actually vary across subjects."""
-    docs = _t(spark, sf_dir, "documents")
+    characteristic sets actually vary across subjects.  `_spread` because
+    the mention leg regex-scans every document's text (compute-heavy over
+    the single-row-group local fixtures)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     base = docs.selectExpr(
         "CAST(doc_id AS BIGINT) AS subj",
         "stack(3, 'source', source, 'lang', lang, 'n_chars', CAST(n_chars AS STRING)) AS (pred, obj)",
@@ -3028,6 +3030,32 @@ def q_kg_two_hop(spark, sf_dir):
         ).alias("dst"),
     )
     return two_hop(ab, bc)
+
+
+def q_kg_predicate_stats_incremental(spark, sf_dir):
+    """Delta maintenance of the predicate-cardinality statistics
+    (engine/kgquery.predicate_stats_incremental, ninth probe-shaped delta
+    family): the new batch's triples (subj % 5 == 0, a ~20% daily delta)
+    update the persisted stats via an existence probe against the
+    (pred, role, value) pair index — the history triple store is never
+    rescanned.  Full SQL oracle: the result must be bit-equal to the
+    from-scratch ``predicate_stats`` over the ENTIRE corpus, so DuckDB
+    recomputes exactly that."""
+    from literature_to_facts_spark.engine.kgquery import (
+        build_predicate_pair_index,
+        predicate_stats,
+        predicate_stats_incremental,
+    )
+
+    # the triple table feeds THREE consumers here (batch, history index,
+    # history stats) — persist it once or the regex-mention subtree runs
+    # three times (operationally it is a materialized table anyway)
+    triples = _kg_rich_triples(spark, sf_dir).persist()
+    new = triples.where(F.col("subj") % 5 == 0)
+    old = triples.where(F.col("subj") % 5 != 0)
+    return predicate_stats_incremental(
+        new, build_predicate_pair_index(old), predicate_stats(old)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3128,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_characteristic_sets": q_kg_characteristic_sets,
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "kg_two_hop": q_kg_two_hop,
+        "kg_predicate_stats_incremental": q_kg_predicate_stats_incremental,
     }
 
 
@@ -4833,5 +4862,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, c, CAST(COUNT(DISTINCT b) AS BIGINT) AS n_mid
             FROM ab JOIN bc USING (b) GROUP BY a, c
+        """,
+        # the incremental contract IS "bit-equal to the full recompute over
+        # old ∪ batch", so the oracle is the full-corpus stats query
+        "kg_predicate_stats_incremental": f"""
+            WITH triples AS ({_KG_RICH_TRIPLES_DUCK})
+            SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples,
+                   CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+                   CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+            FROM triples GROUP BY pred
         """,
     }

@@ -143,6 +143,7 @@ HEADLINE = [
     "kg_characteristic_sets",
     "kg_entity_cooccurrence",
     "kg_two_hop",
+    "kg_predicate_stats_incremental",
 ]
 
 

@@ -94,6 +94,139 @@ def characteristic_sets(
     )
 
 
+_PAIR_SEP = "\x1f"  # unit separator: cannot appear in preds/ids
+
+
+def build_predicate_pair_index(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Per-batch partial counts of distinct (pred, role, value) pairs —
+    the PERSISTED STATE of incremental predicate statistics:
+    ``(pair_key, pred, kind, n)`` with ``kind`` ∈ {'s','o'} and ``n`` the
+    batch's triple count for that pair.
+
+    APPEND-ONLY (the delta-family convention): each batch appends its own
+    partials, so a pair seen by k batches has k rows; probes only test
+    EXISTENCE (a value already counted toward ``n_subj``/``n_obj`` must not
+    be counted again) and :func:`datapipe.storage.compact_index` merges the
+    partials with ``sum_cols=['n']``.  Write it with
+    ``write_bucketed(..., bucket_col='pair_key')`` so the probe side plans
+    with zero Exchange (plan-pinned, same composition as the line/minhash
+    indexes).  NULL values are excluded — mirroring ``countDistinct``.
+    """
+    s = triples.where(F.col(subj_col).isNotNull()).select(
+        F.col(pred_col).alias("pred"),
+        F.lit("s").alias("kind"),
+        F.col(subj_col).cast("string").alias("_val"),
+    )
+    o = triples.where(F.col(obj_col).isNotNull()).select(
+        F.col(pred_col).alias("pred"),
+        F.lit("o").alias("kind"),
+        F.col(obj_col).cast("string").alias("_val"),
+    )
+    return (
+        s.unionByName(o)
+        .groupBy(
+            F.concat_ws(_PAIR_SEP, "kind", "pred", "_val").alias("pair_key"),
+            "pred",
+            "kind",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def predicate_stats_incremental(
+    batch_triples: DataFrame,
+    old_index: DataFrame | None,
+    old_stats: DataFrame | None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Maintain :func:`predicate_stats` under a new batch of triples WITHOUT
+    rescanning the historical triple store: returns the updated
+    ``(pred, n_triples, n_subj, n_obj)`` table, bit-equal to
+    ``predicate_stats(old ∪ batch)``.
+
+    The hard part is the two exact distinct counts — counts cannot be merged
+    from counts.  The persisted :func:`build_predicate_pair_index` makes the
+    merge exact: a batch value increments ``n_subj``/``n_obj`` iff its
+    (pred, role, value) pair has never been seen, which is one EXISTENCE
+    probe against the index.  ``n_triples`` is plain count addition.
+
+    PROBE-shaped (the ninth delta family): the batch's distinct pair keys
+    are batch-bounded, so they BROADCAST and semi-join-filter the history
+    index at its scan — only index rows for pairs the batch actually
+    contains go anywhere (zero Exchange over a ``write_bucketed('pair_key')``
+    catalog table, plan-pinned).  The matched key set is itself ⊆ the batch
+    keys, so it broadcasts back into a batch-side anti join (a broadcast
+    side can never be outer-preserved — the anti's streamed side is the
+    batch partials).  Everything downstream of the probe is pred-sized.
+
+    ``old_index=None``/``old_stats=None`` mean no history: the first batch
+    degenerates to ``predicate_stats(batch)``.  The caller appends
+    ``build_predicate_pair_index(batch)`` to the index after each batch
+    (same loop contract as the other eight families); purged history is
+    count-only state — conservative, like the line/window indexes.
+    """
+    spark = batch_triples.sparkSession
+    if old_index is None:
+        old_index = spark.createDataFrame(
+            [], "pair_key string, pred string, kind string, n bigint"
+        )
+    if old_stats is None:
+        old_stats = spark.createDataFrame(
+            [], "pred string, n_triples bigint, n_subj bigint, n_obj bigint"
+        )
+    batch_pairs = build_predicate_pair_index(
+        batch_triples, subj_col=subj_col, pred_col=pred_col, obj_col=obj_col
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(batch_pairs)
+    # existence probe: which batch pairs already live in the history index
+    seen = (
+        old_index.join(
+            F.broadcast(batch_pairs.select("pair_key")),
+            on="pair_key",
+            how="left_semi",
+        )
+        .select("pair_key")
+        .distinct()
+    )
+    fresh = batch_pairs.join(F.broadcast(seen), on="pair_key", how="left_anti")
+    # pred-sized deltas: new distinct values per role + raw triple counts
+    d_distinct = (
+        fresh.groupBy("pred")
+        .agg(
+            F.sum(F.when(F.col("kind") == "s", 1).otherwise(0))
+            .cast("bigint")
+            .alias("d_subj"),
+            F.sum(F.when(F.col("kind") == "o", 1).otherwise(0))
+            .cast("bigint")
+            .alias("d_obj"),
+        )
+    )
+    d_triples = (
+        batch_triples.groupBy(F.col(pred_col).alias("pred"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_triples"))
+    )
+    deltas = d_triples.join(d_distinct, on="pred", how="left")
+    merged = old_stats.join(deltas, on="pred", how="full_outer")
+    zero = F.lit(0).cast("bigint")
+    return merged.select(
+        "pred",
+        (F.coalesce("n_triples", zero) + F.coalesce("d_triples", zero)).alias(
+            "n_triples"
+        ),
+        (F.coalesce("n_subj", zero) + F.coalesce("d_subj", zero)).alias("n_subj"),
+        (F.coalesce("n_obj", zero) + F.coalesce("d_obj", zero)).alias("n_obj"),
+    )
+
+
 def entity_cooccurrence(
     mentions: DataFrame,
     doc_col: str = "doc_id",

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Scale-tier probe-vs-union A/B for the three incremental dedup families
+"""Scale-tier probe-vs-union A/B for the incremental (delta) families
 (MinHash-LSH, SimHash, embedding near-dup) — the measurement behind the
 zero-Exchange history design (VERDICT r5 "Next round" #1).
 
@@ -318,6 +318,47 @@ def union_semantic(assign_all, *, threshold, max_cluster):
     )
 
 
+def build_scale_triples(spark, n: int, offset: int = 0):
+    """Deterministic melted KG triples for the predstats family: per subject
+    a `lang` (3 values), a `host` (n/50 values — mid cardinality), a
+    `n_chars` (high cardinality), and for every 4th subject a `mentions`
+    (5 values).  ~3.25 triples/subject, seedless md5-derived values."""
+    base = spark.range(n).selectExpr(f"id + {offset} AS subj")
+    return base.selectExpr(
+        "subj",
+        "stack(3, "
+        " 'lang',   element_at(array('en','fr','de'), CAST(subj % 3 AS INT) + 1), "
+        " 'host',   concat('h', CAST(subj % greatest(CAST(1 AS BIGINT), "
+        f"   CAST({n} / 50 AS BIGINT)) AS STRING), '.com'), "
+        " 'n_chars', CAST(length(md5(CAST(subj AS STRING))) + subj % 997 AS STRING)"
+        ") AS (pred, obj)",
+    ).unionByName(
+        base.where("subj % 4 = 0").selectExpr(
+            "subj",
+            "'mentions' AS pred",
+            "concat('e', CAST(subj % 5 AS STRING)) AS obj",
+        )
+    )
+
+
+def union_predstats(all_idx):
+    """Round-4 shape for the predstats family: predicate statistics
+    recomputed from the FULL (old + new) pair index every batch — the whole
+    history flows through the distinct-count Exchange."""
+    return all_idx.groupBy("pred").agg(
+        F.sum(F.when(F.col("kind") == "s", F.col("n"))).cast("bigint")
+        .alias("n_triples"),
+        F.countDistinct(F.when(F.col("kind") == "s", F.col("pair_key")))
+        .cast("bigint").alias("n_subj"),
+        F.countDistinct(F.when(F.col("kind") == "o", F.col("pair_key")))
+        .cast("bigint").alias("n_obj"),
+    )
+
+
+def _stats_key(df):
+    return sorted(map(tuple, df.collect()))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -425,7 +466,8 @@ def run(args):
         EMBED["n_planes"] = int(args.emb_planes)
     fam_filter = set(args.families.split(","))
     known = {"minhash", "simhash", "embedding", "span", "line", "exact",
-             "semantic", "semantic_concentrated", "semantic_partitioned"}
+             "semantic", "semantic_concentrated", "semantic_partitioned",
+             "predstats"}
     if not fam_filter <= known:
         raise SystemExit(f"unknown families {sorted(fam_filter - known)}; "
                          f"choose from {sorted(known)}")
@@ -522,7 +564,7 @@ def run(args):
     # shape's zero-Exchange property needs the bucket metadata)
     t0 = time.monotonic()
     for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx",
-                "ab_ln_idx", "ab_ex_idx", "ab_sm_idx"):
+                "ab_ln_idx", "ab_ex_idx", "ab_sm_idx", "ab_ps_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if need_sem:
         # frozen quantizer trained on HISTORY only (the FAISS contract);
@@ -583,6 +625,31 @@ def run(args):
             ),
             "ab_em_idx", "bucket", 32, path=f"{wd}/em_idx",
         )
+    trip_batch = ps_stats = None
+    if "predstats" in fam_filter:
+        from literature_to_facts_spark.engine.kgquery import (  # noqa: E402
+            build_predicate_pair_index,
+            predicate_stats,
+            predicate_stats_incremental,
+        )
+
+        hist_triples = build_scale_triples(spark, n)
+        hist_triples.write.mode("overwrite").parquet(f"{wd}/trip_hist")
+        build_scale_triples(spark, nb, offset=OFFSET).write.mode(
+            "overwrite"
+        ).parquet(f"{wd}/trip_batch")
+        trip_hist = spark.read.parquet(f"{wd}/trip_hist")
+        trip_batch = spark.read.parquet(f"{wd}/trip_batch")
+        write_bucketed(
+            build_predicate_pair_index(trip_hist), "ab_ps_idx", "pair_key",
+            32, path=f"{wd}/ps_idx",
+        )
+        # pred-sized rolling stats table (the operational mode rewrites it
+        # per batch); built once from history, untimed
+        predicate_stats(trip_hist).write.mode("overwrite").parquet(
+            f"{wd}/ps_stats"
+        )
+        ps_stats = spark.read.parquet(f"{wd}/ps_stats")
     result["index_build_sec"] = round(time.monotonic() - t0, 1)
 
     def probe_mh():
@@ -758,6 +825,30 @@ def run(args):
 
         return probe_sm, union_sm
 
+    def probe_ps():
+        from literature_to_facts_spark.engine.kgquery import (
+            predicate_stats_incremental,
+        )
+
+        reg = []
+        out = predicate_stats_incremental(
+            trip_batch, spark.table("ab_ps_idx"), ps_stats, cache_registry=reg
+        )
+        c = out.count()
+        for df in reg:
+            df.unpersist()
+        return c
+
+    def union_ps():
+        from literature_to_facts_spark.engine.kgquery import (
+            build_predicate_pair_index,
+        )
+
+        all_idx = spark.table("ab_ps_idx").unionByName(
+            build_predicate_pair_index(trip_batch)
+        )
+        return union_predstats(all_idx).count()
+
     fams = {
         "minhash": (probe_mh, union_mh),
         "simhash": (probe_sh, union_sh),
@@ -765,6 +856,7 @@ def run(args):
         "span": (probe_sp, union_sp),
         "line": (probe_ln, union_ln),
         "exact": (probe_ex, union_ex),
+        "predstats": (probe_ps, union_ps),
     }
     if need_sem:
         fams["semantic"] = _sem_runners(smb)
@@ -880,6 +972,21 @@ def run(args):
                 threshold=SEMANTIC["threshold"],
                 max_cluster=SEMANTIC["max_cluster"],
             )
+        elif fam == "predstats":
+            from literature_to_facts_spark.engine.kgquery import (
+                build_predicate_pair_index,
+                predicate_stats_incremental,
+            )
+
+            probe_df = predicate_stats_incremental(
+                trip_batch, spark.table("ab_ps_idx"), ps_stats,
+                cache_registry=reg,
+            )
+            union_df = union_predstats(
+                spark.table("ab_ps_idx").unionByName(
+                    build_predicate_pair_index(trip_batch)
+                )
+            )
         else:
             probe_df = embedding_near_dup_pairs_incremental(
                 vbatch, vecs, old_index=spark.table("ab_em_idx"),
@@ -899,7 +1006,8 @@ def run(args):
         key_fn = {"span": _span_key, "line": _line_key, "exact": _exact_key,
                   "semantic": _sem_key,
                   "semantic_concentrated": _sem_key,
-                  "semantic_partitioned": _sem_key}.get(fam, _pairs_key)
+                  "semantic_partitioned": _sem_key,
+                  "predstats": _stats_key}.get(fam, _pairs_key)
         pk, uk = key_fn(probe_df), key_fn(union_df)
         for df in reg:
             df.unpersist()
@@ -941,7 +1049,7 @@ def run(args):
         print("wrote", out_path)
     print(json.dumps(result))
     for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx",
-                "ab_ln_idx", "ab_ex_idx", "ab_sm_idx"):
+                "ab_ln_idx", "ab_ex_idx", "ab_sm_idx", "ab_ps_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return 0 if all(f["parity_ok"] for f in result["families"].values()) else 1
 

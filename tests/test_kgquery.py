@@ -97,3 +97,158 @@ def test_cooccurrence_self_join_plans_single_scan_key(spark):
     plan = entity_cooccurrence(mentions)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# predicate_stats_incremental (ninth probe-shaped delta family)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def delta_triples(spark):
+    rows = []
+    for i in range(60):
+        rows.append((i, "lang", ["en", "fr", "de"][i % 3]))
+        rows.append((i, "source", f"host{i % 7}.com"))
+        if i % 4 == 0:
+            rows.append((i, "mentions_x", str(i % 5)))
+        if i % 10 == 0:
+            rows.append((i, "lang", ["en", "fr", "de"][i % 3]))  # dup triple
+    return spark.createDataFrame(rows, "subj bigint, pred string, obj string")
+
+
+def _stats_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_predicate_stats_incremental_equals_full(spark, delta_triples):
+    from literature_to_facts_spark.engine.kgquery import (
+        build_predicate_pair_index,
+        predicate_stats,
+        predicate_stats_incremental,
+    )
+
+    new = delta_triples.where(F.col("subj") % 5 == 0)
+    old = delta_triples.where(F.col("subj") % 5 != 0)
+    got = predicate_stats_incremental(
+        new, build_predicate_pair_index(old), predicate_stats(old)
+    )
+    assert _stats_rows(got) == _stats_rows(predicate_stats(delta_triples))
+
+
+def test_predicate_stats_incremental_first_batch(spark, delta_triples):
+    from literature_to_facts_spark.engine.kgquery import (
+        predicate_stats,
+        predicate_stats_incremental,
+    )
+
+    got = predicate_stats_incremental(delta_triples, None, None)
+    assert _stats_rows(got) == _stats_rows(predicate_stats(delta_triples))
+
+
+def test_predicate_stats_incremental_loop_with_append(spark, delta_triples, tmp_path):
+    """The operational loop: stats and index both roll forward per batch;
+    after three batches the stats equal the from-scratch recompute."""
+    from literature_to_facts_spark.engine.kgquery import (
+        build_predicate_pair_index,
+        predicate_stats,
+        predicate_stats_incremental,
+    )
+
+    idx_path = str(tmp_path / "pair_idx")
+    stats = None
+    for b in range(3):
+        batch = delta_triples.where(F.col("subj") % 3 == b)
+        old_idx = spark.read.parquet(idx_path) if b else None
+        stats = predicate_stats_incremental(batch, old_idx, stats)
+        # materialize stats before the next batch (the operational mode:
+        # stats table is pred-sized, rewritten per batch)
+        stats = spark.createDataFrame(
+            stats.collect(), "pred string, n_triples bigint, n_subj bigint, n_obj bigint"
+        )
+        build_predicate_pair_index(batch).write.mode("append").parquet(idx_path)
+    assert _stats_rows(stats) == _stats_rows(predicate_stats(delta_triples))
+
+
+def test_pair_index_sep_prevents_collisions(spark):
+    """('s','ab','c') and ('s','a','bc') must be distinct pair keys."""
+    from literature_to_facts_spark.engine.kgquery import build_predicate_pair_index
+
+    t = spark.createDataFrame(
+        [("c", "ab", "x"), ("bc", "a", "x")], "subj string, pred string, obj string"
+    )
+    assert (
+        build_predicate_pair_index(t).select("pair_key").distinct().count() == 4
+    )
+
+
+def test_pair_index_null_values_excluded(spark):
+    from literature_to_facts_spark.engine.kgquery import (
+        predicate_stats,
+        predicate_stats_incremental,
+    )
+
+    t = spark.createDataFrame(
+        [(1, "p", "a"), (2, "p", None), (None, "p", "a")],
+        "subj bigint, pred string, obj string",
+    )
+    got = {r["pred"]: r for r in predicate_stats_incremental(t, None, None).collect()}
+    ref = {r["pred"]: r for r in predicate_stats(t).collect()}
+    assert got["p"]["n_triples"] == ref["p"]["n_triples"] == 3
+    assert got["p"]["n_subj"] == ref["p"]["n_subj"] == 2
+    assert got["p"]["n_obj"] == ref["p"]["n_obj"] == 1
+
+
+def test_predicate_stats_incremental_bucketed_no_exchange(
+    spark, delta_triples, tmp_path
+):
+    """Over a write_bucketed('pair_key') catalog table the history probe
+    (broadcast semi filter -> distinct) plans with ZERO Exchange on the
+    streamed side — the ninth delta family keeps the pin."""
+    from literature_to_facts_spark.datapipe.storage import write_bucketed
+    from literature_to_facts_spark.engine.kgquery import (
+        build_predicate_pair_index,
+        predicate_stats,
+        predicate_stats_incremental,
+    )
+
+    new = delta_triples.where(F.col("subj") % 5 == 0)
+    old = delta_triples.where(F.col("subj") % 5 != 0)
+    idx = build_predicate_pair_index(old)
+    try:
+        write_bucketed(idx, "t_pair_idx", "pair_key", 4, path=str(tmp_path / "idx"))
+        bucketed = predicate_stats_incremental(
+            new, spark.table("t_pair_idx"), predicate_stats(old)
+        )
+        assert _stats_rows(bucketed) == _stats_rows(predicate_stats(delta_triples))
+        batch_keys = build_predicate_pair_index(new).select("pair_key")
+        probe = (
+            spark.table("t_pair_idx")
+            .join(F.broadcast(batch_keys), on="pair_key", how="left_semi")
+            .select("pair_key")
+            .distinct()
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        streamed = plan.split("BroadcastExchange")[0]
+        assert "Exchange" not in streamed, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pair_idx")
+
+
+def test_predicate_stats_incremental_cache_registry(spark, delta_triples):
+    from literature_to_facts_spark.engine.kgquery import (
+        build_predicate_pair_index,
+        predicate_stats,
+        predicate_stats_incremental,
+    )
+
+    new = delta_triples.where(F.col("subj") % 5 == 0)
+    old = delta_triples.where(F.col("subj") % 5 != 0)
+    reg = []
+    out = predicate_stats_incremental(
+        new, build_predicate_pair_index(old), predicate_stats(old), cache_registry=reg
+    )
+    out.collect()
+    assert len(reg) == 1 and reg[0].storageLevel.useMemory
+    reg[0].unpersist()
