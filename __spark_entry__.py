@@ -3058,6 +3058,22 @@ def q_kg_predicate_stats_incremental(spark, sf_dir):
     )
 
 
+def q_kg_cooccurrence_pmi(spark, sf_dir):
+    """PMI-weighted co-mention edges (engine/kgquery.cooccurrence_pmi):
+    association scores over the same keyword-entity mention frame as
+    kg_entity_cooccurrence, document frequencies broadcast-joined."""
+    from literature_to_facts_spark.engine.kgquery import cooccurrence_pmi
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    mentions = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_KG_MENTION_RE), F.lit(1))
+        ).alias("entity"),
+    )
+    return cooccurrence_pmi(mentions, max_entities_per_doc=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_melt": q_kg_triples_melt,
@@ -3157,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "kg_two_hop": q_kg_two_hop,
         "kg_predicate_stats_incremental": q_kg_predicate_stats_incremental,
+        "kg_cooccurrence_pmi": q_kg_cooccurrence_pmi,
     }
 
 
@@ -4871,5 +4888,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
                    CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
             FROM triples GROUP BY pred
+        """,
+        "kg_cooccurrence_pmi": f"""
+            WITH de AS (
+              SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc,
+                     unnest(regexp_extract_all(text, '{_KG_MENTION_RE}', 1)) AS ent
+              FROM documents
+            ),
+            keep AS (SELECT doc FROM de GROUP BY doc HAVING COUNT(*) <= 64),
+            pairs AS (
+              SELECT a.ent AS entity_a, b.ent AS entity_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM de a
+              JOIN de b ON a.doc = b.doc AND a.ent < b.ent
+              JOIN keep k ON a.doc = k.doc
+              GROUP BY a.ent, b.ent
+            ),
+            dfreq AS (SELECT ent, CAST(COUNT(*) AS BIGINT) AS df FROM de GROUP BY ent),
+            tot AS (SELECT CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_total FROM de)
+            SELECT p.entity_a, p.entity_b, p.n_docs,
+                   ROUND(LN(CAST(p.n_docs AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                         / (CAST(fa.df AS DOUBLE) * CAST(fb.df AS DOUBLE))), 6) AS pmi
+            FROM pairs p
+            JOIN dfreq fa ON fa.ent = p.entity_a
+            JOIN dfreq fb ON fb.ent = p.entity_b
+            CROSS JOIN tot t
         """,
     }

@@ -144,6 +144,7 @@ HEADLINE = [
     "kg_entity_cooccurrence",
     "kg_two_hop",
     "kg_predicate_stats_incremental",
+    "kg_cooccurrence_pmi",
 ]
 
 

