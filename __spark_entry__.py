@@ -3058,6 +3058,97 @@ def q_kg_predicate_stats_incremental(spark, sf_dir):
     )
 
 
+# robots/canonical fixture: each page carries one of four robots-meta shapes
+# (name-first double-quoted / content-first single-quoted uppercase / none
+# directive / absent) and one of three canonical shapes (rel-first with
+# fragment / href-first relative / absent) — ONE template both engines build
+_META_HTML_TMPL = (
+    "'<html><head>' || "
+    "CASE CAST({id} % 4 AS INT) "
+    "WHEN 0 THEN '<meta name=\"robots\" content=\"noindex, follow\">' "
+    "WHEN 1 THEN '<META CONTENT=''nofollow'' NAME=''robots''>' "
+    "WHEN 2 THEN '<meta name=\"robots\" content=\"NONE\">' "
+    "ELSE '<p>open</p>' END || "
+    "CASE CAST({id} % 3 AS INT) "
+    "WHEN 0 THEN '<link rel=\"canonical\" href=\"https://ex.com/c/' || {ids} || '#f\">' "
+    "WHEN 1 THEN '<link href=''/c/' || {ids} || '.html'' rel=''canonical''>' "
+    "ELSE '' END || "
+    "'</head><body>' || text || '</body></html>'"
+)
+_META_HTML_SPARK = _META_HTML_TMPL.format(
+    id="doc_id", ids="cast(doc_id as string)"
+)
+_META_HTML_DUCK = _META_HTML_TMPL.format(
+    id="doc_id", ids="cast(doc_id as varchar)"
+)
+
+
+def q_html_meta_robots(spark, sf_dir):
+    """Robots-meta + rel=canonical gate (datapipe/html.
+    html_meta_directives): the pre-index/pre-training page directive check
+    every crawl pipeline runs — noindex/nofollow token matching over all
+    four attribute-ordering/quote-style tag shapes, first-canonical
+    extraction with fragment strip.  Scan-fused regexes, zero shuffle;
+    patterns interpolate into the DuckDB oracle verbatim."""
+    from literature_to_facts_spark.datapipe.html import html_meta_directives
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_META_HTML_SPARK} AS html"
+    )
+    out = html_meta_directives(docs)
+    # NULL-free contract output (the oracle-NULL-parity convention):
+    # absent canonical -> '' on both engines
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "robots_noindex",
+        "robots_nofollow",
+        F.coalesce("canonical_href", F.lit("")).alias("canonical_href"),
+    )
+
+
+def _html_meta_oracle() -> str:
+    from literature_to_facts_spark.datapipe.html import (
+        _A_WS,
+        CANONICAL_PATTERNS,
+        META_ROBOTS_PATTERNS,
+    )
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    def fold(pats):
+        arrays = [f"regexp_extract_all(html, '{q(p)}', 1)" for p in pats]
+        out = arrays[0]
+        for a in arrays[1:]:
+            out = f"list_concat({out}, {a})"
+        return out
+
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {_META_HTML_DUCK} AS html FROM documents
+        ),
+        x AS (
+          SELECT doc_id,
+                 ',' || regexp_replace(
+                     lower(coalesce(
+                         array_to_string({fold(META_ROBOTS_PATTERNS)}, ','),
+                         '')),
+                     '{_A_WS}+', '', 'g') || ',' AS rn,
+                 {fold(CANONICAL_PATTERNS)} AS ca
+          FROM h
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               (contains(rn, ',noindex,') OR contains(rn, ',none,'))
+                 AS robots_noindex,
+               (contains(rn, ',nofollow,') OR contains(rn, ',none,'))
+                 AS robots_nofollow,
+               coalesce(CASE WHEN len(ca) > 0
+                    THEN split_part(trim(ca[1]), '#', 1) END, '')
+                 AS canonical_href
+        FROM x
+    """
+
+
 def q_kg_cooccurrence_pmi(spark, sf_dir):
     """PMI-weighted co-mention edges (engine/kgquery.cooccurrence_pmi):
     association scores over the same keyword-entity mention frame as
@@ -3174,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": q_kg_two_hop,
         "kg_predicate_stats_incremental": q_kg_predicate_stats_incremental,
         "kg_cooccurrence_pmi": q_kg_cooccurrence_pmi,
+        "html_meta_robots": q_html_meta_robots,
     }
 
 
@@ -4914,4 +5006,5 @@ def oracle_sql() -> dict[str, str]:
             JOIN dfreq fb ON fb.ent = p.entity_b
             CROSS JOIN tot t
         """,
+        "html_meta_robots": _html_meta_oracle(),
     }

@@ -145,6 +145,7 @@ HEADLINE = [
     "kg_two_hop",
     "kg_predicate_stats_incremental",
     "kg_cooccurrence_pmi",
+    "html_meta_robots",
 ]
 
 

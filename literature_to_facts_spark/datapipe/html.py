@@ -245,3 +245,110 @@ def html_extract_links(
         )
     )
     return out.distinct() if dedup else out
+
+
+# robots-meta content extraction — the four RE2-safe attribute orderings
+# (name-then-content / content-then-name, double/single-quoted content).  A
+# given tag matches exactly one ordering family (the attribute that appears
+# first decides), so concatenating the arrays never double-counts a tag.
+META_ROBOTS_PATTERNS: list[str] = [
+    rf'(?is)<meta{_A_WS}[^>]*name{_A_WS}*={_A_WS}*["\']robots["\'][^>]*content{_A_WS}*={_A_WS}*"([^"]*)"',
+    rf"(?is)<meta{_A_WS}[^>]*name{_A_WS}*={_A_WS}*[\"']robots[\"'][^>]*content{_A_WS}*={_A_WS}*'([^']*)'",
+    rf'(?is)<meta{_A_WS}[^>]*content{_A_WS}*={_A_WS}*"([^"]*)"[^>]*name{_A_WS}*={_A_WS}*["\']robots["\']',
+    rf"(?is)<meta{_A_WS}[^>]*content{_A_WS}*={_A_WS}*'([^']*)'[^>]*name{_A_WS}*={_A_WS}*[\"']robots[\"']",
+]
+
+# rel=canonical link href — same four-orderings battery
+CANONICAL_PATTERNS: list[str] = [
+    rf'(?is)<link{_A_WS}[^>]*rel{_A_WS}*={_A_WS}*["\']canonical["\'][^>]*href{_A_WS}*={_A_WS}*"([^"]*)"',
+    rf"(?is)<link{_A_WS}[^>]*rel{_A_WS}*={_A_WS}*[\"']canonical[\"'][^>]*href{_A_WS}*={_A_WS}*'([^']*)'",
+    rf'(?is)<link{_A_WS}[^>]*href{_A_WS}*={_A_WS}*"([^"]*)"[^>]*rel{_A_WS}*={_A_WS}*["\']canonical["\']',
+    rf"(?is)<link{_A_WS}[^>]*href{_A_WS}*={_A_WS}*'([^']*)'[^>]*rel{_A_WS}*={_A_WS}*[\"']canonical[\"']",
+]
+
+_META_INTERNAL_COLS = frozenset({"_html_txt", "_robots_norm", "_canon_arr"})
+
+
+def html_meta_directives(
+    docs: DataFrame,
+    html_col: str = "html",
+    noindex_col: str = "robots_noindex",
+    nofollow_col: str = "robots_nofollow",
+    canonical_col: str = "canonical_href",
+) -> DataFrame:
+    """Per-page crawl directives from raw HTML — the gate every production
+    crawl pipeline runs before indexing/training on a page:
+
+    * ``robots_noindex`` / ``robots_nofollow`` — true iff any
+      ``<meta name="robots">`` content carries the directive (``none``
+      implies both, per the robots-meta spec); a page with no robots meta
+      is indexable (both false, never NULL for non-NULL html).
+    * ``canonical_href`` — the first ``<link rel="canonical">`` href in
+      battery order (trimmed, fragment stripped; NULL when absent).  The
+      standard dedup assist: group crawl variants by their declared
+      canonical before content-hash dedup.
+
+    Directive matching tokenizes on commas with whitespace stripped
+    (``content="noindex, nofollow"``), so ``noindexing`` or ``no index``
+    never false-positive.  Patterns (:data:`META_ROBOTS_PATTERNS`,
+    :data:`CANONICAL_PATTERNS`) cover both attribute orderings and both
+    quote styles, stay in the RE2-compatible subset, and live ONLY here —
+    the DuckDB oracle interpolates them verbatim (the PII_PATTERNS
+    contract).
+
+    Scale shape: scan-fused per-row regexes, zero shuffle, no Python; the
+    decoded html is projected ONCE before the eight extract-all consumers
+    (repo invariant).  NULL html propagates NULL to all three outputs.
+    """
+    clash = sorted(_META_INTERNAL_COLS & set(docs.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with html_meta_directives "
+            "internals; rename them first"
+        )
+    for out_name in (noindex_col, nofollow_col, canonical_col):
+        if out_name in docs.columns:
+            raise ValueError(
+                f"output column {out_name!r} already exists; rename it first"
+            )
+    staged = docs.withColumns({"_html_txt": _decoded_html(docs, html_col)})
+    robots = F.concat(
+        *[
+            F.regexp_extract_all(F.col("_html_txt"), F.lit(p), 1)
+            for p in META_ROBOTS_PATTERNS
+        ]
+    )
+    # ',noindex,nofollow,' — lowercased, whitespace stripped, comma-fenced
+    # so directive tests are exact-token LIKEs
+    robots_norm = F.concat(
+        F.lit(","),
+        F.regexp_replace(
+            F.lower(F.array_join(robots, ",")), _A_WS + "+", ""
+        ),
+        F.lit(","),
+    )
+    canon = F.concat(
+        *[
+            F.regexp_extract_all(F.col("_html_txt"), F.lit(p), 1)
+            for p in CANONICAL_PATTERNS
+        ]
+    )
+    staged = staged.withColumns(
+        {"_robots_norm": robots_norm, "_canon_arr": canon}
+    )
+    rn = F.col("_robots_norm")
+    has_tok = lambda t: rn.contains(f",{t},")  # noqa: E731
+    first_canon = F.element_at(F.col("_canon_arr"), 1)
+    return (
+        staged.withColumns(
+            {
+                noindex_col: has_tok("noindex") | has_tok("none"),
+                nofollow_col: has_tok("nofollow") | has_tok("none"),
+                canonical_col: F.when(
+                    F.size("_canon_arr") > 0,
+                    F.substring_index(F.trim(first_canon), "#", 1),
+                ),
+            }
+        )
+        .drop("_html_txt", "_robots_norm", "_canon_arr")
+    )
