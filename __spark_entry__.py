@@ -3149,6 +3149,124 @@ def _html_meta_oracle() -> str:
     """
 
 
+def q_kg_charsets_incremental(spark, sf_dir):
+    """Delta maintenance of the characteristic-set histogram
+    (engine/kgquery.characteristic_sets_incremental, tenth probe-shaped
+    delta family): the new batch's triples (subj % 5 == 0) can MOVE
+    subjects between histogram shapes, so the update transfers counts
+    (decrement old shape, increment new) for touched subjects only — the
+    history triple store is never rescanned.  Full SQL oracle: bit-equal
+    to the from-scratch histogram over the ENTIRE corpus."""
+    from literature_to_facts_spark.engine.kgquery import (
+        build_subject_pred_index,
+        characteristic_sets,
+        characteristic_sets_incremental,
+    )
+
+    triples = _kg_rich_triples(spark, sf_dir).persist()
+    new = triples.where(F.col("subj") % 5 == 0)
+    old = triples.where(F.col("subj") % 5 != 0)
+    return characteristic_sets_incremental(
+        new, build_subject_pred_index(old), characteristic_sets(old)
+    )
+
+
+# canonical-collision variant of the meta fixture: absolute canonicals key on
+# doc_id % 7, so crawl variants genuinely MERGE under their declared target
+_META_HTML_CANON_SPARK = _META_HTML_TMPL.format(
+    id="doc_id", ids="cast(doc_id % 7 as string)"
+)
+_META_HTML_CANON_DUCK = _META_HTML_TMPL.format(
+    id="doc_id", ids="cast(doc_id % 7 as varchar)"
+)
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """Canonical-aware crawl-snapshot dedup (datapipe/urls.
+    url_canonical_dedup): the snapshot argmax keyed on the EFFECTIVE url —
+    the page's declared rel=canonical when absolute http(s), else the page
+    url — so mirror fetch-urls declaring one canonical collapse into one
+    group (doc_id%7 canonical targets force real merges; relative
+    canonicals fall back).  Same single-Exchange argmax as
+    url_latest_snapshot; canonical extraction fuses into the scan."""
+    from literature_to_facts_spark.datapipe.urls import url_canonical_dedup
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id",
+        f"{_URL_FIXTURE_SPARK} AS url",
+        f"timestamp_micros(cast(doc_id % 11 as bigint) * 3600000000"
+        f" + {_SNAP_TS_BASE_US}) AS warc_ts",
+        f"{_META_HTML_CANON_SPARK} AS html",
+    )
+    out = url_canonical_dedup(docs)
+    return out.select(
+        "url_norm",
+        "rep_id",
+        F.unix_micros(F.col("latest_ts")).alias("latest_ts_us"),
+        "n_crawls",
+        "n_canonicalized",
+    )
+
+
+def _url_canonical_dedup_oracle() -> str:
+    from literature_to_facts_spark.datapipe.html import (
+        CANONICAL_PATTERNS,
+        HTTP_LINK_PATTERN,
+    )
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    arrays = [f"regexp_extract_all(html, '{q(p)}', 1)" for p in CANONICAL_PATTERNS]
+    fold = arrays[0]
+    for a in arrays[1:]:
+        fold = f"list_concat({fold}, {a})"
+    http = q(HTTP_LINK_PATTERN)
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {_URL_FIXTURE_DUCK} AS url,
+                 CAST(doc_id % 11 AS BIGINT) * 3600000000
+                   + {_SNAP_TS_BASE_US} AS ts_us,
+                 {_META_HTML_CANON_DUCK} AS html
+          FROM documents
+        ),
+        cx AS (
+          SELECT doc_id, url, ts_us, {fold} AS ca FROM h
+        ),
+        cz AS (
+          SELECT doc_id, url, ts_us,
+                 CASE WHEN len(ca) > 0
+                      THEN split_part(trim(ca[1]), '#', 1) END AS canon
+          FROM cx
+        ),
+        e AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, ts_us,
+                 CASE WHEN canon IS NOT NULL AND canon <> ''
+                           AND regexp_matches(canon, '{http}')
+                      THEN canon ELSE url END AS url,
+                 CASE WHEN canon IS NOT NULL AND canon <> ''
+                           AND regexp_matches(canon, '{http}')
+                      THEN 1 ELSE 0 END AS is_cz
+          FROM cz
+        ),
+        n AS (
+          SELECT doc_id, ts_us, is_cz, {_duck_url_norm()} AS url_norm FROM e
+        ),
+        r AS (
+          SELECT url_norm, doc_id, ts_us, is_cz,
+                 row_number() OVER (PARTITION BY url_norm
+                   ORDER BY ts_us DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY url_norm) AS n_crawls,
+                 sum(is_cz) OVER (PARTITION BY url_norm) AS n_canonicalized
+          FROM n WHERE url_norm IS NOT NULL
+        )
+        SELECT url_norm, doc_id AS rep_id, ts_us AS latest_ts_us,
+               CAST(n_crawls AS BIGINT) AS n_crawls,
+               CAST(n_canonicalized AS BIGINT) AS n_canonicalized
+        FROM r WHERE rn = 1
+    """
+
+
 def q_kg_cooccurrence_pmi(spark, sf_dir):
     """PMI-weighted co-mention edges (engine/kgquery.cooccurrence_pmi):
     association scores over the same keyword-entity mention frame as
@@ -3266,6 +3384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_stats_incremental": q_kg_predicate_stats_incremental,
         "kg_cooccurrence_pmi": q_kg_cooccurrence_pmi,
         "html_meta_robots": q_html_meta_robots,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "kg_charsets_incremental": q_kg_charsets_incremental,
     }
 
 
@@ -5007,4 +5127,17 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot t
         """,
         "html_meta_robots": _html_meta_oracle(),
+        "url_canonical_dedup": _url_canonical_dedup_oracle(),
+        # incremental contract = bit-equal to the full recompute
+        "kg_charsets_incremental": f"""
+            WITH triples AS ({_KG_RICH_TRIPLES_DUCK})
+            SELECT pred_set, CAST(COUNT(*) AS BIGINT) AS n_subj,
+                   CAST(MIN(np) AS BIGINT) AS n_preds
+            FROM (
+              SELECT subj,
+                     array_to_string(list_sort(list_distinct(list(pred))), ',') AS pred_set,
+                     len(list_distinct(list(pred))) AS np
+              FROM triples GROUP BY subj
+            ) GROUP BY pred_set
+        """,
     }

@@ -146,6 +146,8 @@ HEADLINE = [
     "kg_predicate_stats_incremental",
     "kg_cooccurrence_pmi",
     "html_meta_robots",
+    "url_canonical_dedup",
+    "kg_charsets_incremental",
 ]
 
 

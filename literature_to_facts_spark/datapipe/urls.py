@@ -347,3 +347,98 @@ def url_latest_snapshot(
             "n_crawls",
         )
     )
+
+
+def url_canonical_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """Canonical-aware crawl-snapshot dedup — :func:`url_latest_snapshot`
+    keyed on the EFFECTIVE url: the page's declared ``<link
+    rel="canonical">`` target when it is an absolute http(s) URL
+    (:func:`~literature_to_facts_spark.datapipe.html.html_meta_directives`),
+    else the page url.  Crawl variants that declare the same canonical
+    (mobile/www/tracking-param mirrors of one article) collapse into ONE
+    group even though their fetch urls differ — the dedup the raw
+    normalizer cannot do, because the variance is in the page content's
+    self-declaration, not the url string.
+
+    Returns ``(url_norm, rep_id, latest_ts, n_crawls, n_canonicalized)``
+    with the same latest-crawl argmax semantics as
+    :func:`url_latest_snapshot` (NULL ts oldest, ties -> min id);
+    ``n_canonicalized`` counts the member crawls that were redirected into
+    the group by their canonical declaration.  Relative canonical hrefs
+    are NOT resolved (documented subset — the page url stands in), and a
+    non-http(s) canonical is ignored.
+
+    Scale shape: the canonical extraction and effective-url normalization
+    fuse into the scan (all per-row regexes); the single Exchange is the
+    ``groupBy(url_norm)`` argmax with map-side partial aggregation —
+    identical to the plain snapshot dedup, the canonical override adds
+    zero wide operations.
+    """
+    from .html import HTTP_LINK_PATTERN, html_meta_directives
+
+    clash = sorted(
+        {"_eff_url", "_canonized", "_url_norm", "_canon_b"} & set(docs.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with url_canonical_dedup "
+            "internals; rename them first"
+        )
+    meta = html_meta_directives(docs, html_col=html_col)
+    # HARD projection barrier around the canonical extraction:
+    # url_normalize multi-references its input column (five regex groups +
+    # the param split), and CollapseProject chains straight through
+    # withColumns layers — with the canonical battery as the input that
+    # inlined the four extract-alls into EVERY consumer (measured: 581
+    # regexp_extract_all nodes in the executed plan, ~10 s warm at sf0.1).
+    # explode(array(x)) is a 1:1 Generate node projections cannot collapse
+    # through, so the battery is evaluated exactly once per row (NULL
+    # passes through: array(NULL) is a one-element array).
+    meta = meta.withColumn(
+        "_canon_b", F.explode(F.array(F.col("canonical_href")))
+    )
+    canon = F.col("_canon_b")
+    use_canon = (
+        canon.isNotNull()
+        & (canon != F.lit(""))
+        & canon.rlike(HTTP_LINK_PATTERN)
+    )
+    staged = meta.withColumns(
+        {
+            "_eff_url": F.when(use_canon, canon).otherwise(F.col(url_col)),
+            "_canonized": F.coalesce(use_canon, F.lit(False)).cast("int"),
+        }
+    ).drop("robots_noindex", "robots_nofollow", "canonical_href", "_canon_b")
+    normed = url_normalize(staged, url_col="_eff_url", output_col="_url_norm")
+    best = F.max(
+        F.struct(
+            F.coalesce(
+                F.unix_micros(F.col(ts_col)),
+                F.lit(-(1 << 62)).cast("bigint"),
+            ).alias("t"),
+            (-F.col(id_col)).cast("bigint").alias("ni"),
+            F.col(ts_col).alias("ts"),
+        )
+    )
+    return (
+        normed.where(F.col("_url_norm").isNotNull())
+        .groupBy(F.col("_url_norm").alias("url_norm"))
+        .agg(
+            best.alias("_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_crawls"),
+            F.sum("_canonized").cast("bigint").alias("n_canonicalized"),
+        )
+        .select(
+            "url_norm",
+            (-F.col("_b.ni")).cast("bigint").alias("rep_id"),
+            F.col("_b.ts").alias("latest_ts"),
+            "n_crawls",
+            "n_canonicalized",
+        )
+    )

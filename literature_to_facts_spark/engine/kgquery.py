@@ -232,6 +232,126 @@ def predicate_stats_incremental(
     )
 
 
+def build_subject_pred_index(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Distinct (subj, pred) pairs of one batch — the PERSISTED STATE of
+    incremental characteristic sets.  APPEND-ONLY (duplicate pairs across
+    batches are harmless: probes ``collect_set``).  Write it with
+    ``write_bucketed(..., bucket_col='subj')`` so the per-subject probe
+    groups with zero Exchange."""
+    return (
+        triples.where(F.col(subj_col).isNotNull())
+        .select(F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred"))
+        .distinct()
+    )
+
+
+def characteristic_sets_incremental(
+    batch_triples: DataFrame,
+    old_index: DataFrame | None,
+    old_hist: DataFrame | None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Maintain the :func:`characteristic_sets` histogram under a new batch
+    of triples WITHOUT rescanning the historical triple store (tenth
+    probe-shaped delta family): returns the updated ``(pred_set, n_subj,
+    n_preds)`` table, bit-equal to ``characteristic_sets(old ∪ batch)``.
+
+    A batch can MOVE a subject between histogram buckets (a page gaining
+    its first ``mentions_*`` triple leaves ``{lang,source}`` and enters
+    ``{lang,mentions_x,source}``), so the update is a transfer: for every
+    touched subject whose predicate set actually changes, decrement the old
+    shape and increment the new one; brand-new subjects only increment.
+    Subjects the batch leaves set-unchanged (duplicate triples) move
+    nothing.
+
+    PROBE-shaped: batch subject ids are batch-bounded → broadcast →
+    left_semi at the (subj, pred) index scan; the per-subject
+    ``collect_set`` groups BY THE BUCKET COLUMN, so over a
+    ``write_bucketed('subj')`` catalog table the whole history side plans
+    with zero Exchange (plan-pinned).  The touched-subject frame (⊆ batch
+    subjects) broadcasts into a batch-side LEFT join (the broadcast side is
+    the non-preserved one), and everything downstream is histogram-sized.
+    The caller appends ``build_subject_pred_index(batch)`` per batch, same
+    loop contract as the other nine families.
+    """
+    spark = batch_triples.sparkSession
+    if old_index is None:
+        old_index = spark.createDataFrame([], "subj bigint, pred string")
+    if old_hist is None:
+        old_hist = spark.createDataFrame(
+            [], "pred_set string, n_subj bigint, n_preds bigint"
+        )
+    batch_sp = build_subject_pred_index(
+        batch_triples, subj_col=subj_col, pred_col=pred_col
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(batch_sp)
+    batch_sets = batch_sp.groupBy("subj").agg(
+        F.sort_array(F.collect_set("pred")).alias("_b_preds")
+    )
+    touched_old = (
+        old_index.join(
+            F.broadcast(batch_sp.select("subj").distinct()),
+            on="subj",
+            how="left_semi",
+        )
+        .groupBy("subj")
+        .agg(F.sort_array(F.collect_set("pred")).alias("_o_preds"))
+    )
+    j = batch_sets.join(F.broadcast(touched_old), on="subj", how="left")
+    new_preds = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.coalesce(
+                    F.col("_o_preds"), F.expr("CAST(array() AS array<string>)")
+                ),
+                F.col("_b_preds"),
+            )
+        )
+    )
+    moved = j.select(
+        F.concat_ws(",", F.col("_o_preds")).alias("_old_set"),
+        F.col("_o_preds").isNotNull().alias("_had_old"),
+        F.concat_ws(",", new_preds).alias("_new_set"),
+        F.size(new_preds).cast("bigint").alias("_new_n"),
+        F.when(F.col("_o_preds").isNotNull(), F.size("_o_preds"))
+        .cast("bigint")
+        .alias("_old_n"),
+    ).where(~F.col("_had_old") | (F.col("_old_set") != F.col("_new_set")))
+    deltas = (
+        moved.select(
+            F.col("_new_set").alias("pred_set"),
+            F.lit(1).cast("bigint").alias("_d"),
+            F.col("_new_n").alias("_np"),
+        )
+        .unionByName(
+            moved.where(F.col("_had_old")).select(
+                F.col("_old_set").alias("pred_set"),
+                F.lit(-1).cast("bigint").alias("_d"),
+                F.col("_old_n").alias("_np"),
+            )
+        )
+        .groupBy("pred_set")
+        .agg(F.sum("_d").alias("_d"), F.first("_np").alias("_np"))
+    )
+    merged = old_hist.join(deltas, on="pred_set", how="full_outer")
+    zero = F.lit(0).cast("bigint")
+    return (
+        merged.select(
+            "pred_set",
+            (F.coalesce("n_subj", zero) + F.coalesce("_d", zero)).alias("n_subj"),
+            F.coalesce("n_preds", "_np").cast("bigint").alias("n_preds"),
+        )
+        .where(F.col("n_subj") > 0)
+    )
+
+
 def entity_cooccurrence(
     mentions: DataFrame,
     doc_col: str = "doc_id",

@@ -825,6 +825,16 @@ def run(args):
 
         return probe_sm, union_sm
 
+# predstats consumers aggregate ALL three stat columns: a bare count()
+    # would let Catalyst PRUNE the distinct-count aggregates (only the group
+    # keys survive a count) and both shapes would measure a distinct(pred)
+    # instead of the distinct-value maintenance (the span-family trap)
+    def _force_ps(out):
+        return out.agg(
+            F.sum("n_triples").alias("a"), F.sum("n_subj").alias("b"),
+            F.sum("n_obj").alias("c"),
+        ).collect()[0]
+
     def probe_ps():
         from literature_to_facts_spark.engine.kgquery import (
             predicate_stats_incremental,
@@ -834,7 +844,7 @@ def run(args):
         out = predicate_stats_incremental(
             trip_batch, spark.table("ab_ps_idx"), ps_stats, cache_registry=reg
         )
-        c = out.count()
+        c = _force_ps(out)
         for df in reg:
             df.unpersist()
         return c
@@ -847,7 +857,7 @@ def run(args):
         all_idx = spark.table("ab_ps_idx").unionByName(
             build_predicate_pair_index(trip_batch)
         )
-        return union_predstats(all_idx).count()
+        return _force_ps(union_predstats(all_idx))
 
     fams = {
         "minhash": (probe_mh, union_mh),

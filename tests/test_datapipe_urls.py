@@ -216,3 +216,59 @@ def test_url_domain_blocklist(spark):
 
     with _pt.raises(ValueError, match="host"):
         url_domain_blocklist(docs.withColumn("host", F.lit("x")), blocked)
+
+
+def test_url_canonical_dedup(spark):
+    """Canonical override: absolute http(s) canonicals merge fetch-url
+    variants into one group; relative / non-http canonicals fall back to
+    the page url; n_canonicalized counts the redirected members; latest
+    argmax semantics unchanged."""
+    import datetime as dt
+
+    from literature_to_facts_spark.datapipe.urls import url_canonical_dedup
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    c = lambda href: f'<html><link rel="canonical" href="{href}"></html>'  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            # two mirrors declaring the same canonical + the canonical itself
+            (1, "http://m.a.com/x", t("2024-01-01"), c("http://a.com/x")),
+            (2, "http://www.a.com/x?utm_source=f", t("2024-02-01"), c("http://a.com/x#top")),
+            (3, "http://a.com/x", t("2024-03-01"), "<html>no canon</html>"),
+            # relative canonical -> page url stands in
+            (4, "http://b.com/y", t("2024-01-01"), c("/y")),
+            # non-http canonical ignored
+            (5, "http://c.com/z", t("2024-01-01"), c("ftp://c.com/z")),
+            # NULL html -> page url
+            (6, "http://d.com/w", t("2024-01-01"), None),
+        ],
+        "doc_id long, url string, warc_ts timestamp, html string",
+    )
+    rows = {
+        r.url_norm: (r.rep_id, r.n_crawls, r.n_canonicalized)
+        for r in url_canonical_dedup(docs).collect()
+    }
+    assert rows["http://a.com/x"] == (3, 3, 2)  # latest crawl wins the merged group
+    assert rows["http://b.com/y"] == (4, 1, 0)
+    assert rows["http://c.com/z"] == (5, 1, 0)
+    assert rows["http://d.com/w"] == (6, 1, 0)
+    assert len(rows) == 4
+
+
+def test_url_canonical_dedup_single_exchange(spark):
+    """The canonical override must add zero wide ops: exactly one Exchange
+    (the url_norm argmax), extraction + normalization scan-fused."""
+    from pyspark.sql import functions as F
+
+    from literature_to_facts_spark.datapipe.urls import url_canonical_dedup
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "'http://a.com/' || cast(id % 10 as string) AS url",
+        "timestamp_micros(id * 1000000) AS warc_ts",
+        "'<html></html>' AS html",
+    )
+    plan = (
+        url_canonical_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1

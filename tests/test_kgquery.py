@@ -298,3 +298,125 @@ def test_cooccurrence_pmi_plans_broadcast_lookups(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in plan  # the scalar N cross join
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# characteristic_sets_incremental (tenth probe-shaped delta family)
+# ---------------------------------------------------------------------------
+
+
+def _hist_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_cs_incremental_equals_full(spark, delta_triples):
+    from literature_to_facts_spark.engine.kgquery import (
+        build_subject_pred_index,
+        characteristic_sets,
+        characteristic_sets_incremental,
+    )
+
+    new = delta_triples.where(F.col("subj") % 5 == 0)
+    old = delta_triples.where(F.col("subj") % 5 != 0)
+    got = characteristic_sets_incremental(
+        new, build_subject_pred_index(old), characteristic_sets(old)
+    )
+    assert _hist_rows(got) == _hist_rows(characteristic_sets(delta_triples))
+
+
+def test_cs_incremental_first_batch(spark, delta_triples):
+    from literature_to_facts_spark.engine.kgquery import (
+        characteristic_sets,
+        characteristic_sets_incremental,
+    )
+
+    got = characteristic_sets_incremental(delta_triples, None, None)
+    assert _hist_rows(got) == _hist_rows(characteristic_sets(delta_triples))
+
+
+def test_cs_incremental_moves_subjects_between_shapes(spark):
+    """A batch adding a new predicate to an EXISTING subject must transfer
+    it between histogram buckets (decrement old shape, increment new) and
+    leave set-unchanged subjects alone."""
+    from literature_to_facts_spark.engine.kgquery import (
+        build_subject_pred_index,
+        characteristic_sets,
+        characteristic_sets_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "lang", "en"), (2, "lang", "fr")], "subj bigint, pred string, obj string"
+    )
+    # subj 1 gains 'host' (moves shapes); subj 2 gets a duplicate lang
+    # triple (no move); subj 3 is brand new
+    batch = spark.createDataFrame(
+        [(1, "host", "a"), (2, "lang", "fr"), (3, "lang", "de")],
+        "subj bigint, pred string, obj string",
+    )
+    got = {
+        r["pred_set"]: (r["n_subj"], r["n_preds"])
+        for r in characteristic_sets_incremental(
+            batch, build_subject_pred_index(old), characteristic_sets(old)
+        ).collect()
+    }
+    assert got == {"host,lang": (1, 2), "lang": (2, 1)}
+    full = {
+        r["pred_set"]: (r["n_subj"], r["n_preds"])
+        for r in characteristic_sets(old.unionByName(batch)).collect()
+    }
+    assert got == full
+
+
+def test_cs_incremental_loop_with_append(spark, delta_triples, tmp_path):
+    from literature_to_facts_spark.engine.kgquery import (
+        build_subject_pred_index,
+        characteristic_sets,
+        characteristic_sets_incremental,
+    )
+
+    idx_path = str(tmp_path / "sp_idx")
+    hist = None
+    for b in range(3):
+        batch = delta_triples.where(F.col("subj") % 3 == b)
+        old_idx = spark.read.parquet(idx_path) if b else None
+        hist = characteristic_sets_incremental(batch, old_idx, hist)
+        hist = spark.createDataFrame(
+            hist.collect(), "pred_set string, n_subj bigint, n_preds bigint"
+        )
+        build_subject_pred_index(batch).write.mode("append").parquet(idx_path)
+    assert _hist_rows(hist) == _hist_rows(characteristic_sets(delta_triples))
+
+
+def test_cs_incremental_bucketed_no_exchange(spark, delta_triples, tmp_path):
+    """Over a write_bucketed('subj') catalog table the per-subject history
+    probe (broadcast semi filter -> collect_set BY THE BUCKET COLUMN) plans
+    with ZERO Exchange on the streamed side."""
+    from literature_to_facts_spark.datapipe.storage import write_bucketed
+    from literature_to_facts_spark.engine.kgquery import (
+        build_subject_pred_index,
+        characteristic_sets,
+        characteristic_sets_incremental,
+    )
+
+    new = delta_triples.where(F.col("subj") % 5 == 0)
+    old = delta_triples.where(F.col("subj") % 5 != 0)
+    idx = build_subject_pred_index(old)
+    try:
+        write_bucketed(idx, "t_sp_idx", "subj", 4, path=str(tmp_path / "idx"))
+        bucketed = characteristic_sets_incremental(
+            new, spark.table("t_sp_idx"), characteristic_sets(old)
+        )
+        assert _hist_rows(bucketed) == _hist_rows(characteristic_sets(delta_triples))
+        batch_subj = build_subject_pred_index(new).select("subj").distinct()
+        probe = (
+            spark.table("t_sp_idx")
+            .join(F.broadcast(batch_subj), on="subj", how="left_semi")
+            .groupBy("subj")
+            .agg(F.sort_array(F.collect_set("pred")).alias("p"))
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        streamed = plan.split("BroadcastExchange")[0]
+        assert "Exchange" not in streamed, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sp_idx")
