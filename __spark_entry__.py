@@ -3267,6 +3267,142 @@ def _url_canonical_dedup_oracle() -> str:
     """
 
 
+def q_crawl_ingest_gate(spark, sf_dir):
+    """The composed web-ingest gate end-to-end (the pre-pipeline every
+    crawl corpus runs before any text-level stage): raw pages ->
+    canonical-aware snapshot dedup (urls.url_canonical_dedup — mirror
+    fetch-urls merge under their declared rel=canonical, latest crawl
+    wins) -> robots-meta gate on the surviving representative
+    (html.html_meta_directives — noindex reps drop) -> registered-domain
+    blocklist on the canonical group key (urls.url_domain_blocklist, one
+    broadcast anti join).  One operator's output feeds the next with no
+    materialization; the whole chain is oracled bit-exactly through the
+    canonical battery, the argmax window, the robots tokens and the
+    second-level-TLD domain extraction."""
+    from literature_to_facts_spark.datapipe.html import html_meta_directives
+    from literature_to_facts_spark.datapipe.urls import (
+        url_canonical_dedup,
+        url_domain_blocklist,
+    )
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id",
+        f"{_URL_FIXTURE_SPARK} AS url",
+        f"timestamp_micros(cast(doc_id % 11 as bigint) * 3600000000"
+        f" + {_SNAP_TS_BASE_US}) AS warc_ts",
+        f"{_META_HTML_CANON_SPARK} AS html",
+    )
+    groups = url_canonical_dedup(docs)
+    flags = html_meta_directives(docs.select("doc_id", "html")).select(
+        F.col("doc_id").alias("rep_id"), "robots_noindex"
+    )
+    reps = groups.join(flags, on="rep_id").where(~F.col("robots_noindex"))
+    blocked = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    kept = url_domain_blocklist(
+        reps.drop("robots_noindex"), blocked, url_col="url_norm"
+    )
+    return kept.select(
+        "url_norm",
+        F.col("rep_id").cast("bigint").alias("rep_id"),
+        F.unix_micros(F.col("latest_ts")).alias("latest_ts_us"),
+        "n_crawls",
+        "n_canonicalized",
+    )
+
+
+def _crawl_ingest_gate_oracle() -> str:
+    from literature_to_facts_spark.datapipe.html import (
+        _A_WS,
+        CANONICAL_PATTERNS,
+        HTTP_LINK_PATTERN,
+        META_ROBOTS_PATTERNS,
+    )
+    from literature_to_facts_spark.datapipe.urls import SECOND_LEVEL_TLDS
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    def fold(pats):
+        arrays = [
+            f"regexp_extract_all(html, '{q(p)}', 1)" for p in pats
+        ]
+        out = arrays[0]
+        for a in arrays[1:]:
+            out = f"list_concat({out}, {a})"
+        return out
+
+    http = q(HTTP_LINK_PATTERN)
+    slds = ", ".join(f"'{s}'" for s in SECOND_LEVEL_TLDS)
+    blocked = ", ".join(f"'{d}'" for d in _BLOCKED_DOMAINS)
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {_URL_FIXTURE_DUCK} AS url,
+                 CAST(doc_id % 11 AS BIGINT) * 3600000000
+                   + {_SNAP_TS_BASE_US} AS ts_us,
+                 {_META_HTML_CANON_DUCK} AS html
+          FROM documents
+        ),
+        cz AS (
+          SELECT doc_id, url, ts_us, html,
+                 CASE WHEN len({fold(CANONICAL_PATTERNS)}) > 0
+                      THEN split_part(trim(({fold(CANONICAL_PATTERNS)})[1]),
+                                      '#', 1) END AS canon,
+                 ',' || regexp_replace(
+                     lower(coalesce(array_to_string(
+                         {fold(META_ROBOTS_PATTERNS)}, ','), '')),
+                     '{_A_WS}+', '', 'g') || ',' AS rn_toks
+          FROM h
+        ),
+        e AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, ts_us,
+                 (contains(rn_toks, ',noindex,')
+                  OR contains(rn_toks, ',none,')) AS noindex,
+                 CASE WHEN canon IS NOT NULL AND canon <> ''
+                           AND regexp_matches(canon, '{http}')
+                      THEN canon ELSE url END AS url,
+                 CASE WHEN canon IS NOT NULL AND canon <> ''
+                           AND regexp_matches(canon, '{http}')
+                      THEN 1 ELSE 0 END AS is_cz
+          FROM cz
+        ),
+        n AS (
+          SELECT doc_id, ts_us, is_cz, noindex,
+                 {_duck_url_norm()} AS url_norm
+          FROM e
+        ),
+        r AS (
+          SELECT url_norm, doc_id, ts_us, noindex,
+                 row_number() OVER (PARTITION BY url_norm
+                   ORDER BY ts_us DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY url_norm) AS n_crawls,
+                 sum(is_cz) OVER (PARTITION BY url_norm) AS n_canonicalized
+          FROM n WHERE url_norm IS NOT NULL
+        ),
+        reps AS (
+          SELECT url_norm, doc_id AS rep_id, ts_us AS latest_ts_us,
+                 CAST(n_crawls AS BIGINT) AS n_crawls,
+                 CAST(n_canonicalized AS BIGINT) AS n_canonicalized
+          FROM r WHERE rn = 1 AND NOT noindex
+        ),
+        dom AS (
+          SELECT reps.*,
+                 string_split(lower(regexp_extract(url_norm,
+                     '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1)), '.')
+                   AS labs
+          FROM reps
+        )
+        SELECT url_norm, rep_id, latest_ts_us, n_crawls, n_canonicalized
+        FROM dom
+        WHERE (CASE WHEN len(labs) <= 2 THEN array_to_string(labs, '.')
+                    WHEN (labs[-2] || '.' || labs[-1]) IN ({slds})
+                      THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]
+                    ELSE labs[-2] || '.' || labs[-1] END)
+              NOT IN ({blocked})
+    """
+
+
 def q_kg_cooccurrence_pmi(spark, sf_dir):
     """PMI-weighted co-mention edges (engine/kgquery.cooccurrence_pmi):
     association scores over the same keyword-entity mention frame as
@@ -3386,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta_robots": q_html_meta_robots,
         "url_canonical_dedup": q_url_canonical_dedup,
         "kg_charsets_incremental": q_kg_charsets_incremental,
+        "crawl_ingest_gate": q_crawl_ingest_gate,
     }
 
 
@@ -5140,4 +5277,5 @@ def oracle_sql() -> dict[str, str]:
               FROM triples GROUP BY subj
             ) GROUP BY pred_set
         """,
+        "crawl_ingest_gate": _crawl_ingest_gate_oracle(),
     }

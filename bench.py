@@ -148,6 +148,7 @@ HEADLINE = [
     "html_meta_robots",
     "url_canonical_dedup",
     "kg_charsets_incremental",
+    "crawl_ingest_gate",
 ]
 
 
