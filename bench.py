@@ -875,11 +875,35 @@ def main() -> None:
         "tps": hi.get("triples_per_sec_median"),
         "queries": {},
     }
+    def _fits(c):
+        return len(json.dumps(c, separators=(",", ":"))) <= 1800
+
     for nd in (2, 1):
         compact["queries"] = {k: round(v, nd) for k, v in timings.items()}
-        line = json.dumps(compact, separators=(",", ":"))
-        if len(line) <= 1800:
+        if _fits(compact):
             break
+    else:
+        # still too long at 1 decimal (the headline list keeps growing):
+        # keep the slowest queries — the ones a per-round comparison cares
+        # about — and point at the full per-query map on disk.  The final
+        # stdout line MUST stay under the driver's tail capture or the
+        # round records parsed=null (BENCH_r05.json did).
+        compact["queries_file"] = "BENCH/last_full.json"
+        numeric = sorted(
+            ((k, v) for k, v in timings.items() if isinstance(v, float)),
+            key=lambda kv: -kv[1],
+        )
+        errs = {k: v for k, v in timings.items() if not isinstance(v, float)}
+        keep = len(numeric)
+        while keep > 0:
+            compact["queries"] = dict(
+                [(k, round(v, 1)) for k, v in numeric[:keep]], **errs
+            )
+            compact["queries_omitted"] = len(numeric) - keep
+            if _fits(compact):
+                break
+            keep -= 5
+    line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 
