@@ -324,19 +324,29 @@ def characteristic_sets_incremental(
         .cast("bigint")
         .alias("_old_n"),
     ).where(~F.col("_had_old") | (F.col("_old_set") != F.col("_new_set")))
+    # ONE consumer of `moved`: emit the (+1 new shape) and (-1 old shape)
+    # rows via a per-row exploded array instead of a two-select union — a
+    # union would evaluate the probe subtree twice (exchange reuse does not
+    # cross a union; measured 2x probe wall in the delta-scale A/B)
+    inc = F.struct(
+        F.col("_new_set").alias("pred_set"),
+        F.lit(1).cast("bigint").alias("_d"),
+        F.col("_new_n").alias("_np"),
+    )
+    dec = F.struct(
+        F.col("_old_set").alias("pred_set"),
+        F.lit(-1).cast("bigint").alias("_d"),
+        F.col("_old_n").alias("_np"),
+    )
     deltas = (
         moved.select(
-            F.col("_new_set").alias("pred_set"),
-            F.lit(1).cast("bigint").alias("_d"),
-            F.col("_new_n").alias("_np"),
+            F.explode(
+                F.when(F.col("_had_old"), F.array(inc, dec)).otherwise(
+                    F.array(inc)
+                )
+            ).alias("_x")
         )
-        .unionByName(
-            moved.where(F.col("_had_old")).select(
-                F.col("_old_set").alias("pred_set"),
-                F.lit(-1).cast("bigint").alias("_d"),
-                F.col("_old_n").alias("_np"),
-            )
-        )
+        .select("_x.*")
         .groupBy("pred_set")
         .agg(F.sum("_d").alias("_d"), F.first("_np").alias("_np"))
     )

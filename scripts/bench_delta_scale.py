@@ -359,6 +359,25 @@ def _stats_key(df):
     return sorted(map(tuple, df.collect()))
 
 
+def union_charsets(all_sp):
+    """Round-4 shape for the charsets family: the characteristic-set
+    histogram recomputed from the FULL (old + new) (subj, pred) index every
+    batch — every subject's set re-collected through an Exchange."""
+    per_subj = (
+        all_sp.distinct()
+        .groupBy("subj")
+        .agg(F.sort_array(F.collect_set("pred")).alias("_p"))
+        .select(
+            F.concat_ws(",", F.col("_p")).alias("pred_set"),
+            F.size("_p").alias("_n"),
+        )
+    )
+    return per_subj.groupBy("pred_set").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subj"),
+        F.first("_n").cast("bigint").alias("n_preds"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -467,7 +486,7 @@ def run(args):
     fam_filter = set(args.families.split(","))
     known = {"minhash", "simhash", "embedding", "span", "line", "exact",
              "semantic", "semantic_concentrated", "semantic_partitioned",
-             "predstats"}
+             "predstats", "charsets"}
     if not fam_filter <= known:
         raise SystemExit(f"unknown families {sorted(fam_filter - known)}; "
                          f"choose from {sorted(known)}")
@@ -564,7 +583,8 @@ def run(args):
     # shape's zero-Exchange property needs the bucket metadata)
     t0 = time.monotonic()
     for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx",
-                "ab_ln_idx", "ab_ex_idx", "ab_sm_idx", "ab_ps_idx"):
+                "ab_ln_idx", "ab_ex_idx", "ab_sm_idx", "ab_ps_idx",
+                "ab_cs_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if need_sem:
         # frozen quantizer trained on HISTORY only (the FAISS contract);
@@ -625,8 +645,8 @@ def run(args):
             ),
             "ab_em_idx", "bucket", 32, path=f"{wd}/em_idx",
         )
-    trip_batch = ps_stats = None
-    if "predstats" in fam_filter:
+    trip_batch = ps_stats = cs_hist = None
+    if fam_filter & {"predstats", "charsets"}:
         from literature_to_facts_spark.engine.kgquery import (  # noqa: E402
             build_predicate_pair_index,
             predicate_stats,
@@ -640,16 +660,31 @@ def run(args):
         ).parquet(f"{wd}/trip_batch")
         trip_hist = spark.read.parquet(f"{wd}/trip_hist")
         trip_batch = spark.read.parquet(f"{wd}/trip_batch")
-        write_bucketed(
-            build_predicate_pair_index(trip_hist), "ab_ps_idx", "pair_key",
-            32, path=f"{wd}/ps_idx",
-        )
+        if "predstats" in fam_filter:
+            write_bucketed(
+                build_predicate_pair_index(trip_hist), "ab_ps_idx",
+                "pair_key", 32, path=f"{wd}/ps_idx",
+            )
         # pred-sized rolling stats table (the operational mode rewrites it
         # per batch); built once from history, untimed
         predicate_stats(trip_hist).write.mode("overwrite").parquet(
             f"{wd}/ps_stats"
         )
         ps_stats = spark.read.parquet(f"{wd}/ps_stats")
+        if "charsets" in fam_filter:
+            from literature_to_facts_spark.engine.kgquery import (
+                build_subject_pred_index,
+                characteristic_sets,
+            )
+
+            write_bucketed(
+                build_subject_pred_index(trip_hist), "ab_cs_idx", "subj",
+                32, path=f"{wd}/cs_idx",
+            )
+            characteristic_sets(trip_hist).write.mode("overwrite").parquet(
+                f"{wd}/cs_hist"
+            )
+            cs_hist = spark.read.parquet(f"{wd}/cs_hist")
     result["index_build_sec"] = round(time.monotonic() - t0, 1)
 
     def probe_mh():
@@ -859,6 +894,36 @@ def run(args):
         )
         return _force_ps(union_predstats(all_idx))
 
+    def _force_cs(out):
+        return out.agg(
+            F.sum("n_subj").alias("a"), F.sum("n_preds").alias("b"),
+            F.count(F.lit(1)).alias("c"),
+        ).collect()[0]
+
+    def probe_cs():
+        from literature_to_facts_spark.engine.kgquery import (
+            characteristic_sets_incremental,
+        )
+
+        reg = []
+        out = characteristic_sets_incremental(
+            trip_batch, spark.table("ab_cs_idx"), cs_hist, cache_registry=reg
+        )
+        c = _force_cs(out)
+        for df in reg:
+            df.unpersist()
+        return c
+
+    def union_cs():
+        from literature_to_facts_spark.engine.kgquery import (
+            build_subject_pred_index,
+        )
+
+        all_sp = spark.table("ab_cs_idx").unionByName(
+            build_subject_pred_index(trip_batch)
+        )
+        return _force_cs(union_charsets(all_sp))
+
     fams = {
         "minhash": (probe_mh, union_mh),
         "simhash": (probe_sh, union_sh),
@@ -867,6 +932,7 @@ def run(args):
         "line": (probe_ln, union_ln),
         "exact": (probe_ex, union_ex),
         "predstats": (probe_ps, union_ps),
+        "charsets": (probe_cs, union_cs),
     }
     if need_sem:
         fams["semantic"] = _sem_runners(smb)
@@ -997,6 +1063,21 @@ def run(args):
                     build_predicate_pair_index(trip_batch)
                 )
             )
+        elif fam == "charsets":
+            from literature_to_facts_spark.engine.kgquery import (
+                build_subject_pred_index,
+                characteristic_sets_incremental,
+            )
+
+            probe_df = characteristic_sets_incremental(
+                trip_batch, spark.table("ab_cs_idx"), cs_hist,
+                cache_registry=reg,
+            )
+            union_df = union_charsets(
+                spark.table("ab_cs_idx").unionByName(
+                    build_subject_pred_index(trip_batch)
+                )
+            )
         else:
             probe_df = embedding_near_dup_pairs_incremental(
                 vbatch, vecs, old_index=spark.table("ab_em_idx"),
@@ -1017,7 +1098,8 @@ def run(args):
                   "semantic": _sem_key,
                   "semantic_concentrated": _sem_key,
                   "semantic_partitioned": _sem_key,
-                  "predstats": _stats_key}.get(fam, _pairs_key)
+                  "predstats": _stats_key,
+                  "charsets": _stats_key}.get(fam, _pairs_key)
         pk, uk = key_fn(probe_df), key_fn(union_df)
         for df in reg:
             df.unpersist()
@@ -1059,7 +1141,8 @@ def run(args):
         print("wrote", out_path)
     print(json.dumps(result))
     for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx",
-                "ab_ln_idx", "ab_ex_idx", "ab_sm_idx", "ab_ps_idx"):
+                "ab_ln_idx", "ab_ex_idx", "ab_sm_idx", "ab_ps_idx",
+                "ab_cs_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return 0 if all(f["parity_ok"] for f in result["families"].values()) else 1
 
