@@ -619,3 +619,40 @@ def test_streaming_span_clean(spark, tmp_path):
     assert tot == exp_tot
     fn(mk(batches[2]), 2)          # re-clean batch 2 over compacted state
     assert cleaned(2) == before
+
+
+def test_streaming_kg_stats_exact_and_replay(spark, tmp_path):
+    """Micro-batch predicate-stats maintenance: after each batch the
+    snapshot equals the from-scratch stats over everything seen so far,
+    and replaying a batch (crash recovery) leaves the state bit-equal."""
+    from pyspark.sql import functions as F
+
+    from literature_to_facts_spark.engine.kgquery import predicate_stats
+    from literature_to_facts_spark.streaming.kg_stats import (
+        make_kg_stats_batch_fn,
+        read_current_stats,
+    )
+
+    rows = []
+    for i in range(45):
+        rows.append((i, "lang", ["en", "fr", "de"][i % 3]))
+        rows.append((i, "host", f"h{i % 5}.com"))
+        if i % 4 == 0:
+            rows.append((i, "lang", ["en", "fr", "de"][i % 3]))  # dup triple
+    triples = spark.createDataFrame(rows, "subj bigint, pred string, obj string")
+
+    state = str(tmp_path / "kgstats")
+    fn = make_kg_stats_batch_fn(state)
+    seen = None
+    for b in range(3):
+        batch = triples.where(F.col("subj") % 3 == b)
+        fn(batch, b)
+        seen = batch if seen is None else seen.unionByName(batch)
+        got = sorted(map(tuple, read_current_stats(spark, state).collect()))
+        want = sorted(map(tuple, predicate_stats(seen).collect()))
+        assert got == want, f"batch {b}"
+
+    # crash replay: re-running the LAST batch must heal to the same state
+    fn(triples.where(F.col("subj") % 3 == 2), 2)
+    got = sorted(map(tuple, read_current_stats(spark, state).collect()))
+    assert got == sorted(map(tuple, predicate_stats(triples).collect()))
