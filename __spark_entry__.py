@@ -3267,6 +3267,24 @@ def _url_canonical_dedup_oracle() -> str:
     """
 
 
+def q_kg_pattern_join(spark, sf_dir):
+    """Statistics-driven two-pattern join (engine/kgquery.
+    pattern_join_ordered): the maintained predicate-stats table picks the
+    selective pattern (mentions_spark) as the BROADCAST side against the
+    dense one (lang) — the join-ordering decision an RDF store keeps its
+    statistics for; both patterns are filters over ONE triple table, so
+    Spark's own size estimates cannot make this call.  Output is
+    plan-independent (oracle = the naive self-join)."""
+    from literature_to_facts_spark.engine.kgquery import (
+        pattern_join_ordered,
+        predicate_stats,
+    )
+
+    triples = _kg_rich_triples(spark, sf_dir).persist()
+    stats = predicate_stats(triples)
+    return pattern_join_ordered(triples, "mentions_spark", "lang", stats)
+
+
 def q_crawl_ingest_gate(spark, sf_dir):
     """The composed web-ingest gate end-to-end (the pre-pipeline every
     crawl corpus runs before any text-level stage): raw pages ->
@@ -3523,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "kg_charsets_incremental": q_kg_charsets_incremental,
         "crawl_ingest_gate": q_crawl_ingest_gate,
+        "kg_pattern_join": q_kg_pattern_join,
     }
 
 
@@ -5278,4 +5297,10 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY pred_set
         """,
         "crawl_ingest_gate": _crawl_ingest_gate_oracle(),
+        "kg_pattern_join": f"""
+            WITH triples AS ({_KG_RICH_TRIPLES_DUCK})
+            SELECT a.subj AS subj, a.obj AS val_a, b.obj AS val_b
+            FROM triples a JOIN triples b ON a.subj = b.subj
+            WHERE a.pred = 'mentions_spark' AND b.pred = 'lang'
+        """,
     }

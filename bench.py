@@ -149,6 +149,7 @@ HEADLINE = [
     "url_canonical_dedup",
     "kg_charsets_incremental",
     "crawl_ingest_gate",
+    "kg_pattern_join",
 ]
 
 

@@ -482,6 +482,64 @@ def cooccurrence_pmi(
     )
 
 
+def pattern_join_ordered(
+    triples: DataFrame,
+    pred_a: str,
+    pred_b: str,
+    stats: DataFrame | None = None,
+    broadcast_threshold: int = 1_000_000,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Same-subject two-pattern join (SPARQL ``?s pa ?va . ?s pb ?vb``)
+    with STATISTICS-DRIVEN physical planning — the reason an RDF store
+    keeps :func:`predicate_stats` at all: ``(subj, val_a, val_b)`` for
+    every subject carrying both predicates, with the smaller pattern side
+    BROADCAST when the stats say it fits.
+
+    ``stats`` is a (maintained) :func:`predicate_stats` /
+    :func:`predicate_stats_incremental` table; the driver-side decision
+    reads just the two predicates' ``n_triples`` from it (a pred-sized
+    lookup — two rows, not a corpus scan).  When the smaller side is under
+    ``broadcast_threshold`` triples it is broadcast — the selective
+    pattern (``mentions_GRB220101A``, 10^3 rows) streams the huge one
+    (``lang``, 10^12 rows) map-side with ZERO shuffle of the big side,
+    exactly Spark's star-schema strategy but decided from KG statistics
+    Spark cannot know (both inputs are filters over ONE triple table, so
+    its own size estimates see the whole table on both sides).  Without
+    stats (or with both sides large) the join falls back to the normal
+    shuffled equi-join on ``subj``.
+
+    Scale shape: two scan-fused filters of the triple store (a
+    pred-partitioned layout prunes both to their partitions), one join
+    whose strategy the caller's statistics pick.  Output is
+    plan-independent — the oracle asserts bit-equality with the naive
+    join either way.
+    """
+    a = triples.where(F.col(pred_col) == pred_a).select(
+        F.col(subj_col).alias("subj"), F.col(obj_col).alias("val_a")
+    )
+    b = triples.where(F.col(pred_col) == pred_b).select(
+        F.col(subj_col).alias("subj"), F.col(obj_col).alias("val_b")
+    )
+    if stats is not None:
+        counts = {
+            r["pred"]: r["n_triples"]
+            for r in stats.where(
+                F.col("pred").isin(pred_a, pred_b)
+            ).collect()
+        }
+        na = counts.get(pred_a, 0)
+        nb = counts.get(pred_b, 0)
+        if min(na, nb) <= int(broadcast_threshold):
+            if na <= nb:
+                a = F.broadcast(a)
+            else:
+                b = F.broadcast(b)
+    return a.join(b, on="subj")
+
+
 def two_hop(
     edges_ab: DataFrame,
     edges_bc: DataFrame,
