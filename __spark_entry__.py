@@ -2410,14 +2410,21 @@ def q_html_extract_links(spark, sf_dir):
     )
 
 
-def _duck_links_ctes() -> str:
+def _duck_links_ctes(html_expr: str | None = None, pairs: bool = False) -> str:
     """The html_extract_links replay as a CTE chain ending at
     ``links(doc_id, src_host, link_url, link_host)`` — shared by the
     html_extract_links and web_link_rank oracles.  Href patterns, scheme
     regexes and the URL group regex interpolate from datapipe.html /
     datapipe.urls (operator edits propagate); concat uses ||
-    (NULL-propagating) per the DuckDB-concat-skips-NULLs invariant."""
+    (NULL-propagating) per the DuckDB-concat-skips-NULLs invariant.
+
+    ``pairs=True`` replays html_extract_anchors instead: the
+    ANCHOR_PAIR_PATTERNS battery's group-1/group-2 arrays are zipped
+    before the unnest and ``links`` carries ``anchor_raw`` — SAME
+    resolution CASE, one definition for both operators' oracles.
+    ``html_expr`` overrides the html fixture expression."""
     from literature_to_facts_spark.datapipe.html import (
+        ANCHOR_PAIR_PATTERNS,
         HREF_PATTERNS,
         HTTP_LINK_PATTERN,
         LINK_SCHEME_PATTERN,
@@ -2427,15 +2434,33 @@ def _duck_links_ctes() -> str:
         return pat.replace("'", "''")
 
     g = _duck_url_group
-    # DuckDB list_concat is binary — fold the three extract arrays pairwise
-    arrays = [f"regexp_extract_all(html, '{q(p)}', 1)" for p in HREF_PATTERNS]
+    # DuckDB list_concat is binary — fold the extract arrays pairwise
+    if pairs:
+        arrays = [
+            f"list_zip(regexp_extract_all(html, '{q(p)}', 1), "
+            f"regexp_extract_all(html, '{q(p)}', 2))"
+            for p in ANCHOR_PAIR_PATTERNS
+        ]
+    else:
+        arrays = [
+            f"regexp_extract_all(html, '{q(p)}', 1)" for p in HREF_PATTERNS
+        ]
     extracts = arrays[0]
     for a in arrays[1:]:
         extracts = f"list_concat({extracts}, {a})"
+    html_expr = html_expr or _LINKS_HTML_DUCK
+    if pairs:
+        hr_cols = f"unnest({extracts}) AS z"
+        h2_href = "split_part(trim(z[1]), '#', 1) AS h, z[2] AS anchor_raw"
+        carry = ", anchor_raw"
+    else:
+        hr_cols = f"unnest({extracts}) AS href_raw"
+        h2_href = "split_part(trim(href_raw), '#', 1) AS h"
+        carry = ""
     return f"""
         d AS (
           SELECT doc_id, {_URL_FIXTURE_DUCK} AS url,
-                 {_LINKS_HTML_DUCK} AS html
+                 {html_expr} AS html
           FROM documents
         ),
         pg AS (
@@ -2459,16 +2484,16 @@ def _duck_links_ctes() -> str:
         ),
         hr AS (
           SELECT doc_id, ok, hostl, pg_scheme, pg_base, pg_dir,
-                 unnest({extracts}) AS href_raw
+                 {hr_cols}
           FROM pg2
         ),
         h2 AS (
           SELECT doc_id, ok, hostl, pg_scheme, pg_base, pg_dir,
-                 split_part(trim(href_raw), '#', 1) AS h
+                 {h2_href}
           FROM hr
         ),
         r AS (
-          SELECT doc_id, hostl,
+          SELECT doc_id, hostl{carry},
                  CASE WHEN h = '' THEN NULL
                       WHEN regexp_matches(h, '{LINK_SCHEME_PATTERN}')
                            AND regexp_matches(h, '{HTTP_LINK_PATTERN}')
@@ -2483,7 +2508,7 @@ def _duck_links_ctes() -> str:
         ),
         links AS (
           SELECT CAST(doc_id AS BIGINT) AS doc_id, hostl AS src_host,
-                 link_url, lower({g(2, "link_url")}) AS link_host
+                 link_url, lower({g(2, "link_url")}) AS link_host{carry}
           FROM r
           WHERE link_url IS NOT NULL
             AND regexp_matches(link_url, '{HTTP_LINK_PATTERN}')
@@ -3437,6 +3462,221 @@ def q_kg_cooccurrence_pmi(spark, sf_dir):
     return cooccurrence_pmi(mentions, max_entities_per_doc=64)
 
 
+
+# anchor-text fixture: every page names target t{m5}.example.com/p twice
+# ("Read <b>More</b>" and "story {m3}" — a real frequency ranking), links a
+# per-doc root-relative page with messy whitespace, an unquoted dir-relative
+# href, an EMPTY anchor (profile-excluded) and a mailto (scheme-dropped).
+# ONE template, both engines.
+_ANCHOR_HTML_TMPL = (
+    "'<html><body>"
+    '<a href="https://t' + "' || {m5} || '" + '.example.com/p">Read <b>More</b></a>'
+    "<a id=''x'' href=''/r/' || {id} || '.html''>  deep   page </a>"
+    '<a href="https://t' + "' || {m5} || '" + '.example.com/p">story ' + "' || {m3} || '" + '</a>'
+    "<a href=rel' || {m3} || '.html>rel  anchor</a>"
+    '<a href="https://t' + "' || {m5} || '" + '.example.com/q"></a>'
+    '<a href="mailto:a@b.c">mail me</a>'
+    "</body></html>'"
+)
+_ANCHOR_HTML_SPARK = _ANCHOR_HTML_TMPL.format(
+    id="cast(doc_id as string)",
+    m3="cast(doc_id % 3 as string)",
+    m5="cast(doc_id % 5 as string)",
+)
+_ANCHOR_HTML_DUCK = _ANCHOR_HTML_TMPL.format(
+    id="cast(doc_id as varchar)",
+    m3="cast(doc_id % 3 as varchar)",
+    m5="cast(doc_id % 5 as varchar)",
+)
+
+
+def q_web_anchor_text(spark, sf_dir):
+    """Inlink anchor-text profile (datapipe/html.html_extract_anchors ->
+    anchor_text_profile): the web-KG entity-naming table — per link
+    target, its top-3 casefolded anchor texts by (count desc, anchor asc)
+    plus anchored-inlink / distinct-anchor / distinct-source-host evidence
+    counts.  Extraction and resolution share one definition with
+    html_extract_links (pair battery zips group-1/group-2 arrays of the
+    SAME pattern); the profile's window runs only over the aggregated
+    (target, anchor) rows."""
+    from literature_to_facts_spark.datapipe.html import (
+        anchor_text_profile,
+        html_extract_anchors,
+    )
+    from literature_to_facts_spark.datapipe.urls import URL_PATTERN
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id",
+        f"{_URL_FIXTURE_SPARK} AS url",
+        f"{_ANCHOR_HTML_SPARK} AS html",
+    )
+    anchors = html_extract_anchors(docs).withColumns(
+        {
+            "src_host": F.nullif(
+                F.lower(F.regexp_extract(F.col("url"), URL_PATTERN, 2)),
+                F.lit(""),
+            )
+        }
+    )
+    return anchor_text_profile(anchors, src_host_col="src_host")
+
+
+def _web_anchor_text_oracle() -> str:
+    from literature_to_facts_spark.datapipe.html import _WS_CLASS
+
+    g = _duck_url_group
+    return f"""
+        WITH {_duck_links_ctes(html_expr=_ANCHOR_HTML_DUCK, pairs=True)},
+        base AS (
+          SELECT link_url,
+                 lower(trim(regexp_replace(regexp_replace(anchor_raw,
+                       '<[^>]+>', ' ', 'g'), '{_WS_CLASS}', ' ', 'g'))) AS a,
+                 NULLIF(src_host, '') AS src_host
+          FROM links
+        ),
+        nz AS (SELECT * FROM base WHERE a <> ''),
+        pa AS (
+          SELECT link_url, a, COUNT(*) AS n FROM nz GROUP BY link_url, a
+        ),
+        tk AS (
+          SELECT link_url, string_agg(a, ',' ORDER BY n DESC, a ASC) AS top_anchors
+          FROM (
+            SELECT link_url, a, n,
+                   ROW_NUMBER() OVER (PARTITION BY link_url
+                                      ORDER BY n DESC, a ASC) AS rn
+            FROM pa
+          ) WHERE rn <= 3 GROUP BY link_url
+        ),
+        st AS (
+          SELECT link_url,
+                 CAST(COUNT(*) AS BIGINT) AS n_anchored_inlinks,
+                 CAST(COUNT(DISTINCT a) AS BIGINT) AS n_anchors,
+                 CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+          FROM nz GROUP BY link_url
+        )
+        SELECT st.link_url, n_anchored_inlinks, n_anchors, n_src_hosts,
+               top_anchors
+        FROM st JOIN tk USING (link_url)
+    """
+
+
+def q_kg_star_join(spark, sf_dir):
+    """Statistics-driven N-pattern star join (engine/kgquery.
+    star_join_ordered): three same-subject patterns over ONE triple table
+    — the maintained predicate stats anchor the densest pattern (lang /
+    source tie) and BROADCAST the selective ones, most-selective pruning
+    first; Spark's own estimates see the whole table on every side and
+    cannot order this.  Output is plan-independent (oracle = the naive
+    chained self-join)."""
+    from literature_to_facts_spark.engine.kgquery import (
+        predicate_stats,
+        star_join_ordered,
+    )
+
+    triples = _kg_rich_triples(spark, sf_dir).persist()
+    stats = predicate_stats(triples)
+    return star_join_ordered(
+        triples,
+        ["mentions_spark", "source", "mentions_merge"],
+        stats,
+        aliases=["n_spark", "src", "n_merge"],
+    )
+
+
+def q_kg_triple_provenance(spark, sf_dir):
+    """Per-fact provenance aggregation (engine/kgquery.triple_provenance):
+    raw co-mention assertions — one row per keyword-pair INSTANCE per
+    document (occurrence-count multiplicity, not per-doc dedup) with a
+    per-doc crawl stamp — collapse to set semantics WITHOUT losing the
+    evidence: distinct asserting docs, raw assertion count, first/last
+    seen (epoch micros).  The reference's graph build drops this on the
+    floor (facts/core.py:197-226); a web KG gates and re-crawls by it."""
+    from literature_to_facts_spark.engine.kgquery import triple_provenance
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    m = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_KG_MENTION_RE), F.lit(1))
+        ).alias("kw"),
+    )
+    # every occurrence pairs with every occurrence of a later keyword in
+    # the same doc: n_a * n_b assertion rows per (doc, pair) — real
+    # multiplicity (entity_cooccurrence's cap guards the unbounded case;
+    # the fixture mention counts are prose-bounded)
+    a = m.select("doc_id", F.col("kw").alias("subj"))
+    b = m.select("doc_id", F.col("kw").alias("obj"))
+    assertions = (
+        a.join(b, on="doc_id")
+        .where(F.col("subj") < F.col("obj"))
+        .select(
+            "subj",
+            F.lit("comentions").alias("pred"),
+            "obj",
+            "doc_id",
+            (F.col("doc_id") * 3600000000 + F.lit(1500000000000000)).alias(
+                "ts_us"
+            ),
+        )
+    )
+    return triple_provenance(assertions, doc_col="doc_id", ts_col="ts_us")
+
+
+# deterministic 37-node host graph with cycles and branching (two functional
+# edge maps per doc) — the property-path fixture; identical in both engines
+_PATH_EDGES_EXPRS = [
+    ("concat('h', cast(doc_id % 37 as string))",
+     "concat('h', cast((doc_id * 7 + 3) % 37 as string))"),
+    ("concat('h', cast(doc_id % 37 as string))",
+     "concat('h', cast((doc_id * 5 + 11) % 37 as string))"),
+]
+_PATH_MAX_DEPTH = 4
+
+
+def q_kg_path_closure(spark, sf_dir):
+    """Bounded-depth property-path closure (engine/kgquery.path_closure):
+    SPARQL ``?a link{1,4} ?b`` over a cyclic host graph — every reachable
+    (src, dst) pair with its MIN-hop depth.  Frontier-pruned BFS: round d
+    joins only pairs first reached at d-1 (persisted, anti-joined against
+    the accumulated closure), so cycles terminate and each output pair is
+    expanded exactly once.  Oracle = DuckDB recursive CTE (min depth per
+    pair), bit-exact including the cycle/self-loop rows."""
+    from literature_to_facts_spark.engine.kgquery import path_closure
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = [
+        docs.selectExpr(f"{s} AS src", f"{d} AS dst")
+        for s, d in _PATH_EDGES_EXPRS
+    ]
+    edges = parts[0].unionByName(parts[1])
+    reg = []
+    out = path_closure(edges, _PATH_MAX_DEPTH, cache_registry=reg)
+    out._l2f_cache_registry = reg
+    return out
+
+
+def _kg_path_closure_oracle() -> str:
+    dup = " UNION ALL ".join(
+        f"SELECT {s.replace('as string', 'as varchar')} AS src, "
+        f"{d.replace('as string', 'as varchar')} AS dst FROM documents"
+        for s, d in _PATH_EDGES_EXPRS
+    )
+    return f"""
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT src, dst FROM ({dup})
+        ),
+        r AS (
+          SELECT src, dst, 1 AS depth FROM e
+          UNION
+          SELECT r.src, e2.dst, r.depth + 1
+          FROM r JOIN e e2 ON r.dst = e2.src
+          WHERE r.depth < {_PATH_MAX_DEPTH}
+        )
+        SELECT src, dst, CAST(MIN(depth) AS INTEGER) AS depth
+        FROM r GROUP BY src, dst
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_melt": q_kg_triples_melt,
@@ -3542,6 +3782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_charsets_incremental": q_kg_charsets_incremental,
         "crawl_ingest_gate": q_crawl_ingest_gate,
         "kg_pattern_join": q_kg_pattern_join,
+        "web_anchor_text": q_web_anchor_text,
+        "kg_star_join": q_kg_star_join,
+        "kg_triple_provenance": q_kg_triple_provenance,
+        "kg_path_closure": q_kg_path_closure,
     }
 
 
@@ -5297,10 +5541,39 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY pred_set
         """,
         "crawl_ingest_gate": _crawl_ingest_gate_oracle(),
+        "web_anchor_text": _web_anchor_text_oracle(),
+        "kg_star_join": f"""
+            WITH triples AS ({_KG_RICH_TRIPLES_DUCK})
+            SELECT a.subj AS subj, a.obj AS n_spark, b.obj AS src,
+                   c.obj AS n_merge
+            FROM triples a JOIN triples b ON a.subj = b.subj
+                           JOIN triples c ON a.subj = c.subj
+            WHERE a.pred = 'mentions_spark' AND b.pred = 'source'
+              AND c.pred = 'mentions_merge'
+        """,
+        "kg_triple_provenance": f"""
+            WITH m AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     unnest(regexp_extract_all(text, '{_KG_MENTION_RE}', 1)) AS kw
+              FROM documents
+            ),
+            asserts AS (
+              SELECT a.kw AS subj, 'comentions' AS pred, b.kw AS obj,
+                     a.doc_id,
+                     a.doc_id * 3600000000 + 1500000000000000 AS ts_us
+              FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.kw < b.kw
+            )
+            SELECT subj, pred, obj,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_assertions,
+                   MIN(ts_us) AS first_seen, MAX(ts_us) AS last_seen
+            FROM asserts GROUP BY subj, pred, obj
+        """,
         "kg_pattern_join": f"""
             WITH triples AS ({_KG_RICH_TRIPLES_DUCK})
             SELECT a.subj AS subj, a.obj AS val_a, b.obj AS val_b
             FROM triples a JOIN triples b ON a.subj = b.subj
             WHERE a.pred = 'mentions_spark' AND b.pred = 'lang'
         """,
+        "kg_path_closure": _kg_path_closure_oracle(),
     }

@@ -150,6 +150,10 @@ HEADLINE = [
     "kg_charsets_incremental",
     "crawl_ingest_gate",
     "kg_pattern_join",
+    # round-6 fifth wave: naming/provenance/star-join (appended)
+    "web_anchor_text",
+    "kg_star_join",
+    "kg_triple_provenance",
 ]
 
 

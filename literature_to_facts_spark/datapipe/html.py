@@ -56,6 +56,17 @@ HREF_PATTERNS: list[str] = [
     rf"""(?is)<a{_A_WS}[^>]*href{_A_WS}*={_A_WS}*([^"' \t\n\x0B\f\r>][^ \t\n\x0B\f\r>]*)""",
 ]
 
+# anchor (href, inner-html) PAIR extraction — the same three quote styles
+# with TWO capture groups (1 = href, 2 = inner html up to the first </a>).
+# Needs a closing </a>, so it is deliberately narrower than HREF_PATTERNS
+# (a tagless bare <a href=...> emits a link but no anchor text); nested
+# anchors end at the first close tag (RE2-safe non-greedy).
+ANCHOR_PAIR_PATTERNS: list[str] = [
+    rf'(?is)<a{_A_WS}[^>]*href{_A_WS}*={_A_WS}*"([^"]*)"[^>]*>(.*?)</a{_A_WS}*>',
+    rf"(?is)<a{_A_WS}[^>]*href{_A_WS}*={_A_WS}*'([^']*)'[^>]*>(.*?)</a{_A_WS}*>",
+    rf"""(?is)<a{_A_WS}[^>]*href{_A_WS}*={_A_WS}*([^"' \t\n\x0B\f\r>][^ \t\n\x0B\f\r>]*)[^>]*>(.*?)</a{_A_WS}*>""",
+]
+
 # a link carrying its own scheme ('javascript:', 'mailto:', 'https://...')
 LINK_SCHEME_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 HTTP_LINK_PATTERN = r"(?i)^https?://"
@@ -113,6 +124,59 @@ def _decoded_html(docs: DataFrame, html_col: str):
     if dict(docs.dtypes)[html_col] == "binary":
         col = F.regexp_replace(F.decode(col, "ISO-8859-1"), r"[^\x00-\x7F]", "�")
     return col
+
+
+def _page_part_cols(url_col: str) -> dict:
+    """The page-URL resolution parts (``_pg_valid/_pg_scheme/_pg_base/
+    _pg_dir``) as a withColumns dict — shared by the link and anchor
+    extractors so their RFC-3986-subset resolution is ONE definition."""
+    from .urls import URL_PATTERN
+
+    url = F.col(url_col)
+    host_raw = F.regexp_extract(url, URL_PATTERN, 2)
+    pg_valid = F.when(url.isNotNull(), host_raw != F.lit(""))
+    scheme = F.lower(F.regexp_extract(url, URL_PATTERN, 1))
+    port_s = F.regexp_extract(url, URL_PATTERN, 3)
+    base = F.concat(
+        scheme,
+        F.lit("://"),
+        F.lower(host_raw),
+        F.when(port_s == F.lit(""), F.lit("")).otherwise(
+            F.concat(F.lit(":"), port_s)
+        ),
+    )
+    path = F.regexp_extract(url, URL_PATTERN, 4)
+    pg_dir = F.when(path == F.lit(""), F.lit("/")).otherwise(
+        F.regexp_extract(path, r"(?s)^(.*/)", 1)
+    )
+    return {
+        "_pg_valid": pg_valid,
+        "_pg_scheme": F.when(pg_valid, scheme),
+        "_pg_base": F.when(pg_valid, base),
+        "_pg_dir": F.when(pg_valid, pg_dir),
+    }
+
+
+def _resolve_href_expr():
+    """Resolve the projected ``_href`` against the ``_pg_*`` page parts
+    (NULL = dropped): absolute http(s) passes, other schemes drop,
+    protocol-/root-/dir-relative concatenate — the documented RFC 3986
+    subset, one definition for links and anchors."""
+    h = F.col("_href")
+    has_scheme = h.rlike(LINK_SCHEME_PATTERN)
+    is_http = h.rlike(HTTP_LINK_PATTERN)
+    return (
+        F.when(h == F.lit(""), F.lit(None).cast("string"))
+        .when(has_scheme & is_http, h)
+        .when(has_scheme, F.lit(None).cast("string"))
+        .when(~F.col("_pg_valid"), F.lit(None).cast("string"))
+        .when(
+            h.startswith("//"),
+            F.concat(F.col("_pg_scheme"), F.lit(":"), h),
+        )
+        .when(h.startswith("/"), F.concat(F.col("_pg_base"), h))
+        .otherwise(F.concat(F.col("_pg_base"), F.col("_pg_dir"), h))
+    )
 
 
 def html_extract_links(
@@ -174,31 +238,8 @@ def html_extract_links(
             for p in HREF_PATTERNS
         ]
     )
-    url = F.col(url_col)
-    host_raw = F.regexp_extract(url, URL_PATTERN, 2)
-    pg_valid = F.when(url.isNotNull(), host_raw != F.lit(""))
-    scheme = F.lower(F.regexp_extract(url, URL_PATTERN, 1))
-    port_s = F.regexp_extract(url, URL_PATTERN, 3)
-    base = F.concat(
-        scheme,
-        F.lit("://"),
-        F.lower(host_raw),
-        F.when(port_s == F.lit(""), F.lit("")).otherwise(
-            F.concat(F.lit(":"), port_s)
-        ),
-    )
-    path = F.regexp_extract(url, URL_PATTERN, 4)
-    pg_dir = F.when(path == F.lit(""), F.lit("/")).otherwise(
-        F.regexp_extract(path, r"(?s)^(.*/)", 1)
-    )
     staged = staged.withColumns(
-        {
-            "_hrefs": hrefs,
-            "_pg_valid": pg_valid,
-            "_pg_scheme": F.when(pg_valid, scheme),
-            "_pg_base": F.when(pg_valid, base),
-            "_pg_dir": F.when(pg_valid, pg_dir),
-        }
+        {"_hrefs": hrefs, **_page_part_cols(url_col)}
     ).drop(html_col, "_html_txt")
     exploded = staged.withColumns(
         {"_href_raw": F.explode(F.col("_hrefs"))}
@@ -207,23 +248,8 @@ def html_extract_links(
     exploded = exploded.withColumns(
         {"_href": F.substring_index(F.trim(F.col("_href_raw")), "#", 1)}
     )
-    h = F.col("_href")
-    has_scheme = h.rlike(LINK_SCHEME_PATTERN)
-    is_http = h.rlike(HTTP_LINK_PATTERN)
-    resolved = (
-        F.when(h == F.lit(""), F.lit(None).cast("string"))
-        .when(has_scheme & is_http, h)
-        .when(has_scheme, F.lit(None).cast("string"))
-        .when(~F.col("_pg_valid"), F.lit(None).cast("string"))
-        .when(
-            h.startswith("//"),
-            F.concat(F.col("_pg_scheme"), F.lit(":"), h),
-        )
-        .when(h.startswith("/"), F.concat(F.col("_pg_base"), h))
-        .otherwise(F.concat(F.col("_pg_base"), F.col("_pg_dir"), h))
-    )
     out = (
-        exploded.withColumns({"_resolved": resolved})
+        exploded.withColumns({"_resolved": _resolve_href_expr()})
         # every output link is an absolute http(s) URL: relative links
         # inherit the page scheme, so a link resolved against an ftp://
         # page is filtered here, not silently emitted
@@ -245,6 +271,180 @@ def html_extract_links(
         )
     )
     return out.distinct() if dedup else out
+
+
+_ANCHOR_INTERNAL_COLS = _LINK_INTERNAL_COLS | {"_pairs", "_pair", "_anchor_raw"}
+
+
+def html_extract_anchors(
+    docs: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    link_col: str = "link_url",
+    host_col: str = "link_host",
+    anchor_col: str = "anchor_text",
+) -> DataFrame:
+    """:func:`html_extract_links` plus the anchor TEXT: one row per
+    ``<a href=...>inner</a>`` element with the resolved absolute URL, its
+    host, and the anchor's display text (inner HTML with nested tags
+    stripped, whitespace collapsed, trimmed; case preserved — casefold in
+    the aggregation, not the extraction).  Anchor text is the classic
+    web-KG naming signal: what the web *calls* a page is how crawl-scale
+    KGs label entities and rank aliases.
+
+    Same resolution semantics as :func:`html_extract_links` (shared
+    helpers, one definition), same RE2-safe battery shape — but pairs need
+    a closing ``</a>``, so bare unclosed anchors emit nothing here while
+    still emitting a link there (documented, not silent).  The
+    (href, text) arrays come from the SAME pattern's group 1 and group 2,
+    so they are always aligned; ``zip_with`` pairs them before ONE
+    explode.
+
+    Scale shape: per-row extract/resolve fused into the scan, zero
+    shuffle, no Python; the decoded html is projected once before the six
+    extract-all consumers (repo invariant).
+    """
+    clash = sorted(_ANCHOR_INTERNAL_COLS & set(docs.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with html_extract_anchors "
+            "internals; rename them first"
+        )
+    for out_name in (link_col, host_col, anchor_col):
+        if out_name in docs.columns:
+            raise ValueError(
+                f"output column {out_name!r} already exists; rename it first"
+            )
+    from .urls import URL_PATTERN
+
+    staged = docs.withColumns({"_html_txt": _decoded_html(docs, html_col)})
+    pair_arrays = [
+        F.zip_with(
+            F.regexp_extract_all(F.col("_html_txt"), F.lit(p), 1),
+            F.regexp_extract_all(F.col("_html_txt"), F.lit(p), 2),
+            lambda h, t: F.struct(h.alias("h"), t.alias("t")),
+        )
+        for p in ANCHOR_PAIR_PATTERNS
+    ]
+    staged = staged.withColumns(
+        {"_pairs": F.concat(*pair_arrays), **_page_part_cols(url_col)}
+    ).drop(html_col, "_html_txt")
+    exploded = staged.withColumns(
+        {"_pair": F.explode(F.col("_pairs"))}
+    ).drop("_pairs")
+    exploded = exploded.withColumns(
+        {
+            "_href": F.substring_index(
+                F.trim(F.col("_pair").getField("h")), "#", 1
+            ),
+            "_anchor_raw": F.col("_pair").getField("t"),
+        }
+    ).drop("_pair")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_anchor_raw"), r"<[^>]+>", " "),
+            _WS_CLASS,
+            " ",
+        )
+    )
+    return (
+        exploded.withColumns({"_resolved": _resolve_href_expr()})
+        .where(
+            F.col("_resolved").isNotNull()
+            & F.col("_resolved").rlike(HTTP_LINK_PATTERN)
+        )
+        .withColumns(
+            {
+                link_col: F.col("_resolved"),
+                host_col: F.lower(
+                    F.regexp_extract(F.col("_resolved"), URL_PATTERN, 2)
+                ),
+                anchor_col: cleaned,
+            }
+        )
+        .drop(
+            "_anchor_raw", "_href", "_resolved",
+            "_pg_valid", "_pg_scheme", "_pg_base", "_pg_dir",
+        )
+    )
+
+
+def anchor_text_profile(
+    links: DataFrame,
+    target_col: str = "link_url",
+    anchor_col: str = "anchor_text",
+    host_col: str | None = "link_host",
+    src_host_col: str | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Inlink anchor-text aggregation per target page — the web-KG entity
+    naming table: for every link target, its top-``k`` anchor texts by
+    frequency plus inlink evidence counts.  Input is an anchor edge list
+    (:func:`html_extract_anchors` output or any (target, anchor[, source
+    host]) frame); output one row per target:
+
+    ``(target, n_anchored_inlinks, n_anchors, [n_src_hosts,] top_anchors)``
+
+    with ``top_anchors`` the ``k`` most frequent casefolded anchors joined
+    by commas in (count desc, anchor asc) order.  Empty / NULL anchors are
+    excluded — an imageless icon link carries no naming signal (documented;
+    ``n_anchored_inlinks`` therefore counts anchorED inlinks only).
+    ``src_host_col`` names the LINKING page's host column for the
+    ``n_src_hosts`` evidence column (how many distinct sites agree on the
+    name — link-farm resistance); pass ``None`` to skip it.
+
+    Scale shape: one (target, anchor)-keyed count (map-side partial — a
+    hot target named the same way everywhere folds in the mappers), a
+    target-keyed evidence aggregation, and a window ONLY over the already
+    aggregated per-(target, anchor) rows (bounded by distinct anchors per
+    target, not by inlinks).  The final target-keyed join is between two
+    frames already partitioned compatibly.  ``host_col`` is accepted for
+    API symmetry with :func:`html_extract_anchors` output but unused
+    unless ``src_host_col`` points at it.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    cols = [
+        F.col(target_col).alias("target"),
+        F.lower(F.col(anchor_col)).alias("_a"),
+    ]
+    if src_host_col is not None:
+        cols.append(F.col(src_host_col).alias("_sh"))
+    base = links.where(
+        F.col(anchor_col).isNotNull() & (F.col(anchor_col) != "")
+    ).select(*cols)
+    per_anchor = base.groupBy("target", "_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.desc("_n"), F.asc("_a")
+    )
+    topk = (
+        per_anchor.withColumns({"_rn": F.row_number().over(w)})
+        .where(F.col("_rn") <= int(k))
+        .groupBy("target")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rn", "_a"))),
+                    lambda x: x.getField("_a"),
+                ),
+                ",",
+            ).alias("top_anchors")
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_anchored_inlinks"),
+        F.countDistinct("_a").cast("bigint").alias("n_anchors"),
+    ]
+    if src_host_col is not None:
+        aggs.append(F.countDistinct("_sh").cast("bigint").alias("n_src_hosts"))
+    stats = base.groupBy("target").agg(*aggs)
+    return stats.join(topk, on="target").withColumnsRenamed(
+        {"target": target_col}
+    )
 
 
 # robots-meta content extraction — the four RE2-safe attribute orderings

@@ -23,6 +23,18 @@ operators become DataFrame plans:
 * :func:`build_predicate_pair_index` / :func:`predicate_stats_incremental`
   — delta maintenance of the predicate statistics (ninth probe-shaped
   incremental family; exact distinct counts merged via existence probes).
+* :func:`star_join_ordered` — N-pattern same-subject star join with
+  statistics-driven join ordering and per-side broadcast decisions (the
+  N-way generalization of :func:`pattern_join_ordered`).
+* :func:`triple_provenance` — per-fact support aggregation (distinct
+  asserting documents, raw assertion count, first/last-seen), the "graph
+  set semantics with provenance" face of the reference's
+  ``dropDuplicates`` union (``/root/reference/facts/core.py:197-226``
+  discards multiplicity; a KG store keeps it as edge evidence).
+* :func:`path_closure` — bounded-depth transitive closure (SPARQL
+  property path ``?a pred{1,k} ?b``) with min-hop depth, computed as a
+  frontier-pruned BFS (each round joins only the NEW pairs, never the
+  accumulated closure).
 
 All outputs are deterministic and integer/string-typed so a DuckDB oracle
 recomputes them bit-exactly.
@@ -576,3 +588,196 @@ def two_hop(
         .groupBy("a", "c")
         .agg(F.countDistinct("_b").cast("bigint").alias("n_mid"))
     )
+
+
+def star_join_ordered(
+    triples: DataFrame,
+    preds: list[str],
+    stats: DataFrame | None = None,
+    broadcast_threshold: int = 1_000_000,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    aliases: list[str] | None = None,
+) -> DataFrame:
+    """N-pattern same-subject star join (SPARQL ``?s p1 ?v1 . ... ?s pN
+    ?vN``) with STATISTICS-DRIVEN join ordering — the N-way
+    generalization of :func:`pattern_join_ordered` and the query shape the
+    reference's contemplate joins chain by hand two patterns at a time
+    (``/root/reference/facts/learn.py:105-156``): one output row per
+    subject carrying ALL the predicates, one value column per pattern in
+    caller order.
+
+    With ``stats`` (a maintained :func:`predicate_stats` /
+    :func:`predicate_stats_incremental` table) the driver reads just the N
+    predicates' ``n_triples`` (a pred-sized lookup) and applies the
+    star-schema strategy Spark cannot derive itself (every side is a
+    filter over the SAME triple table, so Catalyst's size estimates see
+    the whole table N times): the LARGEST pattern anchors and streams;
+    the remaining sides fold in ascending-cardinality order, each
+    broadcast when its stats say it fits under ``broadcast_threshold`` —
+    the selective patterns (``mentions_GRB220101A``, 10^3 rows) then prune
+    the huge anchor (``lang``, 10^12 rows) map-side with ZERO shuffle of
+    any big side, and the most selective side prunes FIRST.  Without
+    stats (or for sides above the threshold) the fold falls back to
+    shuffled equi-joins on ``subj``.
+
+    Scale shape: N scan-fused filters of the triple store (a
+    pred-partitioned layout prunes each to its partition), N-1 joins whose
+    strategies the statistics pick.  Output is plan-independent — the
+    oracle asserts bit-equality with the naive chained join either way.
+    """
+    if len(preds) < 2:
+        raise ValueError("star_join_ordered needs at least two patterns")
+    if aliases is None:
+        aliases = [f"val_{i}" for i in range(len(preds))]
+    if len(aliases) != len(preds) or len(set(aliases)) != len(aliases):
+        raise ValueError("aliases must be unique and match preds 1:1")
+    sides = [
+        triples.where(F.col(pred_col) == p).select(
+            F.col(subj_col).alias("subj"), F.col(obj_col).alias(a)
+        )
+        for p, a in zip(preds, aliases)
+    ]
+    if stats is None:
+        out = sides[0]
+        for s in sides[1:]:
+            out = out.join(s, on="subj")
+        return out.select("subj", *aliases)
+    counts = {
+        r["pred"]: r["n_triples"]
+        for r in stats.where(F.col("pred").isin(list(set(preds)))).collect()
+    }
+    order = sorted(
+        range(len(preds)), key=lambda i: (counts.get(preds[i], 0), i)
+    )
+    out = sides[order[-1]]  # largest side anchors and streams
+    for i in order[:-1]:
+        side = sides[i]
+        if counts.get(preds[i], 0) <= int(broadcast_threshold):
+            side = F.broadcast(side)
+        out = out.join(side, on="subj")
+    return out.select("subj", *aliases)
+
+
+def triple_provenance(
+    triples: DataFrame,
+    doc_col: str = "doc_id",
+    ts_col: str | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Per-fact provenance aggregation over raw (pre-dedup) assertion
+    rows: for every distinct ``(subj, pred, obj)``, how many DISTINCT
+    documents assert it (``n_docs``), how many raw assertions exist
+    (``n_assertions``), and — when ``ts_col`` is given — the earliest and
+    latest assertion stamps (``first_seen`` / ``last_seen``, the input
+    column's type).
+
+    The reference's graph build collapses the assertion multiset into set
+    semantics and throws the evidence away
+    (``/root/reference/facts/core.py:197-226``); a web-scale KG keeps it:
+    support counts gate low-evidence facts, recency windows drive
+    re-crawling, and first-seen stamps order contradictory facts.
+
+    Scale shape: ONE groupBy on (subj, pred, obj) — count/min/max fold
+    map-side; the distinct-doc count plans as Spark's standard two-phase
+    partial distinct aggregation.  Hot facts (a triple asserted by every
+    page) cost map-side combine, not a hot reducer, for every aggregate
+    except the distinct-doc leg — whose partial de-dup also happens
+    map-side within each task.
+    """
+    aggs = [
+        F.countDistinct(F.col(doc_col)).cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_assertions"),
+    ]
+    if ts_col is not None:
+        aggs += [
+            F.min(F.col(ts_col)).alias("first_seen"),
+            F.max(F.col(ts_col)).alias("last_seen"),
+        ]
+    return (
+        triples.groupBy(
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"),
+        ).agg(*aggs)
+    )
+
+
+def path_closure(
+    edges: DataFrame,
+    max_depth: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    cache_registry: list | None = None,
+    early_exit: bool = True,
+) -> DataFrame:
+    """Bounded-depth transitive closure with min-hop depths — the SPARQL
+    property path ``?a pred{1,k} ?b`` (e.g. ``skos:broader+`` taxonomy
+    roll-ups, citation chains over the reference's ``cites`` facts,
+    ``/root/reference/facts/common.py:22-35``): one row per reachable
+    ``(src, dst)`` pair with the MINIMUM number of hops connecting it
+    (``depth`` int in ``[1, max_depth]``).
+
+    BFS by frontier, not by re-joining the closure: round ``d`` joins only
+    the pairs FIRST reached at ``d-1`` against the (persisted, deduped)
+    edge list, then anti-joins the accumulated closure so a pair is
+    emitted exactly once at its minimal depth — cycles terminate naturally
+    because a revisited pair is never re-expanded.  Each frontier is
+    persisted (iterative-lineage rule, same as ``datapipe.graphs.pagerank``
+    / connected components) and, with ``early_exit``, probed with a
+    bounded ``head(1)`` so a converged graph stops before ``max_depth``
+    (the probe materializes the frontier it already needs next round —
+    no wasted work; pass ``early_exit=False`` for a fully lazy finite
+    chain).
+
+    Scale shape (a 10^9-edge graph): per round, ONE shuffle join keyed on
+    the frontier's ``dst`` vs the edge list's ``src`` (bucketing edges by
+    ``src`` in the catalog makes that side exchange-free) plus one
+    anti-join keyed on the (src, dst) pair; frontier size is bounded by
+    the NEW pairs discovered that round, so dense cores stop costing once
+    saturated.  ``max_depth`` is a fixed small constant — the plan is a
+    finite chain, and the closure (unavoidably quadratic on strongly
+    connected cores) is the caller's semantic choice, not a join blow-up:
+    parallel edges are deduped up front and each output pair crosses the
+    network once.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    registry = cache_registry if cache_registry is not None else []
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    registry.append(e)
+    # frontier d=1 is the edge list itself; reach accumulates (src, dst)
+    frontier = e
+    reach = e.persist()
+    registry.append(reach)
+    out = frontier.withColumn("depth", F.lit(1).cast("int"))
+    for d in range(2, max_depth + 1):
+        if early_exit and not frontier.head(1):
+            break
+        nxt = (
+            frontier.join(
+                e.select(
+                    F.col("src").alias("dst"), F.col("dst").alias("_dst2")
+                ),
+                on="dst",
+            )
+            .select("src", F.col("_dst2").alias("dst"))
+            .distinct()
+            .join(reach, on=["src", "dst"], how="left_anti")
+            .persist()
+        )
+        registry.append(nxt)
+        reach_new = reach.unionByName(nxt).persist()
+        registry.append(reach_new)
+        reach = reach_new
+        out = out.unionByName(nxt.withColumn("depth", F.lit(d).cast("int")))
+        frontier = nxt
+    return out

@@ -83,3 +83,130 @@ def test_meta_collision_guard(spark):
     )
     with _pytest.raises(ValueError, match="robots_noindex"):
         html_meta_directives(df)
+
+
+# ---------------------------------------------------------------------------
+# html_extract_anchors + anchor_text_profile (inlink naming signal)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_anchors_three_quote_styles_and_cleaning(spark):
+    from literature_to_facts_spark.datapipe.html import html_extract_anchors
+
+    html = (
+        '<a href="https://x.example.com/a">Read <b>More</b></a>'
+        "<a id='n' href='/r/1.html'>  deep   page </a>"
+        "<a href=rel.html>rel  anchor</a>"
+        '<a href="https://x.example.com/b"></a>'
+        '<a href="mailto:a@b.c">mail me</a>'
+        '<a href="https://x.example.com/c#frag">Frag</a>'
+        '<a href="https://x.example.com/open">'  # no closing tag: link-only
+    )
+    df = spark.createDataFrame(
+        [(1, "http://h.example.org/d/e.html", html)],
+        "doc_id bigint, url string, html string",
+    )
+    rows = {
+        (r["link_url"], r["anchor_text"])
+        for r in html_extract_anchors(df).collect()
+    }
+    assert rows == {
+        ("https://x.example.com/a", "Read More"),     # nested tag stripped
+        ("http://h.example.org/r/1.html", "deep page"),  # ws collapsed+trim
+        ("http://h.example.org/d/rel.html", "rel anchor"),  # unquoted+dir
+        ("https://x.example.com/b", ""),              # empty anchor kept here
+        ("https://x.example.com/c", "Frag"),          # fragment stripped
+        # mailto dropped; unclosed <a> emits no PAIR (documented)
+    }
+
+
+def test_extract_anchors_matches_links_resolution(spark):
+    """Anchors' resolved URLs are a subset of html_extract_links' on the
+    same pages (shared resolution helpers — one definition)."""
+    from literature_to_facts_spark.datapipe.html import (
+        html_extract_anchors,
+        html_extract_links,
+    )
+
+    html = (
+        '<a href="//m.example.net/p">proto</a>'
+        "<a href='/root.html'>root</a>"
+        "<a href=sub/d.html>dir</a>"
+        '<a href="ftp://f.example.com/x">other scheme</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, "HTTPS://Host.Example.COM:8443/a/b.html", html),
+         (2, None, html), (3, "not-a-url", html)],
+        "doc_id bigint, url string, html string",
+    )
+    link_rows = {
+        (r["doc_id"], r["link_url"]) for r in html_extract_links(df).collect()
+    }
+    anchor_rows = {
+        (r["doc_id"], r["link_url"])
+        for r in html_extract_anchors(df).collect()
+    }
+    assert anchor_rows == link_rows  # every href here is closed
+    assert (1, "https://host.example.com:8443/a/sub/d.html") in anchor_rows
+    # invalid/NULL page urls resolve nothing relative
+    assert not any(d in (2, 3) for d, _ in anchor_rows)
+
+
+def test_extract_anchors_collision_guards(spark):
+    import pytest
+
+    from literature_to_facts_spark.datapipe.html import html_extract_anchors
+
+    df = spark.createDataFrame(
+        [(1, "http://a.com/", "<a href=x>y</a>", "boom")],
+        "doc_id bigint, url string, html string, _pair string",
+    )
+    with pytest.raises(ValueError, match="_pair"):
+        html_extract_anchors(df)
+    df2 = spark.createDataFrame(
+        [(1, "http://a.com/", "<a href=x>y</a>", "boom")],
+        "doc_id bigint, url string, html string, anchor_text string",
+    )
+    with pytest.raises(ValueError, match="anchor_text"):
+        html_extract_anchors(df2)
+
+
+def test_anchor_text_profile_topk_and_evidence(spark):
+    from literature_to_facts_spark.datapipe.html import anchor_text_profile
+
+    rows = []
+    # target T: "Home" x3 (two hosts), "home" x1 (casefolds in), "News" x2,
+    # "blog" x1, "" x2 (excluded), None x1 (excluded)
+    for h, a in [
+        ("a.com", "Home"), ("a.com", "Home"), ("b.com", "home"),
+        ("b.com", "Home"), ("a.com", "News"), ("b.com", "News"),
+        ("c.com", "blog"), ("a.com", ""), ("b.com", ""), ("c.com", None),
+    ]:
+        rows.append(("T", a, h))
+    rows.append(("U", "solo", "a.com"))
+    links = spark.createDataFrame(
+        rows, "link_url string, anchor_text string, src string"
+    )
+    got = {
+        r["link_url"]: r
+        for r in anchor_text_profile(links, src_host_col="src", k=2).collect()
+    }
+    t = got["T"]
+    assert t["n_anchored_inlinks"] == 7
+    assert t["n_anchors"] == 3          # home, news, blog
+    assert t["n_src_hosts"] == 3
+    assert t["top_anchors"] == "home,news"  # k=2, count desc
+    u = got["U"]
+    assert (u["n_anchored_inlinks"], u["top_anchors"]) == (1, "solo")
+
+
+def test_anchor_text_profile_tie_breaks_by_anchor_asc(spark):
+    from literature_to_facts_spark.datapipe.html import anchor_text_profile
+
+    links = spark.createDataFrame(
+        [("T", "zeta", "h"), ("T", "alpha", "h"), ("T", "mid", "h")],
+        "link_url string, anchor_text string, src_host string",
+    )
+    r = anchor_text_profile(links, src_host_col=None, k=2).collect()[0]
+    assert r["top_anchors"] == "alpha,mid"
+    assert "n_src_hosts" not in r.asDict()

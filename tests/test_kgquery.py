@@ -480,3 +480,154 @@ def test_pattern_join_ordered_threshold_disables_broadcast(spark, delta_triples)
         delta_triples, "mentions_x", "lang", stats, broadcast_threshold=0
     )._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+# ---------------------------------------------------------------------------
+# star_join_ordered (N-pattern statistics-driven star join)
+# ---------------------------------------------------------------------------
+
+
+def test_star_join_matches_naive_and_caller_column_order(spark, delta_triples):
+    from literature_to_facts_spark.engine.kgquery import (
+        predicate_stats,
+        star_join_ordered,
+    )
+
+    preds = ["mentions_x", "lang", "source"]
+    stats = predicate_stats(delta_triples)
+    with_stats = star_join_ordered(
+        delta_triples, preds, stats, aliases=["mx", "lg", "sc"]
+    )
+    naive = star_join_ordered(delta_triples, preds, None,
+                              aliases=["mx", "lg", "sc"])
+    assert with_stats.columns == ["subj", "mx", "lg", "sc"]
+    assert naive.columns == ["subj", "mx", "lg", "sc"]
+    assert sorted(map(tuple, with_stats.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    # the dup 'lang' triple multiplies rows (raw pattern join, no dedup) —
+    # subjects 0,20,40 carry mentions_x AND a duplicated lang row
+    rows = with_stats.where("subj = 20").count()
+    assert rows == 2
+
+
+def test_star_join_broadcasts_all_small_sides(spark, delta_triples):
+    from literature_to_facts_spark.engine.kgquery import (
+        predicate_stats,
+        star_join_ordered,
+    )
+
+    stats = predicate_stats(delta_triples)
+    plan = star_join_ordered(
+        delta_triples, ["mentions_x", "lang", "source"], stats
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    analyzed = star_join_ordered(
+        delta_triples, ["mentions_x", "lang", "source"], stats,
+        broadcast_threshold=0,
+    )._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_star_join_validation(spark, delta_triples):
+    import pytest
+
+    from literature_to_facts_spark.engine.kgquery import star_join_ordered
+
+    with pytest.raises(ValueError, match="at least two"):
+        star_join_ordered(delta_triples, ["lang"])
+    with pytest.raises(ValueError, match="aliases"):
+        star_join_ordered(delta_triples, ["lang", "source"], aliases=["x"])
+    with pytest.raises(ValueError, match="aliases"):
+        star_join_ordered(
+            delta_triples, ["lang", "source"], aliases=["x", "x"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# triple_provenance (per-fact support aggregation)
+# ---------------------------------------------------------------------------
+
+
+def test_triple_provenance_counts_and_stamps(spark):
+    from literature_to_facts_spark.engine.kgquery import triple_provenance
+
+    rows = [
+        # fact A: doc 1 asserts twice, doc 2 once -> 2 docs, 3 assertions
+        ("s", "p", "a", 1, 100), ("s", "p", "a", 1, 100),
+        ("s", "p", "a", 2, 200),
+        # fact B: one doc
+        ("s", "p", "b", 3, 50),
+    ]
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (
+            r["n_docs"], r["n_assertions"], r["first_seen"], r["last_seen"]
+        )
+        for r in triple_provenance(
+            spark.createDataFrame(
+                rows, "subj string, pred string, obj string, "
+                      "doc_id bigint, ts bigint"
+            ),
+            ts_col="ts",
+        ).collect()
+    }
+    assert got[("s", "p", "a")] == (2, 3, 100, 200)
+    assert got[("s", "p", "b")] == (1, 1, 50, 50)
+
+
+def test_triple_provenance_without_ts(spark):
+    from literature_to_facts_spark.engine.kgquery import triple_provenance
+
+    df = spark.createDataFrame(
+        [("s", "p", "o", 1)], "subj string, pred string, obj string, d bigint"
+    )
+    out = triple_provenance(df, doc_col="d")
+    assert out.columns == ["subj", "pred", "obj", "n_docs", "n_assertions"]
+    assert out.collect()[0]["n_assertions"] == 1
+
+
+def test_path_closure_min_depth_and_cycle(spark):
+    from literature_to_facts_spark.engine.kgquery import path_closure
+
+    # chain a->b->c->d plus shortcut a->c and cycle d->a
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    reg = []
+    got = {
+        (r["src"], r["dst"]): r["depth"]
+        for r in path_closure(edges, 4, cache_registry=reg).collect()
+    }
+    assert got[("a", "b")] == 1
+    assert got[("a", "c")] == 1  # shortcut wins over b-path (min depth)
+    assert got[("a", "d")] == 2  # via the shortcut, not 3 via b
+    assert got[("b", "a")] == 3  # b->c->d->a around the cycle
+    assert got[("a", "a")] == 3  # cycle closes: a->c->d->a
+    assert got[("b", "b")] == 4  # full cycle via c,d,a
+    # pair set is exactly the depth<=4 closure (no duplicates: dict lost none)
+    assert len(got) == len(
+        path_closure(edges, 4).select("src", "dst").distinct().collect()
+    )
+    for df in reg:
+        df.unpersist()
+
+
+def test_path_closure_early_exit_and_validation(spark):
+    from literature_to_facts_spark.engine.kgquery import path_closure
+
+    # a disconnected 2-chain converges at depth 2: depths 3+ add nothing
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = sorted(
+        (r["src"], r["dst"], r["depth"])
+        for r in path_closure(edges, 10).collect()
+    )
+    assert got == [("a", "b", 1), ("a", "c", 2), ("b", "c", 1)]
+    # parallel edges dedup; NULL endpoints drop
+    edges2 = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), (None, "b"), ("a", None)],
+        "src string, dst string",
+    )
+    assert path_closure(edges2, 2).collect() == [("a", "b", 1)]
+    with pytest.raises(ValueError, match="max_depth"):
+        path_closure(edges, 0)
