@@ -3677,6 +3677,122 @@ def _kg_path_closure_oracle() -> str:
     """
 
 
+# main-content fixture: nav (link-saturated), short heading, two long
+# article paragraphs (one with an inline link and entities — kept), a
+# sub-threshold block and a link-only footer.  ONE template, both engines.
+_MAIN_HTML_TMPL = (
+    "'<html><body>"
+    '<div><a href="/">Home</a> <a href="/n">News</a> '
+    '<a href="/t' + "' || {m5} || '" + '">Tab</a></div>'
+    "<h2>Story ' || {m3} || '</h2>"
+    "<p>Article ' || {id} || ' body text with plenty of prose about topic "
+    "' || {m7} || ' and an "
+    '<a href="/rel' + "' || {m3} || '" + '.html">inline link</a>'
+    " plus more words to clear the bar.</p>"
+    "<p>Numbers &amp; facts: the quick brown fox ' || {m5} || ' jumped over "
+    "' || {m7} || ' lazy dogs repeatedly.</p>"
+    "<p>short</p>"
+    '<div><a href="/tos">Terms</a><a href="/p">Privacy</a></div>'
+    "</body></html>'"
+)
+_MAIN_HTML_SPARK = _MAIN_HTML_TMPL.format(
+    id="cast(doc_id as string)",
+    m3="cast(doc_id % 3 as string)",
+    m5="cast(doc_id % 5 as string)",
+    m7="cast(doc_id % 7 as string)",
+)
+_MAIN_HTML_DUCK = _MAIN_HTML_TMPL.format(
+    id="cast(doc_id as varchar)",
+    m3="cast(doc_id % 3 as varchar)",
+    m5="cast(doc_id % 5 as varchar)",
+    m7="cast(doc_id % 7 as varchar)",
+)
+_MAIN_MIN_CHARS, _MAIN_MAX_LINK_PCT = 30, 33
+
+
+def q_html_main_content(spark, sf_dir):
+    """Boilerpipe-style main-content extraction (datapipe/html.
+    html_main_content): block splitting at block-tag boundaries + per-block
+    link-density scoring, entirely per-row (zero shuffle) — nav/footer
+    blocks drop, article prose survives.  The oracle replays the whole
+    chain in DuckDB (block pattern, anchor-inner battery, entity decode
+    and the integer density rule interpolate from the module)."""
+    from literature_to_facts_spark.datapipe.html import html_main_content
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id", f"{_MAIN_HTML_SPARK} AS html"
+    )
+    out = html_main_content(
+        docs,
+        min_block_chars=_MAIN_MIN_CHARS,
+        max_link_density_pct=_MAIN_MAX_LINK_PCT,
+    )
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        F.coalesce("main_text", F.lit("")).alias("main_text"),
+    )
+
+
+def _html_main_content_oracle() -> str:
+    from literature_to_facts_spark.datapipe.html import (
+        ANCHOR_INNER_PATTERN,
+        BLOCK_TAG_PATTERN,
+        HTML_ENTITIES,
+        HTML_STRIP_PATTERNS,
+        INLINE_TAG_PATTERN,
+        _WS_CLASS,
+    )
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    h = _MAIN_HTML_DUCK
+    for pat, repl in HTML_STRIP_PATTERNS[:3]:
+        h = f"regexp_replace({h}, '{q(pat)}', '{repl}', 'g')"
+    inline = (
+        f"trim(regexp_replace(regexp_replace({{x}}, '{q(INLINE_TAG_PATTERN)}',"
+        f" ' ', 'g'), '{q(_WS_CLASS)}', ' ', 'g'))"
+    )
+    dec = f"regexp_replace({{x}}, '{q(INLINE_TAG_PATTERN)}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        dec = f"replace({dec}, '{q(ent)}', '{q(ch)}')"
+    dec = f"trim(regexp_replace({dec}, '{q(_WS_CLASS)}', ' ', 'g'))"
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 string_split(regexp_replace({h}, '{q(BLOCK_TAG_PATTERN)}',
+                              chr(30), 'g'), chr(30)) AS blocks
+          FROM documents
+        ),
+        st AS (
+          SELECT doc_id, list_transform(blocks, x -> struct_pack(
+                   txt := {dec.format(x="x")},
+                   n_raw := length({inline.format(x="x")}),
+                   link_chars := coalesce(list_sum(list_transform(
+                     regexp_extract_all(x, '{q(ANCHOR_INNER_PATTERN)}', 1),
+                     y -> length({inline.format(x="y")}))), 0)
+                 )) AS stats
+          FROM b
+        ),
+        k AS (
+          SELECT doc_id, stats,
+                 list_filter(stats, s -> s.n_raw >= {_MAIN_MIN_CHARS}
+                   AND s.link_chars * 100 <= {_MAIN_MAX_LINK_PCT} * s.n_raw
+                   AND s.txt <> '') AS kept
+          FROM st
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(stats, s -> s.n_raw > 0)) AS INTEGER)
+                 AS n_blocks,
+               CAST(len(kept) AS INTEGER) AS n_kept,
+               coalesce(array_to_string(list_transform(kept, s -> s.txt),
+                        chr(10)), '') AS main_text
+        FROM k
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_melt": q_kg_triples_melt,
@@ -3786,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_star_join": q_kg_star_join,
         "kg_triple_provenance": q_kg_triple_provenance,
         "kg_path_closure": q_kg_path_closure,
+        "html_main_content": q_html_main_content,
     }
 
 
@@ -5576,4 +5693,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.pred = 'mentions_spark' AND b.pred = 'lang'
         """,
         "kg_path_closure": _kg_path_closure_oracle(),
+        "html_main_content": _html_main_content_oracle(),
     }

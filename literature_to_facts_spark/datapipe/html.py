@@ -5,11 +5,13 @@ the extracted ``text`` (BASELINE.json input_hint); production crawls run a
 strip stage between them.  This module is that stage as a pure JVM-side
 regexp/replace chain — zero Python, zero shuffle, scan-fused — covering the
 deterministic part of extraction (script/style/comment removal, tag strip,
-basic entity decode, whitespace collapse).  It is deliberately NOT a
-readability/boilerplate model (trafilatura-class main-content detection
-needs a DOM and learned rules); pair it with
+basic entity decode, whitespace collapse).  :func:`html_main_content` adds
+the shallow-feature boilerplate heuristic (block splitting + link density,
+Boilerpipe/jusText-style) — still DOM-free and expression-only; DOM-based
+learned models (trafilatura-class) stay out of scope.  Pair with
 :func:`~literature_to_facts_spark.datapipe.textclean.line_dedup` — corpus
-line frequencies remove nav/footer boilerplate without a DOM.
+line frequencies remove the nav/footer boilerplate a single page can't
+reveal.
 
 Every pattern stays in the RE2-compatible subset ((?is) inline flags and
 non-greedy repetition are RE2-safe; no lookaround/backrefs) and whitespace
@@ -552,3 +554,139 @@ def html_meta_directives(
         )
         .drop("_html_txt", "_robots_norm", "_canon_arr")
     )
+
+
+# block-level tags: opening/closing either of these ends a text block (the
+# Boilerpipe/jusText shallow-feature granularity — no DOM needed)
+BLOCK_TAG_NAMES = (
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|tr|td|th|br|hr|section|article"
+    "|main|header|footer|nav|aside|blockquote|pre|form|fieldset"
+)
+BLOCK_TAG_PATTERN = rf"(?is)</?(?:{BLOCK_TAG_NAMES})(?:{_A_WS}[^>]*)?/?>"
+
+# an anchor element's inner html (href not required — any link text counts
+# toward a block's link density); ends at the first </a> like the pair
+# battery
+ANCHOR_INNER_PATTERN = rf"(?is)<a(?:{_A_WS}[^>]*)?>(.*?)</a{_A_WS}*>"
+
+INLINE_TAG_PATTERN = r"<[^>]+>"
+
+_MAIN_INTERNAL_COLS = frozenset(
+    {"_mc_h", "_mc_stats", "_mc_statsb", "_mc_kept", "_mc_keptb"}
+)
+
+
+def html_main_content(
+    docs: DataFrame,
+    html_col: str = "html",
+    min_block_chars: int = 30,
+    max_link_density_pct: int = 33,
+    output_col: str = "main_text",
+    n_blocks_col: str = "n_blocks",
+    n_kept_col: str = "n_kept",
+) -> DataFrame:
+    """Main-content extraction by shallow block features — the
+    Boilerpipe/jusText heuristic (Kohlschütter et al., WSDM 2010) without
+    a DOM: split the page into text blocks at block-level tag boundaries
+    (:data:`BLOCK_TAG_PATTERN`), score each block by its text length and
+    LINK DENSITY (chars of anchor text / chars of text), and keep only
+    blocks that are long enough and link-sparse enough.  Navigation bars,
+    footers and related-links boxes are short and link-saturated; article
+    bodies are long and link-light — the split
+    :func:`html_extract_text` (which keeps everything) cannot make.
+
+    Adds three columns: ``main_text`` (kept blocks' display text joined
+    with newlines, ``''`` when nothing survives), ``n_blocks`` (blocks
+    with any raw text) and ``n_kept``.  A block is kept iff its
+    tag-stripped, whitespace-collapsed RAW text has at least
+    ``min_block_chars`` chars, its anchor-text chars are at most
+    ``max_link_density_pct``% of those (integer cross-multiplication — no
+    float ratios, bit-portable), and its entity-decoded display text is
+    non-empty.  Density is measured pre-entity-decode (numerator and
+    denominator consistently); the OUTPUT text is entity-decoded like
+    :func:`html_extract_text`.  NULL html propagates NULL to all three.
+
+    Scale shape: entirely per-row (zero shuffle, no Python) — block
+    splitting and per-block scoring run as higher-order functions over the
+    block array; each lambda touches only its own block, so work is linear
+    in page size.  The multi-consumed block arrays sit behind 1:1
+    ``explode(array(...))`` Generate barriers (repo invariant: projections
+    cannot collapse through them, so the battery is evaluated once per
+    row, not once per consumer).  Patterns live ONLY here; the DuckDB
+    oracle interpolates them verbatim (the PII_PATTERNS contract).
+    """
+    if min_block_chars < 1:
+        raise ValueError(f"min_block_chars must be >= 1, got {min_block_chars}")
+    if not 0 <= max_link_density_pct <= 100:
+        raise ValueError(
+            f"max_link_density_pct must be in [0, 100], got {max_link_density_pct}"
+        )
+    clash = sorted(
+        (_MAIN_INTERNAL_COLS | {output_col, n_blocks_col, n_kept_col})
+        & set(docs.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with html_main_content "
+            "internals/outputs; rename them first"
+        )
+
+    def _clean_raw(x):
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(x, INLINE_TAG_PATTERN, " "), _WS_CLASS, " "
+            )
+        )
+
+    def _block_struct(b):
+        raw = F.regexp_replace(b, INLINE_TAG_PATTERN, " ")
+        dec = raw
+        for ent, ch in HTML_ENTITIES:
+            dec = F.replace(dec, F.lit(ent), F.lit(ch))
+        txt = F.trim(F.regexp_replace(dec, _WS_CLASS, " "))
+        link_chars = F.aggregate(
+            F.regexp_extract_all(b, F.lit(ANCHOR_INNER_PATTERN), F.lit(1)),
+            F.lit(0),
+            lambda acc, x: acc + F.length(_clean_raw(x)),
+        )
+        return F.struct(
+            txt.alias("txt"),
+            F.length(F.trim(F.regexp_replace(raw, _WS_CLASS, " "))).alias(
+                "n_raw"
+            ),
+            link_chars.alias("link_chars"),
+        )
+
+    h = _decoded_html(docs, html_col)
+    for pat, repl in HTML_STRIP_PATTERNS[:3]:  # script/style/comments only
+        h = F.regexp_replace(h, pat, repl)
+    blocks = F.split(F.regexp_replace(h, BLOCK_TAG_PATTERN, "\x1e"), "\x1e")
+    staged = (
+        docs.withColumn("_mc_stats", F.transform(blocks, _block_struct))
+        # Generate barrier: _mc_stats feeds three consumers below
+        .withColumn("_mc_statsb", F.explode(F.array("_mc_stats")))
+        .withColumn(
+            "_mc_kept",
+            F.filter(
+                "_mc_statsb",
+                lambda s: (s.n_raw >= F.lit(int(min_block_chars)))
+                & (
+                    s.link_chars * F.lit(100)
+                    <= F.lit(int(max_link_density_pct)) * s.n_raw
+                )
+                & (s.txt != F.lit("")),
+            ),
+        )
+        .withColumn("_mc_keptb", F.explode(F.array("_mc_kept")))
+    )
+    return staged.withColumns(
+        {
+            n_blocks_col: F.size(
+                F.filter("_mc_statsb", lambda s: s.n_raw > 0)
+            ).cast("int"),
+            n_kept_col: F.size("_mc_keptb").cast("int"),
+            output_col: F.array_join(
+                F.transform("_mc_keptb", lambda s: s.txt), "\n"
+            ),
+        }
+    ).drop("_mc_stats", "_mc_statsb", "_mc_kept", "_mc_keptb")

@@ -210,3 +210,79 @@ def test_anchor_text_profile_tie_breaks_by_anchor_asc(spark):
     r = anchor_text_profile(links, src_host_col=None, k=2).collect()[0]
     assert r["top_anchors"] == "alpha,mid"
     assert "n_src_hosts" not in r.asDict()
+
+
+# ---------------------------------------------------------------- main content
+
+_MC_PAGE = (
+    '<html><body>'
+    '<div class="nav"><a href="/">Home</a> | <a href="/x">News</a> | '
+    '<a href="/y">Sports</a></div>'
+    '<h1>Hi</h1>'
+    '<p>This is the long main article paragraph with plenty of prose and an '
+    '<a href="/rel">inline link</a> that must not disqualify it at all.</p>'
+    '<p>Second paragraph talks about science &amp; nature for a while longer.</p>'
+    '<p>&nbsp;&nbsp;&nbsp;&nbsp;&nbsp;&nbsp;&nbsp;&nbsp;&nbsp;&nbsp;&nbsp;</p>'
+    '<div class="footer"><a href="/tos">Terms</a> <a href="/priv">Privacy</a>'
+    ' contact</div>'
+    '</body></html>'
+)
+
+
+def test_main_content_drops_boilerplate_keeps_article(spark):
+    from literature_to_facts_spark.datapipe.html import html_main_content
+
+    df = spark.createDataFrame(
+        [(1, _MC_PAGE), (2, None)], "doc_id bigint, html string"
+    )
+    got = {r["doc_id"]: r for r in html_main_content(df).collect()}
+    r = got[1]
+    # nav, h1, entity-only block and footer dropped; both paragraphs kept
+    assert r["n_kept"] == 2
+    lines = r["main_text"].split("\n")
+    assert lines[0].startswith("This is the long main article")
+    assert "inline link" in lines[0]          # anchor text kept in display text
+    assert lines[1] == (
+        "Second paragraph talks about science & nature for a while longer."
+    )
+    assert "Home" not in r["main_text"] and "Terms" not in r["main_text"]
+    # NULL html -> NULL outputs
+    r2 = got[2]
+    assert r2["main_text"] is None and r2["n_blocks"] is None and r2["n_kept"] is None
+
+
+def test_main_content_density_boundary_and_binary(spark):
+    from literature_to_facts_spark.datapipe.html import html_main_content
+
+    # raw text 'abcd efghi x' = 12 chars, 5 of them anchor text ->
+    # 500 <= 12*pct iff pct >= 42: kept at 42, dropped at 41
+    blk = "<p>abcd <a href='/x'>efghi</a>x</p>"
+    df = spark.createDataFrame([(1, blk)], "doc_id bigint, html string")
+    keep = html_main_content(df, min_block_chars=5, max_link_density_pct=42)
+    drop = html_main_content(df, min_block_chars=5, max_link_density_pct=41)
+    assert keep.collect()[0]["n_kept"] == 1
+    assert drop.collect()[0]["n_kept"] == 0
+    # binary html decodes via the ascii-replace invariant
+    bdf = spark.createDataFrame(
+        [(1, ("<p>" + "plain prose body long enough to pass the bar" + "</p>").encode())],
+        "doc_id bigint, html binary",
+    )
+    r = html_main_content(bdf, min_block_chars=10).collect()[0]
+    assert r["main_text"] == "plain prose body long enough to pass the bar"
+
+
+def test_main_content_guards(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from literature_to_facts_spark.datapipe.html import html_main_content
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id bigint, html string")
+    with pytest.raises(ValueError, match="min_block_chars"):
+        html_main_content(df, min_block_chars=0)
+    with pytest.raises(ValueError, match="max_link_density_pct"):
+        html_main_content(df, max_link_density_pct=101)
+    clash = df.withColumn("n_kept", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        html_main_content(clash)
