@@ -3521,20 +3521,30 @@ def q_web_anchor_text(spark, sf_dir):
     return anchor_text_profile(anchors, src_host_col="src_host")
 
 
-def _web_anchor_text_oracle() -> str:
+def _web_anchor_text_oracle(restrict: str = "") -> str:
+    """Full anchor-profile replay; ``restrict`` is an optional SQL
+    predicate over ``nz`` (which carries ``doc_id``) whose matching rows'
+    targets select WHICH profiles are emitted — the incremental oracle is
+    the full profile restricted to batch-touched targets."""
     from literature_to_facts_spark.datapipe.html import _WS_CLASS
 
     g = _duck_url_group
+    keep = (
+        f", keep AS (SELECT DISTINCT link_url FROM nz WHERE {restrict})"
+        if restrict
+        else ""
+    )
+    keep_join = " JOIN keep USING (link_url)" if restrict else ""
     return f"""
         WITH {_duck_links_ctes(html_expr=_ANCHOR_HTML_DUCK, pairs=True)},
         base AS (
-          SELECT link_url,
+          SELECT doc_id, link_url,
                  lower(trim(regexp_replace(regexp_replace(anchor_raw,
                        '<[^>]+>', ' ', 'g'), '{_WS_CLASS}', ' ', 'g'))) AS a,
                  NULLIF(src_host, '') AS src_host
           FROM links
         ),
-        nz AS (SELECT * FROM base WHERE a <> ''),
+        nz AS (SELECT * FROM base WHERE a <> ''){keep},
         pa AS (
           SELECT link_url, a, COUNT(*) AS n FROM nz GROUP BY link_url, a
         ),
@@ -3556,8 +3566,49 @@ def _web_anchor_text_oracle() -> str:
         )
         SELECT st.link_url, n_anchored_inlinks, n_anchors, n_src_hosts,
                top_anchors
-        FROM st JOIN tk USING (link_url)
+        FROM st JOIN tk USING (link_url){keep_join}
     """
+
+
+def q_web_anchor_text_incremental(spark, sf_dir):
+    """Delta maintenance of the anchor-text naming profile (datapipe/html.
+    build_anchor_index -> anchor_text_profile_incremental, the ELEVENTH
+    probe-shaped family): history = pages with doc_id % 10 != 0, batch =
+    the rest; the batch's targets broadcast and semi-filter the persisted
+    (tav_key, target, kind, val, n) evidence index at its scan, per-anchor
+    counts merge by SUM and the distinct-anchor/-host evidence by counting
+    merged rows (existence).  Oracle = the FULL profile over all pages
+    restricted to batch-touched targets — stale-count and missed-merge
+    failures are both oracle-visible."""
+    from literature_to_facts_spark.datapipe.html import (
+        anchor_text_profile_incremental,
+        build_anchor_index,
+        html_extract_anchors,
+    )
+    from literature_to_facts_spark.datapipe.urls import URL_PATTERN
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id",
+        f"{_URL_FIXTURE_SPARK} AS url",
+        f"{_ANCHOR_HTML_SPARK} AS html",
+    )
+    anchors = html_extract_anchors(docs).withColumns(
+        {
+            "src_host": F.nullif(
+                F.lower(F.regexp_extract(F.col("url"), URL_PATTERN, 2)),
+                F.lit(""),
+            )
+        }
+    )
+    hist = anchors.where(F.col("doc_id") % 10 != 0)
+    batch = anchors.where(F.col("doc_id") % 10 == 0)
+    old_index = build_anchor_index(hist, src_host_col="src_host")
+    reg = []
+    out = anchor_text_profile_incremental(
+        batch, old_index, src_host_col="src_host", cache_registry=reg
+    )
+    out._l2f_cache_registry = reg
+    return out
 
 
 def q_kg_star_join(spark, sf_dir):
@@ -3903,6 +3954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_provenance": q_kg_triple_provenance,
         "kg_path_closure": q_kg_path_closure,
         "html_main_content": q_html_main_content,
+        "web_anchor_text_incremental": q_web_anchor_text_incremental,
     }
 
 
@@ -5694,4 +5746,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_path_closure": _kg_path_closure_oracle(),
         "html_main_content": _html_main_content_oracle(),
+        "web_anchor_text_incremental": _web_anchor_text_oracle(
+            restrict="doc_id % 10 = 0"
+        ),
     }

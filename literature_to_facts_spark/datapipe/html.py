@@ -690,3 +690,165 @@ def html_main_content(
             ),
         }
     ).drop("_mc_stats", "_mc_statsb", "_mc_kept", "_mc_keptb")
+
+
+_ANCHOR_SEP = "\x1f"  # unit separator: cannot appear in urls/anchors/hosts
+
+
+def build_anchor_index(
+    links: DataFrame,
+    target_col: str = "link_url",
+    anchor_col: str = "anchor_text",
+    src_host_col: str | None = None,
+) -> DataFrame:
+    """Per-batch partial anchor evidence — the PERSISTED STATE of the
+    incremental anchor-text profile: ``(tav_key, target, kind, val, n)``
+    with ``kind`` ∈ {'a','h'}: 'a' rows carry a casefolded anchor and its
+    anchored-inlink count, 'h' rows a linking-page host (counted for
+    compaction, used for existence).
+
+    APPEND-ONLY (the delta-family convention): each batch appends its own
+    partials, so a (target, anchor) seen by k batches has k rows;
+    per-anchor counts merge by SUM and the distinct-anchor /
+    distinct-host evidence merges by counting distinct ``tav_key`` rows
+    (existence, the predicate-stats trick — distinct counts can never be
+    merged from counts alone).  :func:`datapipe.storage.compact_index`
+    merges partials with ``sum_cols=['n']``.  Write with
+    ``write_bucketed(..., bucket_col='tav_key')``: the composite key makes
+    the touched-row merge groupBy plan with ZERO Exchange over the
+    bucketed scan (hash clustering on ``tav_key`` satisfies any grouping
+    that includes it).  Empty/NULL anchors are excluded exactly like
+    :func:`anchor_text_profile`; source hosts drop only when NULL —
+    ``''`` is kept because the full profile's ``countDistinct`` counts it
+    (bit-parity of the merge; normalize junk hosts to NULL upstream, as
+    the extractors do).
+    """
+    a = (
+        links.where(F.col(anchor_col).isNotNull() & (F.col(anchor_col) != ""))
+        .select(
+            F.col(target_col).alias("target"),
+            F.lit("a").alias("kind"),
+            F.lower(F.col(anchor_col)).alias("val"),
+        )
+    )
+    parts = [a]
+    if src_host_col is not None:
+        parts.append(
+            links.where(
+                F.col(anchor_col).isNotNull()
+                & (F.col(anchor_col) != "")
+                & F.col(src_host_col).isNotNull()
+            ).select(
+                F.col(target_col).alias("target"),
+                F.lit("h").alias("kind"),
+                F.col(src_host_col).alias("val"),
+            )
+        )
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    return (
+        rows.groupBy(
+            F.concat_ws(_ANCHOR_SEP, "target", "kind", "val").alias("tav_key"),
+            "target",
+            "kind",
+            "val",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def anchor_text_profile_incremental(
+    new_links: DataFrame,
+    old_index: DataFrame | None,
+    target_col: str = "link_url",
+    anchor_col: str = "anchor_text",
+    src_host_col: str | None = None,
+    k: int = 3,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Maintain the anchor-text naming profile under a new crawl batch
+    WITHOUT rescanning historical links — the ELEVENTH probe-shaped delta
+    family: returns :func:`anchor_text_profile` rows for every target the
+    BATCH links to (the profiles that changed), bit-equal to the full
+    profile over ``old ∪ new`` restricted to those targets.
+
+    PROBE-shaped: the batch's distinct targets are batch-bounded, so they
+    BROADCAST and semi-join-filter the history index AT ITS SCAN — only
+    'a'/'h' evidence rows for targets the batch actually touches go
+    anywhere (zero Exchange over a ``write_bucketed('tav_key')`` catalog
+    table: the touched-row merge groups on ``tav_key``, which the bucketed
+    scan's clustering already satisfies).  Merged per-anchor counts SUM
+    across batches; the distinct-anchor and distinct-source-host evidence
+    counts merge by counting distinct merged rows (existence, never
+    count-addition).  Everything downstream of the probe is
+    touched-target-sized.  ``old_index=None`` means no history: the first
+    batch degenerates to the full profile of the batch.  The caller
+    appends ``build_anchor_index(batch)`` after each batch (same loop
+    contract as the other ten families); purged pages' contributions
+    persist until compaction — conservative, like the line/window
+    indexes.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    spark = new_links.sparkSession
+    if old_index is None:
+        old_index = spark.createDataFrame(
+            [], "tav_key string, target string, kind string, val string, n bigint"
+        )
+    batch_idx = build_anchor_index(
+        new_links,
+        target_col=target_col,
+        anchor_col=anchor_col,
+        src_host_col=src_host_col,
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(batch_idx)
+    batch_targets = batch_idx.select("target").distinct()
+    touched = old_index.join(
+        F.broadcast(batch_targets), on="target", how="left_semi"
+    )
+    merged = (
+        touched.unionByName(batch_idx)
+        .groupBy("tav_key", "target", "kind", "val")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(merged)
+    anchors = merged.where(F.col("kind") == "a")
+    aggs = [
+        F.sum(F.when(F.col("kind") == "a", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_anchored_inlinks"),
+        F.sum(F.when(F.col("kind") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anchors"),
+    ]
+    if src_host_col is not None:
+        aggs.append(
+            F.sum(F.when(F.col("kind") == "h", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_src_hosts")
+        )
+    stats = merged.groupBy("target").agg(*aggs)
+    w = Window.partitionBy("target").orderBy(F.desc("n"), F.asc("val"))
+    topk = (
+        anchors.withColumns({"_rn": F.row_number().over(w)})
+        .where(F.col("_rn") <= int(k))
+        .groupBy("target")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rn", "val"))),
+                    lambda x: x.getField("val"),
+                ),
+                ",",
+            ).alias("top_anchors")
+        )
+    )
+    return stats.join(topk, on="target").withColumnsRenamed(
+        {"target": target_col}
+    )

@@ -286,3 +286,141 @@ def test_main_content_guards(spark):
     clash = df.withColumn("n_kept", F.lit(1))
     with pytest.raises(ValueError, match="collide"):
         html_main_content(clash)
+
+
+# ------------------------------------------- incremental anchor profile
+
+from pyspark.sql import functions as F  # noqa: E402
+
+def _anchor_links(spark):
+    """(link_url, anchor_text, src_host) edge rows with cross-batch anchor
+    overlap: target T is named 'home' by history and batch (count merge),
+    'news' only by history, 'fresh' only by the batch; host h2 appears in
+    both (distinct merge must not double-count)."""
+    hist = [
+        ("T", "Home", "h1"), ("T", "home", "h2"), ("T", "News", "h1"),
+        ("U", "about", "h1"), ("U", "about", None),
+    ]
+    batch = [
+        ("T", "HOME", "h2"), ("T", "fresh", "h3"), ("V", "solo", "h9"),
+    ]
+    schema = "link_url string, anchor_text string, src_host string"
+    return (
+        spark.createDataFrame(hist, schema),
+        spark.createDataFrame(batch, schema),
+    )
+
+
+def _profile_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_anchor_incremental_equals_full_on_touched_targets(spark):
+    from literature_to_facts_spark.datapipe.html import (
+        anchor_text_profile,
+        anchor_text_profile_incremental,
+        build_anchor_index,
+    )
+
+    hist, batch = _anchor_links(spark)
+    reg = []
+    got = anchor_text_profile_incremental(
+        batch,
+        build_anchor_index(hist, src_host_col="src_host"),
+        src_host_col="src_host",
+        cache_registry=reg,
+    )
+    full = anchor_text_profile(
+        hist.unionByName(batch), src_host_col="src_host"
+    ).where(F.col("link_url").isin("T", "V"))  # batch-touched targets
+    assert _profile_rows(got) == _profile_rows(full)
+    t = {r["link_url"]: r for r in got.collect()}["T"]
+    assert t["n_anchored_inlinks"] == 5       # 3 hist + 2 batch
+    assert t["n_anchors"] == 3                # home, news, fresh
+    assert t["n_src_hosts"] == 3              # h1, h2 (merged once), h3
+    assert t["top_anchors"] == "home,fresh,news"  # 3x home, then asc tie
+    for df in reg:
+        df.unpersist()
+
+
+def test_anchor_incremental_first_batch_and_loop(spark):
+    from literature_to_facts_spark.datapipe.html import (
+        anchor_text_profile,
+        anchor_text_profile_incremental,
+        build_anchor_index,
+    )
+
+    hist, batch = _anchor_links(spark)
+    # first batch: no history -> full profile of the batch
+    got = anchor_text_profile_incremental(hist, None, src_host_col="src_host")
+    assert _profile_rows(got) == _profile_rows(
+        anchor_text_profile(hist, src_host_col="src_host")
+    )
+    # two-batch loop with index append between batches
+    idx = build_anchor_index(hist, src_host_col="src_host")
+    idx2 = idx.unionByName(build_anchor_index(batch, src_host_col="src_host"))
+    b3 = spark.createDataFrame(
+        [("T", "home", "h7"), ("W", "w-page", "h1")],
+        "link_url string, anchor_text string, src_host string",
+    )
+    got3 = anchor_text_profile_incremental(b3, idx2, src_host_col="src_host")
+    full3 = anchor_text_profile(
+        hist.unionByName(batch).unionByName(b3), src_host_col="src_host"
+    ).where(F.col("link_url").isin("T", "W"))
+    assert _profile_rows(got3) == _profile_rows(full3)
+
+
+def test_anchor_incremental_no_hosts_and_validation(spark):
+    import pytest
+
+    from literature_to_facts_spark.datapipe.html import (
+        anchor_text_profile,
+        anchor_text_profile_incremental,
+        build_anchor_index,
+    )
+
+    hist, batch = _anchor_links(spark)
+    got = anchor_text_profile_incremental(
+        batch, build_anchor_index(hist), k=1
+    )
+    full = anchor_text_profile(hist.unionByName(batch), k=1).where(
+        F.col("link_url").isin("T", "V")
+    )
+    assert _profile_rows(got) == _profile_rows(full)
+    assert "n_src_hosts" not in got.columns
+    with pytest.raises(ValueError, match="k must be"):
+        anchor_text_profile_incremental(batch, None, k=0)
+
+
+def test_anchor_incremental_bucketed_no_exchange(spark, tmp_path):
+    """Over a write_bucketed('tav_key') catalog table the touched-row merge
+    (broadcast target semi filter -> union batch -> tav_key groupBy) plans
+    with ZERO Exchange on the history side — the eleventh family keeps the
+    probe-shape pin."""
+    from literature_to_facts_spark.datapipe.html import (
+        build_anchor_index,
+    )
+    from literature_to_facts_spark.datapipe.storage import write_bucketed
+
+    hist, batch = _anchor_links(spark)
+    idx = build_anchor_index(hist, src_host_col="src_host")
+    try:
+        write_bucketed(idx, "t_anchor_idx", "tav_key", 4,
+                       path=str(tmp_path / "aidx"))
+        table = spark.table("t_anchor_idx")
+        batch_idx = build_anchor_index(batch, src_host_col="src_host")
+        probe = (
+            table.join(
+                F.broadcast(batch_idx.select("target").distinct()),
+                on="target",
+                how="left_semi",
+            )
+            .groupBy("tav_key", "target", "kind", "val")
+            .agg(F.sum("n").alias("n"))
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        streamed = plan.split("BroadcastExchange")[0]
+        assert "Exchange" not in streamed, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_anchor_idx")
