@@ -3786,7 +3786,12 @@ def q_html_main_content(spark, sf_dir):
     )
 
 
-def _html_main_content_oracle() -> str:
+def _main_content_ctes() -> str:
+    """The html_main_content replay as a CTE chain ending at
+    ``mc(doc_id, n_blocks, n_kept, main_text)`` — shared by the
+    html_main_content and web_extract_gate oracles.  Block / anchor-inner /
+    inline patterns, the entity table and both thresholds interpolate from
+    datapipe.html (operator edits propagate)."""
     from literature_to_facts_spark.datapipe.html import (
         ANCHOR_INNER_PATTERN,
         BLOCK_TAG_PATTERN,
@@ -3811,7 +3816,7 @@ def _html_main_content_oracle() -> str:
         dec = f"replace({dec}, '{q(ent)}', '{q(ch)}')"
     dec = f"trim(regexp_replace({dec}, '{q(_WS_CLASS)}', ' ', 'g'))"
     return f"""
-        WITH b AS (
+        b AS (
           SELECT doc_id,
                  string_split(regexp_replace({h}, '{q(BLOCK_TAG_PATTERN)}',
                               chr(30), 'g'), chr(30)) AS blocks
@@ -3833,14 +3838,63 @@ def _html_main_content_oracle() -> str:
                    AND s.link_chars * 100 <= {_MAIN_MAX_LINK_PCT} * s.n_raw
                    AND s.txt <> '') AS kept
           FROM st
-        )
-        SELECT doc_id,
-               CAST(len(list_filter(stats, s -> s.n_raw > 0)) AS INTEGER)
-                 AS n_blocks,
-               CAST(len(kept) AS INTEGER) AS n_kept,
-               coalesce(array_to_string(list_transform(kept, s -> s.txt),
-                        chr(10)), '') AS main_text
-        FROM k
+        ),
+        mc AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(stats, s -> s.n_raw > 0)) AS INTEGER)
+                   AS n_blocks,
+                 CAST(len(kept) AS INTEGER) AS n_kept,
+                 coalesce(array_to_string(list_transform(kept, s -> s.txt),
+                          chr(10)), '') AS main_text
+          FROM k
+        )"""
+
+
+def _html_main_content_oracle() -> str:
+    return f"""
+        WITH {_main_content_ctes()}
+        SELECT doc_id, n_blocks, n_kept, main_text FROM mc
+    """
+
+
+def q_web_extract_gate(spark, sf_dir):
+    """Composed extract-then-gate chain (the production page -> training-doc
+    path): raw html -> html_main_content (block split + link-density keep)
+    -> textstats.quality_filter over the EXTRACTED text — the gate decision
+    changes when boilerplate is stripped first, which is why the stages
+    compose.  One plan, no materialization between stages: the per-row
+    main-content battery fuses into the scan and the gate adds only
+    per-row expressions (zero shuffle end-to-end).  Oracle replays the
+    whole chain (main-content CTEs -> the shared quality-gate CTE over the
+    extracted text)."""
+    from literature_to_facts_spark.datapipe.html import html_main_content
+    from literature_to_facts_spark.datapipe.textstats import quality_filter
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id", f"{_MAIN_HTML_SPARK} AS html"
+    )
+    mc = html_main_content(
+        docs,
+        min_block_chars=_MAIN_MIN_CHARS,
+        max_link_density_pct=_MAIN_MAX_LINK_PCT,
+    )
+    gated = quality_filter(mc, text_col="main_text")
+    return gated.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_kept",
+        F.col("keep").cast("boolean").alias("keep"),
+        F.coalesce("drop_reason", F.lit("kept")).alias("reason"),
+    )
+
+
+def _web_extract_gate_oracle() -> str:
+    return f"""
+        WITH {_main_content_ctes()},
+        mct AS (SELECT doc_id, main_text AS text, n_kept FROM mc),
+        {_quality_gated_cte(src="mct")}
+        SELECT g.doc_id, mct.n_kept, (g.drop_reason IS NULL) AS keep,
+               COALESCE(g.drop_reason, 'kept') AS reason
+        FROM gated g JOIN mct USING (doc_id)
     """
 
 
@@ -3955,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_closure": q_kg_path_closure,
         "html_main_content": q_html_main_content,
         "web_anchor_text_incremental": q_web_anchor_text_incremental,
+        "web_extract_gate": q_web_extract_gate,
     }
 
 
@@ -5749,4 +5804,5 @@ def oracle_sql() -> dict[str, str]:
         "web_anchor_text_incremental": _web_anchor_text_oracle(
             restrict="doc_id % 10 = 0"
         ),
+        "web_extract_gate": _web_extract_gate_oracle(),
     }

@@ -154,6 +154,11 @@ HEADLINE = [
     "web_anchor_text",
     "kg_star_join",
     "kg_triple_provenance",
+    # round-6 sixth wave: path closure / main content / anchor delta
+    "kg_path_closure",
+    "html_main_content",
+    "web_anchor_text_incremental",
+    "web_extract_gate",
 ]
 
 

@@ -94,6 +94,10 @@ SEMANTIC = dict(n_clusters=128, refine_iters=1, threshold=0.95,
                 max_cluster=200_000, dim=16)
 SPAN = dict(window=8, min_df=2)
 LINE = dict(min_df=2, min_line_chars=10)
+# anchors family: ~20 inlinks per target, ~100 links per source host, 7
+# anchor phrasings; batch rows land on EXISTING targets (mult/offset vary
+# the phrasing + host mix so the batch merges counts AND adds fresh rows)
+ANCHORS = dict(k=3, inlinks_per_target=20, links_per_host=100)
 # line-family docs: the scale corpus is single-line; fold every 6th token
 # boundary into a newline so documents have CCNet-shaped line structure
 _LINEIFY = r"regexp_replace(text, '((\\S+ ){5}\\S+) ', '$1\n') AS text"
@@ -341,6 +345,70 @@ def build_scale_triples(spark, n: int, offset: int = 0):
     )
 
 
+def build_scale_anchor_links(spark, n_rows, n_targets, n_hosts, mult=1, offset=0):
+    """Deterministic (link_url, anchor_text, src_host) edge list for the
+    anchors family.  ``n_targets``/``n_hosts`` fix the TARGET and HOST
+    keyspaces (batches built with the history's keyspaces land on existing
+    targets — the daily-crawl shape); ``mult``/``offset`` rotate the anchor
+    phrasing and host assignment so a batch both merges existing
+    (target, anchor) counts and contributes fresh anchors/hosts."""
+    return spark.range(n_rows).selectExpr(
+        f"concat('https://t', CAST((id + {offset}) % {n_targets} AS STRING),"
+        " '.example.com/p') AS link_url",
+        "element_at(array('home','news','read more','story','about',"
+        f"'contact','blog'), CAST((id * {mult} + {offset}) % 7 AS INT) + 1)"
+        " AS anchor_text",
+        # md5-derived host (portable hash family): decorrelated from the
+        # target id — a linear map would lock each target to one host
+        f"concat('h', CAST(conv(substr(md5(CAST(id * {mult} + {offset}"
+        f" AS STRING)), 1, 8), 16, 10) % {n_hosts} AS STRING)) AS src_host",
+    )
+
+
+def union_anchors(all_idx, batch_targets, k):
+    """Round-4 shape for the anchors family: the FULL (old + new) evidence
+    index re-grouped every batch — the whole history flows through the
+    merge Exchange — then the profile computed for batch targets."""
+    # INNER join (batch_targets is distinct) rather than left_semi: Catalyst
+    # pushes semi joins below aggregates when the keys are grouping keys
+    # (PushDownLeftSemiAntiJoin), which would silently turn this baseline
+    # into the probe shape; inner joins are not pushed through aggregates.
+    merged = (
+        all_idx.groupBy("tav_key", "target", "kind", "val")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .join(batch_targets, on="target", how="inner")
+    )
+    from pyspark.sql import Window
+
+    anchors = merged.where(F.col("kind") == "a")
+    stats = merged.groupBy("target").agg(
+        F.sum(F.when(F.col("kind") == "a", F.col("n")).otherwise(0))
+        .cast("bigint").alias("n_anchored_inlinks"),
+        F.sum(F.when(F.col("kind") == "a", 1).otherwise(0))
+        .cast("bigint").alias("n_anchors"),
+        F.sum(F.when(F.col("kind") == "h", 1).otherwise(0))
+        .cast("bigint").alias("n_src_hosts"),
+    )
+    w = Window.partitionBy("target").orderBy(F.desc("n"), F.asc("val"))
+    topk = (
+        anchors.withColumns({"_rn": F.row_number().over(w)})
+        .where(F.col("_rn") <= int(k))
+        .groupBy("target")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rn", "val"))),
+                    lambda x: x.getField("val"),
+                ),
+                ",",
+            ).alias("top_anchors")
+        )
+    )
+    return stats.join(topk, on="target").withColumnsRenamed(
+        {"target": "link_url"}
+    )
+
+
 def union_predstats(all_idx):
     """Round-4 shape for the predstats family: predicate statistics
     recomputed from the FULL (old + new) pair index every batch — the whole
@@ -486,7 +554,7 @@ def run(args):
     fam_filter = set(args.families.split(","))
     known = {"minhash", "simhash", "embedding", "span", "line", "exact",
              "semantic", "semantic_concentrated", "semantic_partitioned",
-             "predstats", "charsets"}
+             "predstats", "charsets", "anchors"}
     if not fam_filter <= known:
         raise SystemExit(f"unknown families {sorted(fam_filter - known)}; "
                          f"choose from {sorted(known)}")
@@ -584,7 +652,7 @@ def run(args):
     t0 = time.monotonic()
     for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx",
                 "ab_ln_idx", "ab_ex_idx", "ab_sm_idx", "ab_ps_idx",
-                "ab_cs_idx"):
+                "ab_cs_idx", "ab_an_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if need_sem:
         # frozen quantizer trained on HISTORY only (the FAISS contract);
@@ -685,6 +753,27 @@ def run(args):
                 f"{wd}/cs_hist"
             )
             cs_hist = spark.read.parquet(f"{wd}/cs_hist")
+    an_batch = None
+    if "anchors" in fam_filter:
+        from literature_to_facts_spark.datapipe.html import (  # noqa: E402
+            build_anchor_index,
+        )
+
+        n_targets = max(1, n // ANCHORS["inlinks_per_target"])
+        n_hosts = max(1, n // ANCHORS["links_per_host"])
+        build_scale_anchor_links(
+            spark, n, n_targets, n_hosts
+        ).write.mode("overwrite").parquet(f"{wd}/an_hist")
+        build_scale_anchor_links(
+            spark, nb, n_targets, n_hosts, mult=3, offset=1
+        ).write.mode("overwrite").parquet(f"{wd}/an_batch")
+        an_batch = spark.read.parquet(f"{wd}/an_batch")
+        write_bucketed(
+            build_anchor_index(
+                spark.read.parquet(f"{wd}/an_hist"), src_host_col="src_host"
+            ),
+            "ab_an_idx", "tav_key", 32, path=f"{wd}/an_idx",
+        )
     result["index_build_sec"] = round(time.monotonic() - t0, 1)
 
     def probe_mh():
@@ -924,6 +1013,49 @@ def run(args):
         )
         return _force_cs(union_charsets(all_sp))
 
+    # anchors consumers aggregate ALL profile columns (the span/predstats
+    # coverage-forcing rule: a bare count() would let Catalyst prune the
+    # evidence aggregates and the top-k window)
+    def _force_an(out):
+        return out.agg(
+            F.sum("n_anchored_inlinks").alias("a"),
+            F.sum("n_anchors").alias("b"),
+            F.sum("n_src_hosts").alias("c"),
+            F.sum(F.length("top_anchors")).alias("d"),
+        ).collect()[0]
+
+    def probe_an():
+        from literature_to_facts_spark.datapipe.html import (
+            anchor_text_profile_incremental,
+        )
+
+        reg = []
+        out = anchor_text_profile_incremental(
+            an_batch, spark.table("ab_an_idx"), src_host_col="src_host",
+            k=ANCHORS["k"], cache_registry=reg,
+        )
+        c = _force_an(out)
+        for df in reg:
+            df.unpersist()
+        return c
+
+    def union_an():
+        from literature_to_facts_spark.datapipe.html import build_anchor_index
+
+        all_idx = spark.table("ab_an_idx").unionByName(
+            build_anchor_index(an_batch, src_host_col="src_host")
+        )
+        return _force_an(
+            union_anchors(
+                all_idx,
+                an_batch.where(
+                    F.col("anchor_text").isNotNull()
+                    & (F.col("anchor_text") != "")
+                ).select(F.col("link_url").alias("target")).distinct(),
+                k=ANCHORS["k"],
+            )
+        )
+
     fams = {
         "minhash": (probe_mh, union_mh),
         "simhash": (probe_sh, union_sh),
@@ -933,6 +1065,7 @@ def run(args):
         "exact": (probe_ex, union_ex),
         "predstats": (probe_ps, union_ps),
         "charsets": (probe_cs, union_cs),
+        "anchors": (probe_an, union_an),
     }
     if need_sem:
         fams["semantic"] = _sem_runners(smb)
@@ -1078,6 +1211,26 @@ def run(args):
                     build_subject_pred_index(trip_batch)
                 )
             )
+        elif fam == "anchors":
+            from literature_to_facts_spark.datapipe.html import (
+                anchor_text_profile_incremental,
+                build_anchor_index,
+            )
+
+            probe_df = anchor_text_profile_incremental(
+                an_batch, spark.table("ab_an_idx"), src_host_col="src_host",
+                k=ANCHORS["k"], cache_registry=reg,
+            )
+            union_df = union_anchors(
+                spark.table("ab_an_idx").unionByName(
+                    build_anchor_index(an_batch, src_host_col="src_host")
+                ),
+                an_batch.where(
+                    F.col("anchor_text").isNotNull()
+                    & (F.col("anchor_text") != "")
+                ).select(F.col("link_url").alias("target")).distinct(),
+                k=ANCHORS["k"],
+            )
         else:
             probe_df = embedding_near_dup_pairs_incremental(
                 vbatch, vecs, old_index=spark.table("ab_em_idx"),
@@ -1099,7 +1252,8 @@ def run(args):
                   "semantic_concentrated": _sem_key,
                   "semantic_partitioned": _sem_key,
                   "predstats": _stats_key,
-                  "charsets": _stats_key}.get(fam, _pairs_key)
+                  "charsets": _stats_key,
+                  "anchors": _stats_key}.get(fam, _pairs_key)
         pk, uk = key_fn(probe_df), key_fn(union_df)
         for df in reg:
             df.unpersist()
@@ -1142,7 +1296,7 @@ def run(args):
     print(json.dumps(result))
     for tbl in ("ab_mh_idx", "ab_sh_idx", "ab_em_idx", "ab_sp_idx",
                 "ab_ln_idx", "ab_ex_idx", "ab_sm_idx", "ab_ps_idx",
-                "ab_cs_idx"):
+                "ab_cs_idx", "ab_an_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return 0 if all(f["parity_ok"] for f in result["families"].values()) else 1
 
