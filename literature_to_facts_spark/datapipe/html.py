@@ -818,6 +818,39 @@ def anchor_text_profile_incremental(
     )
     if cache_registry is not None:
         cache_registry.append(merged)
+    return profile_from_index(
+        merged,
+        target_col=target_col,
+        with_hosts=src_host_col is not None,
+        k=k,
+        pre_merged=True,
+    )
+
+
+def profile_from_index(
+    index: DataFrame,
+    target_col: str = "link_url",
+    with_hosts: bool = True,
+    k: int = 3,
+    pre_merged: bool = False,
+) -> DataFrame:
+    """The :func:`anchor_text_profile` output recomputed from a
+    :func:`build_anchor_index` evidence table — the ONE definition of the
+    index -> profile math, shared by the incremental operator (over its
+    touched-row merge) and the from-state audit path (streaming face /
+    compaction checks: full profile of everything the index has ever
+    seen, no link rescan).  ``pre_merged=False`` first merges append-only
+    partials (groupBy tav_key, SUM n — over a ``write_bucketed('tav_key')``
+    table this plans with zero Exchange)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    merged = index
+    if not pre_merged:
+        merged = index.groupBy("tav_key", "target", "kind", "val").agg(
+            F.sum("n").cast("bigint").alias("n")
+        )
     anchors = merged.where(F.col("kind") == "a")
     aggs = [
         F.sum(F.when(F.col("kind") == "a", F.col("n")).otherwise(0))
@@ -827,7 +860,7 @@ def anchor_text_profile_incremental(
         .cast("bigint")
         .alias("n_anchors"),
     ]
-    if src_host_col is not None:
+    if with_hosts:
         aggs.append(
             F.sum(F.when(F.col("kind") == "h", 1).otherwise(0))
             .cast("bigint")

@@ -656,3 +656,63 @@ def test_streaming_kg_stats_exact_and_replay(spark, tmp_path):
     fn(triples.where(F.col("subj") % 3 == 2), 2)
     got = sorted(map(tuple, read_current_stats(spark, state).collect()))
     assert got == sorted(map(tuple, predicate_stats(triples).collect()))
+
+
+def test_streaming_anchor_profile_exact_and_replay(spark, tmp_path):
+    """Micro-batch anchor-profile maintenance (eleventh family face): each
+    batch's changed-profile feed equals the from-scratch profile over
+    everything seen so far restricted to batch targets; the audit path
+    (profile from the index alone) equals the full profile; replaying a
+    batch heals bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from literature_to_facts_spark.datapipe.html import anchor_text_profile
+    from literature_to_facts_spark.streaming.anchor_profile import (
+        make_anchor_profile_batch_fn,
+        read_current_profile,
+    )
+
+    rows = []
+    for i in range(60):
+        rows.append((i, f"T{i % 7}", ["home", "news", "blog"][i % 3], f"h{i % 4}"))
+        if i % 5 == 0:
+            rows.append((i, f"T{i % 7}", "", f"h{i % 4}"))  # empty: excluded
+    links = spark.createDataFrame(
+        rows, "i bigint, link_url string, anchor_text string, src_host string"
+    )
+
+    state = str(tmp_path / "anchors")
+    fn = make_anchor_profile_batch_fn(state, src_host_col="src_host", k=2)
+    seen = None
+    for b in range(3):
+        batch = links.where(F.col("i") % 3 == b)
+        fn(batch, b)
+        seen = batch if seen is None else seen.unionByName(batch)
+        changed = spark.read.parquet(f"{state}/profiles/_batch={b}")
+        batch_targets = [
+            r["link_url"]
+            for r in batch.where(F.col("anchor_text") != "")
+            .select("link_url").distinct().collect()
+        ]
+        want = anchor_text_profile(
+            seen, src_host_col="src_host", k=2
+        ).where(F.col("link_url").isin(batch_targets))
+        assert sorted(map(tuple, changed.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"batch {b}"
+
+    # audit path: full profile from the evidence index alone
+    audit = read_current_profile(spark, state, with_hosts=True, k=2)
+    full = anchor_text_profile(links, src_host_col="src_host", k=2)
+    assert sorted(map(tuple, audit.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # crash replay: re-running the LAST batch must heal both stores
+    fn(links.where(F.col("i") % 3 == 2), 2)
+    audit2 = read_current_profile(spark, state, with_hosts=True, k=2)
+    assert sorted(map(tuple, audit2.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    changed2 = spark.read.parquet(f"{state}/profiles/_batch=2")
+    assert changed2.count() > 0
