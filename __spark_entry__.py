@@ -1438,6 +1438,36 @@ def q_text_line_dedup(spark, sf_dir):
     )
 
 
+def q_text_line_dedup_grouped(spark, sf_dir):
+    """Group-scoped (per-host) line dedup (datapipe/textclean.line_dedup
+    with group_col): the site-template removal mode — a line frequent
+    within ONE host's pages is boilerplate there, the same sentence on two
+    unrelated hosts is content and survives.  Implemented by salting the
+    md5 line key with the host (plan shape identical to global mode); the
+    oracle recomputes the salted-key frequency table end-to-end."""
+    from literature_to_facts_spark.datapipe.textclean import line_dedup
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id",
+        "concat('h', cast(doc_id % 4 as string)) AS host",
+        "replace(text, '. ', concat('.', chr(10))) AS text",
+    )
+    out = line_dedup(
+        docs,
+        min_df=_LINE_DEDUP_MIN_DF,
+        min_line_chars=_LINE_DEDUP_MIN_CHARS,
+        group_col="host",
+        carry_cols=("host",),
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "host",
+        "clean_text",
+        "n_lines",
+        "n_dropped",
+    )
+
+
 def q_text_pii_redact(spark, sf_dir):
     """PII detection + masking (datapipe/textclean.pii_redact): emails, IPv4
     addresses and phone numbers counted on the original text and masked
@@ -4010,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": q_html_main_content,
         "web_anchor_text_incremental": q_web_anchor_text_incremental,
         "web_extract_gate": q_web_extract_gate,
+        "text_line_dedup_grouped": q_text_line_dedup_grouped,
     }
 
 
@@ -5805,4 +5836,35 @@ def oracle_sql() -> dict[str, str]:
             restrict="doc_id % 10 = 0"
         ),
         "web_extract_gate": _web_extract_gate_oracle(),
+        "text_line_dedup_grouped": f"""
+        WITH m AS (
+          SELECT doc_id, 'h' || CAST(doc_id % 4 AS VARCHAR) AS host,
+                 replace(text, '. ', '.' || chr(10)) AS text
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, host, u.pos AS pos, u.line AS line
+          FROM (SELECT doc_id, host, string_split(text, chr(10)) AS parts
+                FROM m WHERE text IS NOT NULL),
+               UNNEST(list_transform(range(1, len(parts) + 1),
+                      i -> {{'pos': i, 'line': parts[i]}})) AS t(u)
+        ),
+        keyed AS (
+          SELECT doc_id, host, pos, line,
+                 CASE WHEN length(trim(line)) >= {_LINE_DEDUP_MIN_CHARS}
+                      THEN {_H1.format(x="host || chr(31) || line")} END AS key_e
+          FROM lines
+        ),
+        freq AS (
+          SELECT key_e AS fkey FROM keyed WHERE key_e IS NOT NULL
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_LINE_DEDUP_MIN_DF}
+        )
+        SELECT CAST(k.doc_id AS BIGINT) AS doc_id, k.host AS host,
+               coalesce(string_agg(CASE WHEN f.fkey IS NULL THEN k.line END,
+                                   chr(10) ORDER BY k.pos), '') AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(f.fkey) AS BIGINT) AS n_dropped
+        FROM keyed k LEFT JOIN freq f ON k.key_e = f.fkey
+        GROUP BY k.doc_id, k.host
+        """,
     }

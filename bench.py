@@ -159,6 +159,7 @@ HEADLINE = [
     "html_main_content",
     "web_anchor_text_incremental",
     "web_extract_gate",
+    "text_line_dedup_grouped",
 ]
 
 

@@ -70,7 +70,8 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 # of these names would be silently REPLACED (withColumn/aggregate alias), so
 # both public entry points reject them loudly.
 _RESERVED_LINE_COLS = frozenset(
-    {"_id", "_pos", "_line", "_key", "_fkey", "clean_text", "n_lines", "n_dropped"}
+    {"_id", "_pos", "_line", "_key", "_fkey", "_grp", "clean_text",
+     "n_lines", "n_dropped"}
 )
 
 
@@ -89,28 +90,42 @@ def _lines(
     text_col: str,
     min_line_chars: int,
     carry_cols: tuple = (),
+    group_col: str | None = None,
 ) -> DataFrame:
     """(_id, _pos, _line, _key[, carry...]) exploded line instances;
     ``_key`` is the md5-family 52-bit line hash, NULL for lines below
     ``min_line_chars`` (NULL never matches a join, so short lines bypass
     both the frequency count and the removal join without a separate
-    branch)."""
-    return (
-        docs.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
-            # F.col, not selectExpr interpolation: carry names may be SQL
-            # reserved words or non-identifiers ('order', 'page-count')
-            *[F.col(c) for c in carry_cols],
-        )
-        .withColumn(
-            "_key",
-            F.expr(
-                f"CASE WHEN length(trim(_line)) >= {int(min_line_chars)}"
-                f" THEN {_h52('_line')} END"
-            ),
-        )
+    branch).
+
+    ``group_col`` SALTS the key with the row's group value
+    (``H(group || US || line)``): identical lines in different groups get
+    distinct keys, so every downstream frequency count / removal join /
+    persisted index is group-scoped with ZERO structural change — the
+    per-host boilerplate mode.  NULL-group rows get a NULL key (never
+    deduped, the short-line convention)."""
+    cols = [
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        # F.col, not selectExpr interpolation: carry names may be SQL
+        # reserved words or non-identifiers ('order', 'page-count')
+        *[F.col(c) for c in carry_cols],
+    ]
+    if group_col is not None and group_col not in carry_cols:
+        cols.append(F.col(group_col).alias("_grp"))
+    out = docs.where(F.col(text_col).isNotNull()).select(*cols)
+    if group_col is None:
+        key_src = "_line"
+    else:
+        g = group_col if group_col in carry_cols else "_grp"
+        # \x1f (unit separator) cannot appear in group values or lines
+        key_src = f"concat(`{g}`, '\x1f', _line)"
+    return out.withColumn(
+        "_key",
+        F.expr(
+            f"CASE WHEN length(trim(_line)) >= {int(min_line_chars)}"
+            f" THEN {_h52(key_src)} END"
+        ),
     )
 
 
@@ -153,6 +168,7 @@ def line_dedup(
     min_line_chars: int = 10,
     broadcast_frequent: bool = False,
     carry_cols: tuple = (),
+    group_col: str | None = None,
 ) -> DataFrame:
     """Remove every line occurring in >= ``min_df`` distinct documents.
 
@@ -175,11 +191,24 @@ def line_dedup(
     sane when ``min_df`` is high enough that the frequent set is small
     (boilerplate mode); at ``min_df=2`` the set scales with the corpus and
     MUST use the default shuffle join.
+
+    ``group_col`` scopes the dedup to groups (per-HOST site-template
+    removal, the jusText/Dolma practice: a nav line shared by every page
+    of one site is boilerplate, the same sentence on two unrelated sites
+    is not): frequencies count distinct documents WITHIN each group and
+    removal only ever matches in-group — implemented by salting the line
+    key with the group value, so the plan is bit-identical in shape to
+    the global mode (one frequency Exchange, one key join).  NULL-group
+    documents are never deduped (key NULL, the short-line convention).
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
     _check_carry(carry_cols)
-    lines = _lines(docs, id_col, text_col, min_line_chars, carry_cols)
+    if group_col is not None and group_col not in docs.columns:
+        raise ValueError(f"group_col {group_col!r} not in input columns")
+    lines = _lines(
+        docs, id_col, text_col, min_line_chars, carry_cols, group_col=group_col
+    )
     freq = (
         lines.where(F.col("_key").isNotNull())
         .groupBy("_key")
@@ -198,6 +227,7 @@ def build_line_frequency_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_line_chars: int = 10,
+    group_col: str | None = None,
 ) -> DataFrame:
     """(line_key, df): one batch's per-line distinct-document counts of
     eligible lines — the PERSISTED STATE of incremental line dedup.
@@ -212,17 +242,23 @@ def build_line_frequency_index(
     per-batch probe aggregation plans with zero Exchange on the history
     side (plan-pinned, same composition as the minhash band index).
 
-    The build parameter is STAMPED into the ``line_key`` field metadata
-    (``l2f_min_line_chars``) — StructField metadata survives parquet and
-    catalog-table round-trips, so :func:`line_dedup_incremental` can verify
-    at call time that the probe's eligibility threshold matches the one the
+    The build parameters are STAMPED into the ``line_key`` field metadata
+    (``l2f_min_line_chars``, ``l2f_group_col``) — StructField metadata
+    survives parquet and catalog-table round-trips, so
+    :func:`line_dedup_incremental` can verify at call time that the
+    probe's eligibility threshold AND group scoping match the ones the
     index was built with (a silent mismatch would combine frequencies over
-    two different line populations)."""
+    two different line populations).  ``group_col`` salts the keys for
+    group-scoped (per-host) dedup — see :func:`line_dedup`."""
     key = F.col("_key").alias(
-        "line_key", metadata={"l2f_min_line_chars": int(min_line_chars)}
+        "line_key",
+        metadata={
+            "l2f_min_line_chars": int(min_line_chars),
+            "l2f_group_col": group_col or "",
+        },
     )
     return (
-        _lines(docs, id_col, text_col, min_line_chars)
+        _lines(docs, id_col, text_col, min_line_chars, group_col=group_col)
         .where(F.col("_key").isNotNull())
         .groupBy(key)
         .agg(F.countDistinct("_id").cast("bigint").alias("df"))
@@ -238,6 +274,7 @@ def line_dedup_incremental(
     min_line_chars: int = 10,
     cache_registry: list | None = None,
     carry_cols: tuple = (),
+    group_col: str | None = None,
 ) -> DataFrame:
     """Delta line dedup: ``line_dedup(old ∪ new)`` RESTRICTED to the NEW
     batch's documents — the operational mode at 100 TB, where re-splitting
@@ -271,7 +308,12 @@ def line_dedup_incremental(
     scan-fused passes beat materializing the exploded batch.  ``new_freq``
     and ``matched`` are persisted (batch-sized, multiple consumers) and
     appended to ``cache_registry`` when given so long-session callers can
-    unpersist per batch."""
+    unpersist per batch.
+
+    ``group_col`` gives the group-scoped (per-host) delta mode: keys are
+    group-salted (see :func:`line_dedup`), so the SAME index/probe
+    machinery maintains per-group frequencies; the index stamp records the
+    scoping and a mismatched probe fails loudly."""
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
     if old_index is None:
@@ -290,8 +332,18 @@ def line_dedup_incremental(
                 f"probe passed min_line_chars={min_line_chars}; combined "
                 "line frequencies would mix two different line populations"
             )
+        built_grp = old_index.schema["line_key"].metadata.get("l2f_group_col")
+        if built_grp is not None and str(built_grp) != (group_col or ""):
+            raise ValueError(
+                f"old_index was built with group_col={built_grp!r} but the "
+                f"probe passed group_col={group_col!r}; combined line "
+                "frequencies would mix two different key populations"
+            )
     _check_carry(carry_cols)
-    lines = _lines(new_docs, id_col, text_col, min_line_chars, carry_cols)
+    lines = _lines(
+        new_docs, id_col, text_col, min_line_chars, carry_cols,
+        group_col=group_col,
+    )
     new_freq = (
         lines.where(F.col("_key").isNotNull())
         .groupBy(F.col("_key").alias("line_key"))

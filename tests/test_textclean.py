@@ -1063,3 +1063,97 @@ def test_html_extract_links_resolution(spark):
     # plan pin: the default path is scan-fused — zero Exchange
     plan = html_extract_links(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------- group-scoped (per-host) mode
+
+_SITE_NAV = "Subscribe to our newsletter for updates"
+
+
+@pytest.fixture()
+def grouped_docs(spark):
+    rows = [
+        # host A: nav line on both pages -> boilerplate WITHIN A
+        (1, "a.com", f"{_SITE_NAV}\nunique article one goes here"),
+        (2, "a.com", f"{_SITE_NAV}\nunique article two goes here"),
+        # host B: SAME line once -> not frequent within B, kept
+        (3, "b.com", f"{_SITE_NAV}\nanother site entirely here"),
+        # NULL host: never deduped even if the line repeats
+        (4, None, f"{_SITE_NAV}\nnull host page"),
+        (5, None, f"{_SITE_NAV}\nsecond null host page"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "host", "text"])
+
+
+def test_line_dedup_grouped_scopes_frequency_to_group(spark, grouped_docs):
+    from literature_to_facts_spark.datapipe.textclean import line_dedup
+
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            grouped_docs, min_df=2, group_col="host", carry_cols=("host",)
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "unique article one goes here"
+    assert out[2]["n_dropped"] == 1
+    # same line on host B survives (df within B = 1)
+    assert out[3]["clean_text"].startswith(_SITE_NAV)
+    # NULL-group rows never dedup, even though the line repeats across them
+    assert out[4]["n_dropped"] == 0 and out[5]["n_dropped"] == 0
+    # global mode WOULD have removed it everywhere (control)
+    from literature_to_facts_spark.datapipe.textclean import line_dedup as ld
+
+    global_out = {r["doc_id"]: r for r in ld(grouped_docs, min_df=2).collect()}
+    assert global_out[3]["n_dropped"] == 1
+
+
+def test_line_dedup_grouped_single_group_equals_global(spark, line_docs):
+    from literature_to_facts_spark.datapipe.textclean import line_dedup
+
+    one = line_docs.withColumn("g", F.lit("x"))
+    grouped = line_dedup(one, min_df=2, group_col="g")
+    glob = line_dedup(line_docs, min_df=2)
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["clean_text"], r["n_lines"], r["n_dropped"])
+        for r in df.collect()
+    )
+    assert key(grouped) == key(glob)
+
+
+def test_line_dedup_grouped_incremental_and_stamp(spark, grouped_docs, tmp_path):
+    from literature_to_facts_spark.datapipe.textclean import (
+        build_line_frequency_index,
+        line_dedup,
+        line_dedup_incremental,
+    )
+
+    hist = grouped_docs.where(F.col("doc_id") <= 2)
+    batch = grouped_docs.where(F.col("doc_id") > 2)
+    idx = build_line_frequency_index(hist, group_col="host")
+    got = line_dedup_incremental(
+        batch, idx, min_df=2, group_col="host", carry_cols=("host",)
+    )
+    full = line_dedup(
+        grouped_docs, min_df=2, group_col="host", carry_cols=("host",)
+    ).where(F.col("doc_id") > 2)
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["clean_text"], r["n_dropped"]) for r in df.collect()
+    )
+    assert key(got) == key(full)
+    # stamp guard: a global-mode probe against a grouped index fails loudly
+    with pytest.raises(ValueError, match="group_col"):
+        line_dedup_incremental(batch, idx, min_df=2)
+    # ... and survives a parquet round-trip
+    idx.write.mode("overwrite").parquet(str(tmp_path / "gidx"))
+    rt = spark.read.parquet(str(tmp_path / "gidx"))
+    with pytest.raises(ValueError, match="group_col"):
+        line_dedup_incremental(batch, rt, min_df=2)
+
+
+def test_line_dedup_grouped_validation(spark, grouped_docs):
+    import pytest as _pytest
+
+    from literature_to_facts_spark.datapipe.textclean import line_dedup
+
+    with _pytest.raises(ValueError, match="group_col"):
+        line_dedup(grouped_docs, group_col="nope")
