@@ -3928,6 +3928,71 @@ def _web_extract_gate_oracle() -> str:
     """
 
 
+_TRIANGLE_MAX_DEGREE = 10_000
+
+
+def q_web_triangle_count(spark, sf_dir):
+    """Per-host triangle counts over the cyclic host graph (datapipe/graphs.
+    triangle_count): the link-farm density signal — canonical undirected
+    edges, ordered-wedge enumeration (each triangle once), degree cap for
+    super-hubs.  Shares the path-closure fixture; oracle is the same
+    two-join enumeration in DuckDB, bit-exact including degrees and the
+    cap flag."""
+    from literature_to_facts_spark.datapipe.graphs import triangle_count
+
+    docs = _t(spark, sf_dir, "documents")
+    parts = [
+        docs.selectExpr(f"{s} AS src", f"{d} AS dst")
+        for s, d in _PATH_EDGES_EXPRS
+    ]
+    return triangle_count(
+        parts[0].unionByName(parts[1]), max_degree=_TRIANGLE_MAX_DEGREE
+    )
+
+
+def _web_triangle_count_oracle() -> str:
+    dup = " UNION ALL ".join(
+        f"SELECT {s.replace('as string', 'as varchar')} AS src, "
+        f"{d.replace('as string', 'as varchar')} AS dst FROM documents"
+        for s, d in _PATH_EDGES_EXPRS
+    )
+    cap = _TRIANGLE_MAX_DEGREE
+    return f"""
+        WITH raw AS ({dup}),
+        e AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+        ),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+          GROUP BY node
+        ),
+        hubs AS (SELECT node FROM deg WHERE degree > {cap}),
+        ee AS (
+          SELECT * FROM e
+          WHERE a NOT IN (SELECT node FROM hubs)
+            AND b NOT IN (SELECT node FROM hubs)
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM ee e1 JOIN ee e2 ON e1.b = e2.a
+                     JOIN ee e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        pn AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM (SELECT x AS node FROM tri UNION ALL
+                SELECT y AS node FROM tri UNION ALL
+                SELECT z AS node FROM tri)
+          GROUP BY node
+        )
+        SELECT deg.node, deg.degree,
+               coalesce(pn.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+               deg.degree > {cap} AS capped
+        FROM deg LEFT JOIN pn USING (node)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_melt": q_kg_triples_melt,
@@ -4041,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_text_incremental": q_web_anchor_text_incremental,
         "web_extract_gate": q_web_extract_gate,
         "text_line_dedup_grouped": q_text_line_dedup_grouped,
+        "web_triangle_count": q_web_triangle_count,
     }
 
 
@@ -5836,6 +5902,7 @@ def oracle_sql() -> dict[str, str]:
             restrict="doc_id % 10 = 0"
         ),
         "web_extract_gate": _web_extract_gate_oracle(),
+        "web_triangle_count": _web_triangle_count_oracle(),
         "text_line_dedup_grouped": f"""
         WITH m AS (
           SELECT doc_id, 'h' || CAST(doc_id % 4 AS VARCHAR) AS host,

@@ -160,6 +160,7 @@ HEADLINE = [
     "web_anchor_text_incremental",
     "web_extract_gate",
     "text_line_dedup_grouped",
+    "web_triangle_count",
 ]
 
 

@@ -100,3 +100,91 @@ def pagerank(
     return ranks.withColumn(
         "rank", F.round(F.col("rank_micro") / F.lit(float(ONE_MICRO)), 6)
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = 10_000,
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced by
+    the edge list — the link-farm / community-density signal host-graph
+    curation reads next to PageRank (a clique of mutually-linking spam
+    hosts is triangle-dense; an organically linked host is not).  Returns
+    one row per node that survives the degree cap:
+    ``(node, degree, n_triangles, capped)`` — ``degree`` counts distinct
+    neighbors, ``capped`` marks nodes EXCLUDED from enumeration (their
+    triangles through capped nodes are not counted — conservative, the
+    LSH ``max_bucket`` convention) but still emitted with their degree.
+    The clustering coefficient is ``2*n_triangles / (degree*(degree-1))``
+    — left to the caller (float division is not bit-portable; both
+    integers are).
+
+    Direction and multiplicity are erased first (canonical ``a < b``
+    pairs, distinct, self-loops dropped): a triangle is counted ONCE per
+    node regardless of how many parallel/reciprocal links express it.
+
+    Scale shape: the standard two-join enumeration over canonicalized
+    edges — e(a,b) ⋈ e(b,c) builds ordered wedges (``a<b<c`` by
+    construction, so each triangle materializes exactly once), one more
+    join verifies the closing (a,c) edge; both joins shuffle on a single
+    key with map-side-combinable counts after.  The wedge fan-out is
+    Σ d(v)² — the hub problem — so ``max_degree`` excludes super-hubs
+    (every host links to google.com; those wedges are link-ubiquity, not
+    community structure).  At 10^9 edges the cap is what makes the
+    enumeration tractable; pass ``None`` to disable.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+               & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    if max_degree is not None:
+        deg = deg.withColumn(
+            "capped", F.col("degree") > F.lit(int(max_degree))
+        )
+        hubs = deg.where(F.col("capped")).select(F.col("node").alias("_hub"))
+        e = (
+            e.join(hubs, e["a"] == hubs["_hub"], "left_anti")
+            .join(hubs, e["b"] == hubs["_hub"], "left_anti")
+        )
+    else:
+        deg = deg.withColumn("capped", F.lit(False))
+    wedges = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("x"),
+        F.col("e1.b").alias("y"),
+        F.col("e2.b").alias("z"),
+    )
+    tri = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        on=["x", "z"],
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, on="node", how="left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0).cast("bigint")).alias(
+                "n_triangles"
+            ),
+            "capped",
+        )
+    )

@@ -2465,3 +2465,27 @@ def test_semantic_incremental_partition_pruning(spark, embeddings, tmp_path):
     finally:
         for df in reg:
             df.unpersist()
+
+
+def test_triangle_count_semantics_and_cap(spark):
+    from literature_to_facts_spark.datapipe.graphs import triangle_count
+
+    # K4 (4 triangles, 3 per member) + pendant e + reciprocal duplicate
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e"), ("b", "a"), ("c", "c")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r for r in triangle_count(edges).collect()}
+    assert {n: r["n_triangles"] for n, r in got.items()} == {
+        "a": 3, "b": 3, "c": 3, "d": 3, "e": 0
+    }
+    assert got["d"]["degree"] == 4 and got["e"]["degree"] == 1
+    assert not any(r["capped"] for r in got.values())
+    # cap excludes hubs from enumeration but keeps their degree row
+    capped = {r["node"]: r for r in triangle_count(edges, max_degree=2).collect()}
+    assert capped["a"]["capped"] and capped["a"]["n_triangles"] == 0
+    assert not capped["e"]["capped"]
+    # cap disabled
+    off = {r["node"]: r for r in triangle_count(edges, max_degree=None).collect()}
+    assert off["a"]["n_triangles"] == 3 and not off["a"]["capped"]
