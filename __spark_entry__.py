@@ -3928,6 +3928,103 @@ def _web_extract_gate_oracle() -> str:
     """
 
 
+def q_web_frontier_rank(spark, sf_dir):
+    """Crawl-frontier prioritization (the loop a production crawler closes):
+    extracted links -> candidates not yet crawled (anti-join against the
+    corpus' own urls) -> scored by host authority over crawl depth —
+    score = host pagerank (integer micro-units) div (1 + path depth), the
+    classic frontier heuristic (authoritative hosts first, shallow pages
+    before deep archives).  Composes html_extract_links + graphs.pagerank
+    + the URL part regex with no materialization; all-integer scoring so
+    the oracle is bit-exact through the whole chain."""
+    from literature_to_facts_spark.datapipe.graphs import pagerank
+    from literature_to_facts_spark.datapipe.html import html_extract_links
+    from literature_to_facts_spark.datapipe.urls import URL_PATTERN
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_URL_FIXTURE_SPARK} AS url",
+        f"{_LINKS_HTML_SPARK} AS html",
+    )
+    links = html_extract_links(docs)
+    src = F.lower(F.regexp_extract(F.col("url"), URL_PATTERN, 2))
+    edges = (
+        links.select(src.alias("src"), F.col("link_host").alias("dst"))
+        .where(F.col("src").isNotNull() & (F.col("src") != ""))
+        .distinct()
+    )
+    reg = []
+    ranks = pagerank(edges, cache_registry=reg, **_PAGERANK_PARAMS).select(
+        F.col("node"), F.col("rank_micro")
+    )
+    seen = docs.select(F.col("url")).distinct()
+    cand = (
+        links.select("link_url", "link_host").distinct()
+        .join(seen, F.col("link_url") == F.col("url"), "left_anti")
+        .withColumns(
+            {
+                "depth": F.size(
+                    F.filter(
+                        F.split(
+                            F.regexp_extract(F.col("link_url"), URL_PATTERN, 4),
+                            "/",
+                        ),
+                        lambda s: s != F.lit(""),
+                    )
+                ).cast("int")
+            }
+        )
+    )
+    out = (
+        cand.join(ranks, cand["link_host"] == ranks["node"], "left")
+        .select(
+            "link_url",
+            F.col("link_host").alias("host"),
+            "depth",
+            F.coalesce("rank_micro", F.lit(0).cast("bigint")).alias(
+                "rank_micro"
+            ),
+            F.expr("coalesce(rank_micro, 0L) div (1 + depth)")
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    out._l2f_cache_registry = reg
+    return out
+
+
+def _web_frontier_rank_oracle() -> str:
+    ctes, final = _duck_pagerank_ctes(
+        _PAGERANK_PARAMS["iters"], _PAGERANK_PARAMS["damping_micro"]
+    )
+    g = _duck_url_group
+    return f"""
+        WITH {_duck_links_ctes()},
+        e AS (
+          SELECT DISTINCT src_host AS src, link_host AS dst
+          FROM links
+          WHERE src_host IS NOT NULL AND src_host <> ''
+        ),
+        {ctes},
+        seen AS (
+          SELECT DISTINCT {_URL_FIXTURE_DUCK} AS url FROM documents
+          WHERE {_URL_FIXTURE_DUCK} IS NOT NULL  -- NOT IN over a NULL set
+        ),                                       -- filters EVERY row
+        cand AS (
+          SELECT DISTINCT link_url, link_host,
+                 CAST(len(list_filter(string_split({g(4, "link_url")}, '/'),
+                      x -> x <> '')) AS INTEGER) AS depth
+          FROM links
+          WHERE link_url NOT IN (SELECT url FROM seen)
+        )
+        SELECT cand.link_url, cand.link_host AS host, cand.depth,
+               coalesce(r.r, CAST(0 AS BIGINT)) AS rank_micro,
+               CAST(coalesce(r.r, 0) // (1 + cand.depth) AS BIGINT)
+                 AS score_micro
+        FROM cand LEFT JOIN {final} r ON cand.link_host = r.node
+    """
+
+
 _TRIANGLE_MAX_DEGREE = 10_000
 
 
@@ -4107,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_extract_gate": q_web_extract_gate,
         "text_line_dedup_grouped": q_text_line_dedup_grouped,
         "web_triangle_count": q_web_triangle_count,
+        "web_frontier_rank": q_web_frontier_rank,
     }
 
 
@@ -5903,6 +6001,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_extract_gate": _web_extract_gate_oracle(),
         "web_triangle_count": _web_triangle_count_oracle(),
+        "web_frontier_rank": _web_frontier_rank_oracle(),
         "text_line_dedup_grouped": f"""
         WITH m AS (
           SELECT doc_id, 'h' || CAST(doc_id % 4 AS VARCHAR) AS host,

@@ -161,6 +161,7 @@ HEADLINE = [
     "web_extract_gate",
     "text_line_dedup_grouped",
     "web_triangle_count",
+    "web_frontier_rank",
 ]
 
 
