@@ -4025,6 +4025,145 @@ def _web_frontier_rank_oracle() -> str:
     """
 
 
+# robots fixture: per host a body with a googlebot-only group (must be
+# ignored), a star group (Disallow /p<hid> + Allow /p<hid>/ok + inline
+# comment + empty Disallow + Crawl-delay noise); every 3rd host has NO star
+# group.  ONE template, both engines ({h} = the host-id cast).
+_ROBOTS_BODY_TMPL = (
+    "CASE WHEN hid % 3 = 0 THEN concat('User-agent: googlebot', chr(10),"
+    " 'Disallow: /')"
+    " ELSE concat('# crawl rules', chr(10),"
+    " 'User-agent: googlebot', chr(10), 'Disallow: /', chr(10),"
+    " 'User-agent: *', chr(10),"
+    " 'Disallow: /p', {h}, '   # private', chr(10),"
+    " 'Allow: /p', {h}, '/ok', chr(10),"
+    " 'Crawl-delay: 5', chr(10), 'Disallow:') END"
+)
+_ROBOTS_URL_TMPL = (
+    "concat('http://h', {h7}, '.example.com',"
+    " CASE {m4} WHEN 0 THEN concat('/p', {h7}, '/x')"
+    " WHEN 1 THEN concat('/p', {h7}, '/ok/y')"
+    " WHEN 2 THEN '/open/z' ELSE concat('/p', {h7}, '/oklahoma') END)"
+)
+
+
+def q_web_robots_gate(spark, sf_dir):
+    """robots.txt parsing + frontier gating (datapipe/robots.parse_robots ->
+    apply_robots): per-host rule extraction from the raw file format
+    (comment strip, multi-agent group headers, star-group selection,
+    empty-Disallow skip) and longest-prefix-match URL gating with the
+    Allow tiebreak.  The '/oklahoma' candidate pins prefix (not segment)
+    semantics: it matches Disallow /p<h> but NOT Allow /p<h>/ok.  Rules
+    are hosts-sized and BROADCAST — the frontier is never shuffled; the
+    oracle replays the group-window parse and the ranked match."""
+    from literature_to_facts_spark.datapipe.robots import (
+        apply_robots,
+        parse_robots,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    h = "cast(hid as string)"
+    robots = docs.selectExpr("doc_id % 7 AS hid").distinct().selectExpr(
+        f"concat('h', {h}, '.example.com') AS host",
+        _ROBOTS_BODY_TMPL.format(h=h) + " AS robots_txt",
+    )
+    urls = docs.selectExpr(
+        _ROBOTS_URL_TMPL.format(
+            h7="cast(doc_id % 7 as string)", m4="cast(doc_id % 4 as int)"
+        )
+        + " AS url"
+    )
+    return apply_robots(urls, parse_robots(robots))
+
+
+def _web_robots_gate_oracle() -> str:
+    g = _duck_url_group
+    h = "CAST(hid AS VARCHAR)"
+    body = _ROBOTS_BODY_TMPL.format(h=h)
+    url = _ROBOTS_URL_TMPL.format(
+        h7="CAST(doc_id % 7 AS VARCHAR)", m4="CAST(doc_id % 4 AS INTEGER)"
+    )
+    return f"""
+        WITH hosts AS (SELECT DISTINCT doc_id % 7 AS hid FROM documents),
+        rb AS (
+          SELECT 'h' || {h} || '.example.com' AS host, {body} AS body
+          FROM hosts
+        ),
+        rlines AS (
+          SELECT host, u.pos AS pos, u.line AS line
+          FROM (SELECT host, string_split(body, chr(10)) AS parts FROM rb),
+               UNNEST(list_transform(range(1, len(parts) + 1),
+                      i -> {{'pos': i, 'line': parts[i]}})) AS t(u)
+        ),
+        typed AS (
+          SELECT host, pos,
+                 CASE WHEN instr(trim(split_part(line, '#', 1)), ':') = 0
+                      THEN 'other'
+                      WHEN lower(trim(split_part(trim(split_part(line, '#', 1)), ':', 1))) = 'user-agent' THEN 'ua'
+                      WHEN lower(trim(split_part(trim(split_part(line, '#', 1)), ':', 1))) = 'allow' THEN 'allow'
+                      WHEN lower(trim(split_part(trim(split_part(line, '#', 1)), ':', 1))) = 'disallow' THEN 'disallow'
+                      ELSE 'other' END AS kind,
+                 trim(substring(trim(split_part(line, '#', 1)),
+                      instr(trim(split_part(line, '#', 1)), ':') + 1)) AS val
+          FROM rlines
+        ),
+        marked AS (
+          SELECT host, pos, kind, val,
+                 CASE WHEN kind = 'ua' AND
+                      coalesce(LAG(CASE WHEN kind = 'ua' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY host ORDER BY pos), 0) = 0
+                      THEN 1 ELSE 0 END AS run_start
+          FROM typed
+        ),
+        grouped AS (
+          SELECT host, pos, kind, val,
+                 SUM(run_start)
+                   OVER (PARTITION BY host ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS gid
+          FROM marked
+        ),
+        stars AS (
+          SELECT host, gid FROM grouped
+          WHERE kind = 'ua' GROUP BY host, gid
+          HAVING max(CASE WHEN val = '*' THEN 1 ELSE 0 END) = 1
+        ),
+        rules AS (
+          SELECT DISTINCT g2.host, g2.kind AS rule, g2.val AS prefix
+          FROM grouped g2 JOIN stars USING (host, gid)
+          WHERE g2.kind IN ('allow', 'disallow') AND g2.val <> ''
+            AND g2.gid > 0
+        ),
+        urls AS (SELECT DISTINCT {url} AS url FROM documents),
+        base AS (
+          SELECT url, lower({g(2, "url")}) AS host,
+                 CASE WHEN {g(4, "url")} = '' THEN '/'
+                      ELSE {g(4, "url")} END AS path
+          FROM urls WHERE lower({g(2, "url")}) <> ''
+        ),
+        joined AS (
+          SELECT base.url, base.host, r.rule, r.prefix
+          FROM base LEFT JOIN rules r
+            ON base.host = r.host AND starts_with(base.path, r.prefix)
+        ),
+        ranked AS (
+          SELECT url, host, rule, prefix,
+                 ROW_NUMBER() OVER (PARTITION BY url
+                   ORDER BY (prefix IS NOT NULL) DESC,
+                            length(prefix) DESC, (rule = 'allow') DESC)
+                   AS rn
+          FROM joined
+        )
+        SELECT url, host,
+               CASE WHEN prefix IS NULL THEN true
+                    ELSE rule = 'allow' END AS allowed,
+               CAST(coalesce(length(prefix), 0) AS INTEGER) AS match_len,
+               CASE WHEN prefix IS NULL THEN ''
+                    WHEN rule = 'allow' THEN 'allow'
+                    ELSE 'disallow' END AS match_rule
+        FROM ranked WHERE rn = 1
+    """
+
+
 _TRIANGLE_MAX_DEGREE = 10_000
 
 
@@ -4205,6 +4344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup_grouped": q_text_line_dedup_grouped,
         "web_triangle_count": q_web_triangle_count,
         "web_frontier_rank": q_web_frontier_rank,
+        "web_robots_gate": q_web_robots_gate,
     }
 
 
@@ -6002,6 +6142,7 @@ def oracle_sql() -> dict[str, str]:
         "web_extract_gate": _web_extract_gate_oracle(),
         "web_triangle_count": _web_triangle_count_oracle(),
         "web_frontier_rank": _web_frontier_rank_oracle(),
+        "web_robots_gate": _web_robots_gate_oracle(),
         "text_line_dedup_grouped": f"""
         WITH m AS (
           SELECT doc_id, 'h' || CAST(doc_id % 4 AS VARCHAR) AS host,

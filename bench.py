@@ -162,6 +162,7 @@ HEADLINE = [
     "text_line_dedup_grouped",
     "web_triangle_count",
     "web_frontier_rank",
+    "web_robots_gate",
 ]
 
 

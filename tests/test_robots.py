@@ -1,0 +1,109 @@
+"""robots.txt parsing + URL gating (datapipe/robots.py).
+
+Hand-computable fixtures pin the REP grammar subset (comment strip,
+multi-agent group headers, star-group selection, empty-Disallow skip,
+orphan-rule drop) and the longest-prefix / Allow-tiebreak matching the
+DuckDB oracle then re-verifies at scale.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from literature_to_facts_spark.datapipe.robots import apply_robots, parse_robots
+
+_BODY = """# rules
+User-agent: googlebot
+Disallow: /
+
+User-agent: *
+User-agent: bingbot
+Disallow: /private   # no peeking
+Allow: /private/pub
+Crawl-delay: 5
+Disallow:
+
+Sitemap: http://a.com/sm.xml
+User-agent: yandex
+Disallow: /yonly
+"""
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    rb = spark.createDataFrame(
+        [
+            ("a.com", _BODY),
+            ("b.com", None),
+            ("c.com", "Disallow: /orphan\nUser-agent: *\nDisallow: /x"),
+        ],
+        "host string, robots_txt string",
+    )
+    return parse_robots(rb)
+
+
+def test_parse_robots_groups_and_grammar(rules):
+    got = sorted(map(tuple, rules.collect()))
+    # googlebot-only + yandex-only groups excluded; inline comment stripped;
+    # empty Disallow skipped; orphan rule (before any group) dropped; the
+    # multi-agent (* + bingbot) header captures both its rules
+    assert got == [
+        ("a.com", "allow", "/private/pub"),
+        ("a.com", "disallow", "/private"),
+        ("c.com", "disallow", "/x"),
+    ]
+
+
+def test_apply_robots_longest_prefix_and_tiebreak(spark, rules):
+    urls = spark.createDataFrame(
+        [
+            ("http://a.com/private/secret",),
+            ("http://a.com/private/pub/x",),   # allow wins by length
+            ("http://a.com/private",),         # exact prefix
+            ("http://a.com/privateer",),       # prefix, not segment, match
+            ("http://a.com/open",),
+            ("http://A.COM/private",),         # host casefolds
+            ("http://c.com/x/1",),
+            ("http://unknown.com/q",),         # no rules -> allowed
+            ("not-a-url",),                    # dropped (no host)
+        ],
+        "url string",
+    )
+    got = {r["url"]: r for r in apply_robots(urls, rules).collect()}
+    assert len(got) == 8  # the invalid url is gone
+    assert not got["http://a.com/private/secret"]["allowed"]
+    assert got["http://a.com/private/pub/x"]["allowed"]
+    assert got["http://a.com/private/pub/x"]["match_len"] == 12
+    assert not got["http://a.com/private"]["allowed"]
+    assert not got["http://a.com/privateer"]["allowed"]  # literal prefix
+    assert got["http://a.com/open"]["allowed"]
+    assert got["http://a.com/open"]["match_rule"] == ""
+    assert got["http://a.com/open"]["match_len"] == 0
+    assert not got["http://A.COM/private"]["allowed"]
+    assert not got["http://c.com/x/1"]["allowed"]
+    assert got["http://unknown.com/q"]["allowed"]
+
+
+def test_apply_robots_allow_tie_wins(spark):
+    # same-length allow + disallow for one path: allow wins (REP tiebreak)
+    rules = spark.createDataFrame(
+        [("t.com", "allow", "/a"), ("t.com", "disallow", "/b")],
+        "host string, rule string, prefix string",
+    )
+    tie = spark.createDataFrame(
+        [("t.com", "allow", "/ab"), ("t.com", "disallow", "/ab")],
+        "host string, rule string, prefix string",
+    )
+    urls = spark.createDataFrame([("http://t.com/ab/x",)], "url string")
+    r = apply_robots(urls, tie).collect()[0]
+    assert r["allowed"] and r["match_rule"] == "allow" and r["match_len"] == 3
+
+
+def test_apply_robots_broadcasts_rules(spark, rules):
+    urls = spark.createDataFrame([("http://a.com/private",)], "url string")
+    plan = (
+        apply_robots(urls, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    out = apply_robots(urls, rules, broadcast_rules=False)
+    assert out.collect()[0]["allowed"] is False
