@@ -4164,6 +4164,87 @@ def _web_robots_gate_oracle() -> str:
     """
 
 
+# sitemap fixture: per host 4 <url> blocks — padded loc, loc-without-
+# lastmod, lastmod-without-loc (dropped), empty loc (dropped).  ONE
+# template, both engines ({h} = host-id cast).
+_SITEMAP_XML_TMPL = (
+    "concat('<urlset>',"
+    " '<url><loc>  http://h', {h}, '.example.com/a', {h}, '  </loc>',"
+    " '<lastmod>2024-0', cast(hid % 9 + 1 as string_t), '-15T10:00:00Z'"
+    " , '</lastmod></url>',"
+    " '<url><loc>http://h', {h}, '.example.com/b', {h}, '</loc></url>',"
+    " '<url><lastmod>2024-01-01</lastmod></url>',"
+    " '<url><loc></loc></url>',"
+    " '</urlset>')"
+)
+
+
+def q_web_sitemap_parse(spark, sf_dir):
+    """Sitemap XML -> frontier entries (datapipe/robots.parse_sitemap):
+    <url> blocks exploded, loc/lastmod extracted with padded-value trim,
+    loc-less and empty-loc blocks dropped, lastmod also emitted as epoch
+    DAYS (integer, so re-crawl scheduling never compares strings).
+    Per-row regex battery, zero shuffle."""
+    from literature_to_facts_spark.datapipe.robots import parse_sitemap
+
+    h = "cast(hid as string)"
+    sitemaps = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("doc_id % 5 AS hid")
+        .distinct()
+        .selectExpr(
+            f"concat('h', {h}, '.example.com') AS host",
+            _SITEMAP_XML_TMPL.format(h=h).replace("string_t", "string")
+            + " AS sitemap_xml",
+        )
+    )
+    out = parse_sitemap(sitemaps, carry_cols=("host",))
+    # contract-output NULL parity: the compare harness sorts rows, and
+    # NULL strings/ints break the sort — coalesce in BOTH engines
+    return out.select(
+        "host",
+        "loc",
+        F.coalesce("lastmod", F.lit("")).alias("lastmod"),
+        F.coalesce("lastmod_day", F.lit(-1)).cast("int").alias("lastmod_day"),
+    )
+
+
+def _web_sitemap_parse_oracle() -> str:
+    from literature_to_facts_spark.datapipe.robots import (
+        SITEMAP_LASTMOD_PATTERN,
+        SITEMAP_LOC_PATTERN,
+        SITEMAP_URL_BLOCK_PATTERN,
+    )
+
+    h = "CAST(hid AS VARCHAR)"
+    xml = _SITEMAP_XML_TMPL.format(h=h).replace("string_t", "varchar")
+    return f"""
+        WITH hosts AS (SELECT DISTINCT doc_id % 5 AS hid FROM documents),
+        sm AS (
+          SELECT 'h' || {h} || '.example.com' AS host, {xml} AS xml
+          FROM hosts
+        ),
+        b AS (
+          SELECT host,
+                 unnest(regexp_extract_all(xml,
+                        '{SITEMAP_URL_BLOCK_PATTERN}', 1)) AS blk
+          FROM sm
+        ),
+        f AS (
+          SELECT host,
+                 regexp_extract(blk, '{SITEMAP_LOC_PATTERN}', 1) AS loc,
+                 NULLIF(regexp_extract(blk, '{SITEMAP_LASTMOD_PATTERN}', 1),
+                        '') AS lastmod
+          FROM b
+        )
+        SELECT host, loc, coalesce(lastmod, '') AS lastmod,
+               CAST(coalesce(datediff('day', DATE '1970-01-01',
+                    try_cast(substring(lastmod, 1, 10) AS DATE)), -1)
+                 AS INTEGER) AS lastmod_day
+        FROM f WHERE loc <> ''
+    """
+
+
 _TRIANGLE_MAX_DEGREE = 10_000
 
 
@@ -4345,6 +4426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_triangle_count": q_web_triangle_count,
         "web_frontier_rank": q_web_frontier_rank,
         "web_robots_gate": q_web_robots_gate,
+        "web_sitemap_parse": q_web_sitemap_parse,
     }
 
 
@@ -6143,6 +6225,7 @@ def oracle_sql() -> dict[str, str]:
         "web_triangle_count": _web_triangle_count_oracle(),
         "web_frontier_rank": _web_frontier_rank_oracle(),
         "web_robots_gate": _web_robots_gate_oracle(),
+        "web_sitemap_parse": _web_sitemap_parse_oracle(),
         "text_line_dedup_grouped": f"""
         WITH m AS (
           SELECT doc_id, 'h' || CAST(doc_id % 4 AS VARCHAR) AS host,

@@ -163,6 +163,7 @@ HEADLINE = [
     "web_triangle_count",
     "web_frontier_rank",
     "web_robots_gate",
+    "web_sitemap_parse",
 ]
 
 

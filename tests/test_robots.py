@@ -107,3 +107,48 @@ def test_apply_robots_broadcasts_rules(spark, rules):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     out = apply_robots(urls, rules, broadcast_rules=False)
     assert out.collect()[0]["allowed"] is False
+
+
+def test_parse_sitemap_fields_and_drops(spark):
+    from literature_to_facts_spark.datapipe.robots import parse_sitemap
+
+    xml = (
+        "<urlset>"
+        "<url><loc>  http://a.com/x  </loc>"
+        "<lastmod>2024-03-15T10:00:00Z</lastmod></url>"
+        "<URL><LOC>http://a.com/upper</LOC></URL>"      # case-insensitive
+        "<url><loc>http://a.com/nolm</loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"       # no loc: dropped
+        "<url><loc></loc></url>"                         # empty: dropped
+        "<url><loc>http://a.com/badlm</loc>"
+        "<lastmod>not-a-date</lastmod></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", xml), ("b.com", None)], "host string, sitemap_xml string"
+    )
+    got = {
+        r["loc"]: r for r in parse_sitemap(df, carry_cols=("host",)).collect()
+    }
+    assert set(got) == {
+        "http://a.com/x", "http://a.com/upper", "http://a.com/nolm",
+        "http://a.com/badlm",
+    }
+    assert got["http://a.com/x"]["lastmod"] == "2024-03-15T10:00:00Z"
+    assert got["http://a.com/x"]["lastmod_day"] == 19797  # 2024-03-15
+    assert got["http://a.com/nolm"]["lastmod"] is None
+    assert got["http://a.com/nolm"]["lastmod_day"] is None
+    assert got["http://a.com/badlm"]["lastmod_day"] is None  # try_cast
+    assert all(r["host"] == "a.com" for r in got.values())
+
+
+def test_parse_sitemap_collision_guard(spark):
+    import pytest as _pytest
+
+    from literature_to_facts_spark.datapipe.robots import parse_sitemap
+
+    df = spark.createDataFrame(
+        [("x", "<url><loc>u</loc></url>")], "loc string, sitemap_xml string"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        parse_sitemap(df)
