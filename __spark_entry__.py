@@ -4245,6 +4245,106 @@ def _web_sitemap_parse_oracle() -> str:
     """
 
 
+# WARC fixture: per doc a 3-record payload — request (full headers),
+# response (LOWERCASE field names, no Content-Length), header-only
+# metadata trailer without the inter-record terminator.  Raw \r\n bytes
+# embedded in the SQL literals; ONE template, both engines.
+_WARC_TMPL = (
+    "concat("
+    "'WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://h', {m5},"
+    " '.example.com/p', {id},"
+    " '\r\nWARC-Date: 2024-02-0', {m3p1},"
+    " 'T08:00:00Z\r\nContent-Length: 12\r\n\r\nGET /p', {id}, '\r\n\r\n',"
+    "'WARC/1.0\r\nwarc-type: response\r\nwarc-target-uri: http://h', {m5},"
+    " '.example.com/p', {id},"
+    " '\r\nwarc-date: 2024-02-0', {m3p1},"
+    " 'T08:00:05Z\r\n\r\n<html>body ', {id}, '</html>\r\n\r\n',"
+    "'WARC/1.0\r\nWARC-Type: metadata\r\n\r\n'"
+    ")"
+)
+
+
+def q_web_warc_parse(spark, sf_dir):
+    """WARC container parsing (datapipe/warc.parse_warc): the Common-Crawl
+    entry format — records split on the version line, case-insensitive
+    header fields, epoch-microsecond fetch stamps (try_cast, ANSI-safe),
+    bodies delimited by the header blank line with the record terminator
+    trimmed.  Per-row split + regex battery, zero shuffle.  NULL-absent
+    fields coalesced at the contract boundary only (checker row-sort
+    parity)."""
+    from literature_to_facts_spark.datapipe.warc import parse_warc
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id",
+        _WARC_TMPL.format(
+            id="cast(doc_id as string)",
+            m5="cast(doc_id % 5 as string)",
+            m3p1="cast(doc_id % 3 + 1 as string)",
+        )
+        + " AS warc",
+    )
+    out = parse_warc(docs, carry_cols=("doc_id",))
+    z = F.lit("")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.coalesce("warc_type", z).alias("warc_type"),
+        F.coalesce("target_uri", z).alias("target_uri"),
+        F.coalesce("warc_date", z).alias("warc_date"),
+        F.coalesce("warc_ts_us", F.lit(-1)).cast("bigint").alias("warc_ts_us"),
+        F.coalesce("content_length", F.lit(-1))
+        .cast("bigint")
+        .alias("content_length"),
+        "body",
+    )
+
+
+def _web_warc_parse_oracle() -> str:
+    from literature_to_facts_spark.datapipe.warc import WARC_HEADER_PATTERNS
+
+    xml = _WARC_TMPL.format(
+        id="cast(doc_id as varchar)",
+        m5="cast(doc_id % 5 as varchar)",
+        m3p1="cast(doc_id % 3 + 1 as varchar)",
+    )
+    crlf2 = "chr(13) || chr(10) || chr(13) || chr(10)"
+    pt = WARC_HEADER_PATTERNS
+    return f"""
+        WITH w AS (SELECT doc_id, {xml} AS warc FROM documents),
+        recs AS (
+          SELECT doc_id,
+                 unnest(list_slice(string_split(warc,
+                        'WARC/1.0' || chr(13) || chr(10)), 2, 2147483647))
+                   AS rec
+          FROM w
+        ),
+        p AS (
+          SELECT doc_id, rec, instr(rec, {crlf2}) AS he FROM recs
+        ),
+        f AS (
+          SELECT doc_id,
+                 substring(rec, 1, he - 1) AS hdr,
+                 regexp_replace(substring(rec, he + 4),
+                                '\\r\\n\\r\\n$', '') AS body
+          FROM p WHERE he > 0
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               coalesce(nullif(regexp_extract(hdr, '{pt["warc_type"]}', 1),
+                        ''), '') AS warc_type,
+               coalesce(nullif(regexp_extract(hdr, '{pt["target_uri"]}', 1),
+                        ''), '') AS target_uri,
+               coalesce(nullif(regexp_extract(hdr, '{pt["warc_date"]}', 1),
+                        ''), '') AS warc_date,
+               CAST(coalesce(epoch_us(try_cast(
+                    nullif(regexp_extract(hdr, '{pt["warc_date"]}', 1), '')
+                    AS TIMESTAMP)), -1) AS BIGINT) AS warc_ts_us,
+               CAST(coalesce(try_cast(regexp_extract(hdr,
+                    '{pt["content_length"]}', 1) AS BIGINT), -1) AS BIGINT)
+                 AS content_length,
+               body
+        FROM f
+    """
+
+
 _TRIANGLE_MAX_DEGREE = 10_000
 
 
@@ -4427,6 +4527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_frontier_rank": q_web_frontier_rank,
         "web_robots_gate": q_web_robots_gate,
         "web_sitemap_parse": q_web_sitemap_parse,
+        "web_warc_parse": q_web_warc_parse,
     }
 
 
@@ -6226,6 +6327,7 @@ def oracle_sql() -> dict[str, str]:
         "web_frontier_rank": _web_frontier_rank_oracle(),
         "web_robots_gate": _web_robots_gate_oracle(),
         "web_sitemap_parse": _web_sitemap_parse_oracle(),
+        "web_warc_parse": _web_warc_parse_oracle(),
         "text_line_dedup_grouped": f"""
         WITH m AS (
           SELECT doc_id, 'h' || CAST(doc_id % 4 AS VARCHAR) AS host,

@@ -164,6 +164,7 @@ HEADLINE = [
     "web_frontier_rank",
     "web_robots_gate",
     "web_sitemap_parse",
+    "web_warc_parse",
 ]
 
 
