@@ -3816,12 +3816,15 @@ def q_html_main_content(spark, sf_dir):
     )
 
 
-def _main_content_ctes() -> str:
+def _main_content_ctes(html_expr: str | None = None,
+                       src_rel: str = "documents") -> str:
     """The html_main_content replay as a CTE chain ending at
     ``mc(doc_id, n_blocks, n_kept, main_text)`` — shared by the
-    html_main_content and web_extract_gate oracles.  Block / anchor-inner /
-    inline patterns, the entity table and both thresholds interpolate from
-    datapipe.html (operator edits propagate)."""
+    html_main_content / web_extract_gate / crawl_warc_chain oracles.
+    Block / anchor-inner / inline patterns, the entity table and both
+    thresholds interpolate from datapipe.html (operator edits propagate).
+    ``html_expr``/``src_rel`` override the html fixture expression and the
+    relation it reads (must expose ``doc_id``)."""
     from literature_to_facts_spark.datapipe.html import (
         ANCHOR_INNER_PATTERN,
         BLOCK_TAG_PATTERN,
@@ -3834,7 +3837,7 @@ def _main_content_ctes() -> str:
     def q(pat: str) -> str:
         return pat.replace("'", "''")
 
-    h = _MAIN_HTML_DUCK
+    h = html_expr or _MAIN_HTML_DUCK
     for pat, repl in HTML_STRIP_PATTERNS[:3]:
         h = f"regexp_replace({h}, '{q(pat)}', '{repl}', 'g')"
     inline = (
@@ -3850,7 +3853,7 @@ def _main_content_ctes() -> str:
           SELECT doc_id,
                  string_split(regexp_replace({h}, '{q(BLOCK_TAG_PATTERN)}',
                               chr(30), 'g'), chr(30)) AS blocks
-          FROM documents
+          FROM {src_rel}
         ),
         st AS (
           SELECT doc_id, list_transform(blocks, x -> struct_pack(
@@ -4298,18 +4301,18 @@ def q_web_warc_parse(spark, sf_dir):
     )
 
 
-def _web_warc_parse_oracle() -> str:
+def _duck_warc_ctes(warc_expr: str) -> str:
+    """The parse_warc replay as a CTE chain ending at ``wrec(doc_id,
+    warc_type, target_uri, warc_date, warc_ts_us, content_length, body)``
+    with the operator's NULL semantics — shared by the web_warc_parse and
+    crawl_warc_chain oracles.  Header patterns interpolate from
+    datapipe.warc (operator edits propagate)."""
     from literature_to_facts_spark.datapipe.warc import WARC_HEADER_PATTERNS
 
-    xml = _WARC_TMPL.format(
-        id="cast(doc_id as varchar)",
-        m5="cast(doc_id % 5 as varchar)",
-        m3p1="cast(doc_id % 3 + 1 as varchar)",
-    )
     crlf2 = "chr(13) || chr(10) || chr(13) || chr(10)"
     pt = WARC_HEADER_PATTERNS
     return f"""
-        WITH w AS (SELECT doc_id, {xml} AS warc FROM documents),
+        w AS (SELECT doc_id, {warc_expr} AS warc FROM documents),
         recs AS (
           SELECT doc_id,
                  unnest(list_slice(string_split(warc,
@@ -4326,22 +4329,119 @@ def _web_warc_parse_oracle() -> str:
                  regexp_replace(substring(rec, he + 4),
                                 '\\r\\n\\r\\n$', '') AS body
           FROM p WHERE he > 0
-        )
+        ),
+        wrec AS (
+          SELECT doc_id,
+                 nullif(regexp_extract(hdr, '{pt["warc_type"]}', 1), '')
+                   AS warc_type,
+                 nullif(regexp_extract(hdr, '{pt["target_uri"]}', 1), '')
+                   AS target_uri,
+                 nullif(regexp_extract(hdr, '{pt["warc_date"]}', 1), '')
+                   AS warc_date,
+                 CAST(epoch_us(try_cast(
+                      nullif(regexp_extract(hdr, '{pt["warc_date"]}', 1), '')
+                      AS TIMESTAMP)) AS BIGINT) AS warc_ts_us,
+                 try_cast(regexp_extract(hdr, '{pt["content_length"]}', 1)
+                      AS BIGINT) AS content_length,
+                 body
+          FROM f
+        )"""
+
+
+def _web_warc_parse_oracle() -> str:
+    xml = _WARC_TMPL.format(
+        id="cast(doc_id as varchar)",
+        m5="cast(doc_id % 5 as varchar)",
+        m3p1="cast(doc_id % 3 + 1 as varchar)",
+    )
+    return f"""
+        WITH {_duck_warc_ctes(xml)}
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               coalesce(nullif(regexp_extract(hdr, '{pt["warc_type"]}', 1),
-                        ''), '') AS warc_type,
-               coalesce(nullif(regexp_extract(hdr, '{pt["target_uri"]}', 1),
-                        ''), '') AS target_uri,
-               coalesce(nullif(regexp_extract(hdr, '{pt["warc_date"]}', 1),
-                        ''), '') AS warc_date,
-               CAST(coalesce(epoch_us(try_cast(
-                    nullif(regexp_extract(hdr, '{pt["warc_date"]}', 1), '')
-                    AS TIMESTAMP)), -1) AS BIGINT) AS warc_ts_us,
-               CAST(coalesce(try_cast(regexp_extract(hdr,
-                    '{pt["content_length"]}', 1) AS BIGINT), -1) AS BIGINT)
+               coalesce(warc_type, '') AS warc_type,
+               coalesce(target_uri, '') AS target_uri,
+               coalesce(warc_date, '') AS warc_date,
+               CAST(coalesce(warc_ts_us, -1) AS BIGINT) AS warc_ts_us,
+               CAST(coalesce(content_length, -1) AS BIGINT)
                  AS content_length,
                body
-        FROM f
+        FROM wrec
+    """
+
+
+# WARC chain fixture: a response record whose BODY is the main-content
+# page fixture, plus a header-only metadata trailer.  {page} = the engine's
+# main-html expression.
+_WARC_CHAIN_TMPL = (
+    "concat("
+    "'WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h', {m5},"
+    " '.example.com/p', {id}, '\r\nWARC-Date: 2024-02-01T08:00:05Z\r\n\r\n',"
+    " {page}, '\r\n\r\n',"
+    "'WARC/1.0\r\nWARC-Type: metadata\r\n\r\n'"
+    ")"
+)
+
+
+def q_crawl_warc_chain(spark, sf_dir):
+    """The full byte-stream -> training-doc chain (the Common-Crawl recipe
+    end-to-end): WARC payload -> parse_warc (response records only) ->
+    html_main_content over the record BODY -> quality gate over the
+    extracted text.  Three operators, one plan, no materialization
+    between stages — everything is per-row, so the ONLY Exchange is the
+    bench fixture's spreading repartition.  Oracle replays warc CTEs ->
+    main-content CTEs -> the shared quality-gate CTE, bit-exact through
+    all three stages."""
+    from literature_to_facts_spark.datapipe.html import html_main_content
+    from literature_to_facts_spark.datapipe.textstats import quality_filter
+    from literature_to_facts_spark.datapipe.warc import parse_warc
+
+    docs = _spread(_t(spark, sf_dir, "documents")).selectExpr(
+        "doc_id",
+        _WARC_CHAIN_TMPL.format(
+            id="cast(doc_id as string)",
+            m5="cast(doc_id % 5 as string)",
+            page=_MAIN_HTML_SPARK,
+        )
+        + " AS warc",
+    )
+    pages = (
+        parse_warc(docs, carry_cols=("doc_id",))
+        .where(F.col("warc_type") == "response")
+        .select("doc_id", F.col("target_uri"), F.col("body").alias("html"))
+    )
+    mc = html_main_content(
+        pages,
+        min_block_chars=_MAIN_MIN_CHARS,
+        max_link_density_pct=_MAIN_MAX_LINK_PCT,
+    )
+    gated = quality_filter(mc, text_col="main_text")
+    return gated.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "target_uri",
+        "n_kept",
+        F.col("keep").cast("boolean").alias("keep"),
+        F.coalesce("drop_reason", F.lit("kept")).alias("reason"),
+    )
+
+
+def _crawl_warc_chain_oracle() -> str:
+    xml = _WARC_CHAIN_TMPL.format(
+        id="cast(doc_id as varchar)",
+        m5="cast(doc_id % 5 as varchar)",
+        page=_MAIN_HTML_DUCK,
+    )
+    return f"""
+        WITH {_duck_warc_ctes(xml)},
+        pages AS (
+          SELECT doc_id, target_uri, body AS page_html
+          FROM wrec WHERE warc_type = 'response'
+        ),
+        {_main_content_ctes(html_expr="page_html", src_rel="pages")},
+        mct AS (SELECT doc_id, main_text AS text, n_kept FROM mc),
+        {_quality_gated_cte(src="mct")}
+        SELECT CAST(g.doc_id AS BIGINT) AS doc_id, pages.target_uri,
+               mct.n_kept, (g.drop_reason IS NULL) AS keep,
+               COALESCE(g.drop_reason, 'kept') AS reason
+        FROM gated g JOIN mct USING (doc_id) JOIN pages USING (doc_id)
     """
 
 
@@ -4528,6 +4628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_gate": q_web_robots_gate,
         "web_sitemap_parse": q_web_sitemap_parse,
         "web_warc_parse": q_web_warc_parse,
+        "crawl_warc_chain": q_crawl_warc_chain,
     }
 
 
@@ -6328,6 +6429,7 @@ def oracle_sql() -> dict[str, str]:
         "web_robots_gate": _web_robots_gate_oracle(),
         "web_sitemap_parse": _web_sitemap_parse_oracle(),
         "web_warc_parse": _web_warc_parse_oracle(),
+        "crawl_warc_chain": _crawl_warc_chain_oracle(),
         "text_line_dedup_grouped": f"""
         WITH m AS (
           SELECT doc_id, 'h' || CAST(doc_id % 4 AS VARCHAR) AS host,

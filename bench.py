@@ -165,6 +165,7 @@ HEADLINE = [
     "web_robots_gate",
     "web_sitemap_parse",
     "web_warc_parse",
+    "crawl_warc_chain",
 ]
 
 
