@@ -4332,14 +4332,14 @@ def _duck_warc_ctes(warc_expr: str) -> str:
         ),
         wrec AS (
           SELECT doc_id,
-                 nullif(regexp_extract(hdr, '{pt["warc_type"]}', 1), '')
+                 nullif(trim(regexp_extract(hdr, '{pt["warc_type"]}', 1)), '')
                    AS warc_type,
-                 nullif(regexp_extract(hdr, '{pt["target_uri"]}', 1), '')
+                 nullif(trim(regexp_extract(hdr, '{pt["target_uri"]}', 1)), '')
                    AS target_uri,
-                 nullif(regexp_extract(hdr, '{pt["warc_date"]}', 1), '')
+                 nullif(trim(regexp_extract(hdr, '{pt["warc_date"]}', 1)), '')
                    AS warc_date,
                  CAST(epoch_us(try_cast(
-                      nullif(regexp_extract(hdr, '{pt["warc_date"]}', 1), '')
+                      nullif(trim(regexp_extract(hdr, '{pt["warc_date"]}', 1)), '')
                       AS TIMESTAMP)) AS BIGINT) AS warc_ts_us,
                  try_cast(regexp_extract(hdr, '{pt["content_length"]}', 1)
                       AS BIGINT) AS content_length,

@@ -95,8 +95,11 @@ def parse_warc(
     )
     # trim ONE trailing inter-record terminator (the last record may lack it)
     body = F.regexp_replace(body_raw, r"\r\n\r\n$", "")
+    # trim BOTH sides of the captured value (the [^\r\n]* capture keeps
+    # trailing spaces; field values are surrounded by optional whitespace
+    # per the spec) and treat empty as absent (NULL)
     field = lambda pat: F.nullif(  # noqa: E731
-        F.regexp_extract(header, pat, 1), F.lit("")
+        F.trim(F.regexp_extract(header, pat, 1)), F.lit("")
     )
     out = recs.where(hdr_end > 0).withColumns(
         {

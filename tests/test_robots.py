@@ -152,3 +152,74 @@ def test_parse_sitemap_collision_guard(spark):
     )
     with _pytest.raises(ValueError, match="collide"):
         parse_sitemap(df)
+
+
+# ----------------------- seeded randomized cross-check vs a Python reference
+
+def _py_parse_robots(body):
+    """Independent row-at-a-time REP-subset reference (the shim pattern):
+    returns the star group's {(rule, prefix)} set."""
+    rules = set()
+    star = False
+    prev_ua = False
+    in_group = False
+    for raw in body.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            prev_ua = False
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if prev_ua:
+                star = star or val == "*"
+            else:
+                star = val == "*"
+                in_group = True
+            prev_ua = True
+        elif key in ("allow", "disallow"):
+            prev_ua = False
+            if in_group and star and val:
+                rules.add((key, val))
+        else:
+            prev_ua = False
+    return rules
+
+
+def test_parse_robots_seeded_random_vs_reference(spark):
+    import random
+
+    from literature_to_facts_spark.datapipe.robots import parse_robots
+
+    rng = random.Random(42)
+    agents = ["*", "googlebot", "bingbot", "  * ", "YaNdEx"]
+    prefixes = ["/", "/a", "/a/b", "/priv ate", "", "/x#y", "  /pad  "]
+    noise = ["Crawl-delay: 5", "Sitemap: http://s/x.xml", "", "garbage line",
+             "# pure comment", ":", "Disallow", "Allow :"]
+
+    def line(r):
+        k = r.random()
+        if k < 0.3:
+            return f"User-agent: {r.choice(agents)}"
+        if k < 0.55:
+            return f"Disallow: {r.choice(prefixes)}"
+        if k < 0.7:
+            return f"Allow: {r.choice(prefixes)}"
+        if k < 0.8:
+            return f"disallow: {r.choice(prefixes)}  # cmt"
+        return r.choice(noise)
+
+    bodies = [
+        "\n".join(line(rng) for _ in range(rng.randint(0, 25)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(f"h{i}.com", b) for i, b in enumerate(bodies)],
+        "host string, robots_txt string",
+    )
+    got = {}
+    for r in parse_robots(df).collect():
+        got.setdefault(r["host"], set()).add((r["rule"], r["prefix"]))
+    for i, b in enumerate(bodies):
+        want = _py_parse_robots(b)
+        assert got.get(f"h{i}.com", set()) == want, f"body {i}:\n{b!r}"

@@ -60,3 +60,75 @@ def test_parse_warc_guards(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         parse_warc(df)
+
+
+def _py_parse_warc(payload):
+    """Independent row-at-a-time reference of the documented text subset."""
+    out = []
+    for rec in payload.split("WARC/1.0\r\n")[1:]:
+        if "\r\n\r\n" not in rec:
+            continue
+        hdr, _, body = rec.partition("\r\n\r\n")
+        if body.endswith("\r\n\r\n"):
+            body = body[:-4]
+        fields = {}
+        for line in hdr.split("\r\n"):
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        cl = fields.get("content-length")
+        out.append(
+            (
+                fields.get("warc-type") or None,
+                fields.get("warc-target-uri") or None,
+                fields.get("warc-date") or None,
+                int(cl) if cl and cl.isdigit() else None,
+                body,
+            )
+        )
+    return sorted(out, key=lambda t: tuple(map(str, t)))
+
+
+def test_parse_warc_seeded_random_vs_reference(spark):
+    import random
+
+    from literature_to_facts_spark.datapipe.warc import parse_warc
+
+    rng = random.Random(7)
+    types = ["response", "request", "metadata", "  warcinfo "]
+    uris = ["http://a.com/x", "https://b.org/y?z=1", ""]
+    dates = ["2024-03-15T10:00:00Z", "not-a-date", ""]
+    body_bits = ["<html>x</html>", "line1\r\nline2", "", "plain text",
+                 "trailing\r\n", "GET / HTTP/1.1"]
+
+    def record(r):
+        lines = []
+        if r.random() < 0.9:
+            lines.append(f"WARC-Type: {r.choice(types)}")
+        if r.random() < 0.8:
+            lines.append(f"WARC-Target-URI: {r.choice(uris)}")
+        if r.random() < 0.7:
+            lines.append(f"warc-date: {r.choice(dates)}")
+        if r.random() < 0.5:
+            lines.append(f"Content-Length: {r.randint(0, 99999)}")
+        if r.random() < 0.3:
+            lines.append("X-Custom: noise")
+        body = r.choice(body_bits)
+        return "WARC/1.0\r\n" + "\r\n".join(lines) + "\r\n\r\n" + body + "\r\n\r\n"
+
+    payloads = [
+        "".join(record(rng) for _ in range(rng.randint(0, 6)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id bigint, warc string"
+    )
+    got = {}
+    for r in parse_warc(df, carry_cols=("doc_id",)).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["warc_type"], r["target_uri"], r["warc_date"],
+             r["content_length"], r["body"])
+        )
+    for i, p in enumerate(payloads):
+        want = _py_parse_warc(p)
+        have = sorted(got.get(i, []), key=lambda t: tuple(map(str, t)))
+        assert have == want, f"payload {i}: {p!r}"
