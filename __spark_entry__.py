@@ -4445,6 +4445,66 @@ def _crawl_warc_chain_oracle() -> str:
     """
 
 
+_ROBOTS_SM_TAIL = (
+    ", chr(10), 'Sitemap: http://h', {h}, '.example.com/sm.xml', chr(10),"
+    " 'sitemap:   http://h', {h}, '.example.com/sm2.xml   # mirrors',"
+    " chr(10), 'Sitemap:', chr(10),"
+    " 'Sitemap: http://h', {h}, '.example.com/sm.xml'"
+)
+
+
+def q_web_robots_sitemaps(spark, sf_dir):
+    """Sitemap directives from robots.txt (datapipe/robots.robots_sitemaps):
+    group-independent per the REP — extracted from the same fixture bodies
+    the gate query parses, plus case-variant / comment-tailed / empty /
+    duplicate directives; distinct (host, sitemap_url) out.  One
+    scan-fused extract-all, one distinct."""
+    from literature_to_facts_spark.datapipe.robots import robots_sitemaps
+
+    h = "cast(hid as string)"
+    robots = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("doc_id % 7 AS hid")
+        .distinct()
+        .selectExpr(
+            f"concat('h', {h}, '.example.com') AS host",
+            "concat("
+            + _ROBOTS_BODY_TMPL.format(h=h)
+            + _ROBOTS_SM_TAIL.format(h=h)
+            + ") AS robots_txt",
+        )
+    )
+    return robots_sitemaps(robots)
+
+
+def _web_robots_sitemaps_oracle() -> str:
+    from literature_to_facts_spark.datapipe.robots import (
+        SITEMAP_DIRECTIVE_PATTERN,
+    )
+
+    h = "CAST(hid AS VARCHAR)"
+    body = (
+        "concat("
+        + _ROBOTS_BODY_TMPL.format(h=h)
+        + _ROBOTS_SM_TAIL.format(h=h)
+        + ")"
+    )
+    return f"""
+        WITH hosts AS (SELECT DISTINCT doc_id % 7 AS hid FROM documents),
+        rb AS (
+          SELECT 'h' || {h} || '.example.com' AS host, {body} AS body
+          FROM hosts
+        ),
+        v AS (
+          SELECT host,
+                 trim(unnest(regexp_extract_all(body,
+                      '{SITEMAP_DIRECTIVE_PATTERN}', 1))) AS sitemap_url
+          FROM rb
+        )
+        SELECT DISTINCT host, sitemap_url FROM v WHERE sitemap_url <> ''
+    """
+
+
 _TRIANGLE_MAX_DEGREE = 10_000
 
 
@@ -4629,6 +4689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sitemap_parse": q_web_sitemap_parse,
         "web_warc_parse": q_web_warc_parse,
         "crawl_warc_chain": q_crawl_warc_chain,
+        "web_robots_sitemaps": q_web_robots_sitemaps,
     }
 
 
@@ -6430,6 +6491,7 @@ def oracle_sql() -> dict[str, str]:
         "web_sitemap_parse": _web_sitemap_parse_oracle(),
         "web_warc_parse": _web_warc_parse_oracle(),
         "crawl_warc_chain": _crawl_warc_chain_oracle(),
+        "web_robots_sitemaps": _web_robots_sitemaps_oracle(),
         "text_line_dedup_grouped": f"""
         WITH m AS (
           SELECT doc_id, 'h' || CAST(doc_id % 4 AS VARCHAR) AS host,

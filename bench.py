@@ -166,6 +166,7 @@ HEADLINE = [
     "web_sitemap_parse",
     "web_warc_parse",
     "crawl_warc_chain",
+    "web_robots_sitemaps",
 ]
 
 

@@ -241,3 +241,39 @@ def parse_sitemap(
         .where(F.col("loc") != "")
         .drop("_sm_b")
     )
+
+
+# Sitemap directives are GROUP-INDEPENDENT per the REP (valid anywhere in
+# the file); value runs to end-of-line before any comment
+SITEMAP_DIRECTIVE_PATTERN = r"(?im)^Sitemap:[ \t]*([^\r\n#]*)"
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Extract ``Sitemap:`` directives from robots.txt bodies — the link
+    that closes the discovery loop (robots names the sitemaps,
+    :func:`parse_sitemap` reads them, :func:`apply_robots` gates what they
+    yield): distinct ``(host, sitemap_url)`` rows, values trimmed, empty
+    values dropped.  Sitemap directives are group-independent per the REP,
+    so no group window is needed — one scan-fused extract-all + explode,
+    one distinct.
+    """
+    return (
+        robots.where(F.col(body_col).isNotNull())
+        .select(
+            F.col(host_col).alias("host"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(body_col),
+                    F.lit(SITEMAP_DIRECTIVE_PATTERN),
+                    F.lit(1),
+                )
+            ).alias("_v"),
+        )
+        .select("host", F.trim(F.col("_v")).alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+        .distinct()
+    )

@@ -223,3 +223,24 @@ def test_parse_robots_seeded_random_vs_reference(spark):
     for i, b in enumerate(bodies):
         want = _py_parse_robots(b)
         assert got.get(f"h{i}.com", set()) == want, f"body {i}:\n{b!r}"
+
+
+def test_robots_sitemaps_directives(spark):
+    from literature_to_facts_spark.datapipe.robots import robots_sitemaps
+
+    body = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: http://a.com/sm1.xml\n"
+        "sitemap:   http://a.com/sm2.xml   # comment\n"
+        "Sitemap:\n"                       # empty: dropped
+        "Sitemap: http://a.com/sm1.xml\n"  # duplicate: distinct
+        "NotSitemap: http://a.com/no.xml\n"
+    )
+    df = spark.createDataFrame(
+        [("a.com", body), ("b.com", None)], "host string, robots_txt string"
+    )
+    got = sorted(map(tuple, robots_sitemaps(df).collect()))
+    assert got == [
+        ("a.com", "http://a.com/sm1.xml"),
+        ("a.com", "http://a.com/sm2.xml"),
+    ]
