@@ -2133,6 +2133,12 @@ def q_semantic_dedup_incremental(spark, sf_dir):
         old, n_centroids=_SEMDEDUP_PARAMS["n_clusters"],
         refine_iters=_SEMDEDUP_PARAMS["refine_iters"], cache_registry=reg,
     )
+    # operationally `assigns` is a persisted catalog table; recomputing it
+    # here per consumer would charge the whole IVF assign pipeline twice
+    # (the operator's two history passes are scans of stored state, not
+    # recomputes) — persist emulates the stored index, results unchanged
+    assigns = assigns.persist()
+    reg.append(assigns)
     out = semantic_dedup_incremental(
         new, assigns, cents,
         threshold=_SEMDEDUP_PARAMS["threshold"],
@@ -3731,7 +3737,14 @@ def q_kg_path_closure(spark, sf_dir):
     ]
     edges = parts[0].unionByName(parts[1])
     reg = []
-    out = path_closure(edges, _PATH_MAX_DEPTH, cache_registry=reg)
+    # early_exit=False: the fixture graph does not converge before
+    # max_depth, so the per-round eager head(1) probes only serialized 3
+    # extra driver round-trips into the timed build; the lazy finite chain
+    # computes the identical closure (beyond-convergence rounds are empty
+    # joins AQE collapses)
+    out = path_closure(
+        edges, _PATH_MAX_DEPTH, cache_registry=reg, early_exit=False
+    )
     out._l2f_cache_registry = reg
     return out
 
@@ -3949,14 +3962,19 @@ def q_web_frontier_rank(spark, sf_dir):
         f"{_URL_FIXTURE_SPARK} AS url",
         f"{_LINKS_HTML_SPARK} AS html",
     )
-    links = html_extract_links(docs)
+    reg = []
+    # links feeds BOTH the pagerank edge list and the frontier candidates;
+    # without the persist the scan-fused link-extraction battery executes
+    # once per consumer (exchange reuse does not cross the pagerank cache
+    # materialization) — persist is results-neutral
+    links = html_extract_links(docs).persist()
+    reg.append(links)
     src = F.lower(F.regexp_extract(F.col("url"), URL_PATTERN, 2))
     edges = (
         links.select(src.alias("src"), F.col("link_host").alias("dst"))
         .where(F.col("src").isNotNull() & (F.col("src") != ""))
         .distinct()
     )
-    reg = []
     ranks = pagerank(edges, cache_registry=reg, **_PAGERANK_PARAMS).select(
         F.col("node"), F.col("rank_micro")
     )

@@ -61,42 +61,65 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )
-    nodes = (
-        e.select(F.col("_src").alias("node"))
-        .unionByName(e.select(F.col("_dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    # weighted = every edge + its source out-degree.  The inner join keeps
+    # every edge (each edge's _src has out-degree >= 1), so weighted's
+    # (_src, _dst) IS the edge list — nodes derive from the CACHED frame
+    # below instead of re-running the (often expensive) upstream edge
+    # subtree a second time for a separate nodes.persist() (round 7: the
+    # old shape materialized two persists, each re-executing the caller's
+    # link-extraction pipeline — exchange reuse never crosses separate
+    # cache-materialization jobs).
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     weighted = e.join(outdeg, on="_src").persist()
     if cache_registry is not None:
-        cache_registry.extend([nodes, weighted])
+        cache_registry.append(weighted)
     base = ONE_MICRO - int(damping_micro)
-    ranks = nodes.withColumn("rank_micro", F.lit(ONE_MICRO).cast("bigint"))
-    for _ in range(int(iters)):
+    d = int(damping_micro)
+    # Iterate on the per-node incoming SUM s_k instead of the full rank
+    # table: rank_k(v) = base + d * coalesce(s_k(v), 0) div 1e6 is folded
+    # into the next iteration's contribution expression, which removes the
+    # nodes-left-join per iteration (one join less per iteration, identical
+    # integer arithmetic).  Iteration 1 starts from the constant rank 1e6,
+    # so it needs no rank join at all.
+    contrib = (
+        weighted.select(
+            F.col("_dst").alias("node"),
+            F.expr(f"{ONE_MICRO}L div _deg").alias("_c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("_c").alias("_s"))
+    )
+    for _ in range(int(iters) - 1):
         contrib = (
             weighted.join(
-                ranks.select(F.col("node").alias("_src"), "rank_micro"),
+                contrib.select(F.col("node").alias("_src"), "_s"),
                 on="_src",
+                how="left",
             )
             .select(
                 F.col("_dst").alias("node"),
-                F.expr("rank_micro div _deg").alias("_c"),
+                F.expr(
+                    f"(({base}L + ({d}L * coalesce(_s, 0L)) div {ONE_MICRO})"
+                    " div _deg)"
+                ).alias("_c"),
             )
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = nodes.join(contrib, on="node", how="left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(
-                    f"({int(damping_micro)} * coalesce(_s, 0L)) div {ONE_MICRO}"
-                )
-            )
-            .cast("bigint")
-            .alias("rank_micro"),
+    nodes = (
+        weighted.select(F.col("_src").alias("node"))
+        .unionByName(weighted.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.join(contrib, on="node", how="left").select(
+        "node",
+        (
+            F.lit(base)
+            + F.expr(f"({d} * coalesce(_s, 0L)) div {ONE_MICRO}")
         )
+        .cast("bigint")
+        .alias("rank_micro"),
+    )
     return ranks.withColumn(
         "rank", F.round(F.col("rank_micro") / F.lit(float(ONE_MICRO)), 6)
     )

@@ -536,11 +536,15 @@ def pattern_join_ordered(
         F.col(subj_col).alias("subj"), F.col(obj_col).alias("val_b")
     )
     if stats is not None:
+        # project to (pred, n_triples) BEFORE the collect: the decision
+        # needs only the triple counts, and the projection lets Catalyst
+        # prune predicate_stats' two exact-distinct aggregates (and their
+        # 3x Expand) out of the driver-side lookup job entirely
         counts = {
             r["pred"]: r["n_triples"]
-            for r in stats.where(
-                F.col("pred").isin(pred_a, pred_b)
-            ).collect()
+            for r in stats.where(F.col("pred").isin(pred_a, pred_b))
+            .select("pred", "n_triples")
+            .collect()
         }
         na = counts.get(pred_a, 0)
         nb = counts.get(pred_b, 0)
@@ -644,17 +648,27 @@ def star_join_ordered(
         for s in sides[1:]:
             out = out.join(s, on="subj")
         return out.select("subj", *aliases)
+    # (pred, n_triples) projection before the collect — same pruning
+    # rationale as pattern_join_ordered: no Expand/distincts in the lookup
     counts = {
         r["pred"]: r["n_triples"]
-        for r in stats.where(F.col("pred").isin(list(set(preds)))).collect()
+        for r in stats.where(F.col("pred").isin(list(set(preds))))
+        .select("pred", "n_triples")
+        .collect()
     }
+    # a predicate MISSING from the stats table is unknown, not empty: a
+    # stale/incomplete table must not force-broadcast an arbitrarily large
+    # side (OOM at scale) — unknown sides sort last and join as plain
+    # shuffled equi-joins
+    _unknown = max(counts.values(), default=0) + 1
     order = sorted(
-        range(len(preds)), key=lambda i: (counts.get(preds[i], 0), i)
+        range(len(preds)), key=lambda i: (counts.get(preds[i], _unknown), i)
     )
     out = sides[order[-1]]  # largest side anchors and streams
     for i in order[:-1]:
         side = sides[i]
-        if counts.get(preds[i], 0) <= int(broadcast_threshold):
+        n = counts.get(preds[i])
+        if n is not None and n <= int(broadcast_threshold):
             side = F.broadcast(side)
         out = out.join(side, on="subj")
     return out.select("subj", *aliases)
