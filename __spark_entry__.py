@@ -489,15 +489,28 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"))
     new = docs.where(F.col("doc_id") % 5 == 0)
     old = docs.where(F.col("doc_id") % 5 != 0)
-    idx = build_lsh_band_index(old, n_gram=3, n_hashes=16, bands=4)
+    # ONE signature-pipeline build over the whole corpus, filtered into the
+    # history index and the batch index (the band index is per-doc
+    # deterministic, so filtered halves == separate builds bit-for-bit).
+    # The old shape compiled and executed the explode/md5/16-min pipeline
+    # twice; the persist stands in for the operational catalog table.
+    full_idx = build_lsh_band_index(
+        docs, n_gram=3, n_hashes=16, bands=4
+    ).persist()
+    idx = full_idx.where(F.col("doc_id") % 5 != 0)
+    nidx = full_idx.where(F.col("doc_id") % 5 == 0)
+    reg = [full_idx]
     pairs = minhash_lsh_pairs_incremental(
-        new, old, idx, n_gram=3, n_hashes=16, bands=4, threshold=0.5
+        new, old, idx, n_gram=3, n_hashes=16, bands=4, threshold=0.5,
+        cache_registry=reg, new_index=nidx,
     )
-    return pairs.select(
+    out = pairs.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
         F.col("jaccard").cast("double").alias("jaccard"),
     )
+    out._l2f_cache_registry = reg
+    return out
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -535,14 +548,24 @@ def q_dedup_simhash_incremental(spark, sf_dir):
 
     docs = _spread(_t(spark, sf_dir, "documents"))
     new = docs.where(F.col("doc_id") % 5 == 0)
-    old = docs.where(F.col("doc_id") % 5 != 0)
-    idx = build_simhash_band_index(old)
-    pairs = simhash_near_dups_incremental(new, old_index=idx, max_hamming=8)
-    return pairs.select(
+    # ONE simhash-flag pipeline over the whole corpus, filtered into the
+    # history and batch indexes (per-doc deterministic — same shared-build
+    # shape as q_dedup_minhash_incremental; persist stands in for the
+    # operational catalog table)
+    full_idx = build_simhash_band_index(docs).persist()
+    idx = full_idx.where(F.col("doc_id") % 5 != 0)
+    nidx = full_idx.where(F.col("doc_id") % 5 == 0)
+    reg = [full_idx]
+    pairs = simhash_near_dups_incremental(
+        new, old_index=idx, max_hamming=8, cache_registry=reg, new_index=nidx
+    )
+    out = pairs.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
         F.col("hamming").cast("bigint").alias("hamming"),
     )
+    out._l2f_cache_registry = reg
+    return out
 
 
 def q_emb_cosine_topk(spark, sf_dir):
@@ -674,15 +697,24 @@ def q_dedup_embedding_incremental(spark, sf_dir):
     emb = _spread(_t(spark, sf_dir, "embeddings"))
     new = emb.where(F.col("vec_id") % 5 == 0)
     old = emb.where(F.col("vec_id") % 5 != 0)
-    idx = build_embedding_bucket_index(old, n_planes=4)
+    # shared bucket-index build over the whole corpus, filtered into the
+    # two halves (per-row deterministic — same shape as the other two
+    # incremental wrappers)
+    full_idx = build_embedding_bucket_index(emb, n_planes=4).persist()
+    idx = full_idx.where(F.col("vec_id") % 5 != 0)
+    nidx = full_idx.where(F.col("vec_id") % 5 == 0)
+    reg = [full_idx]
     pairs = embedding_near_dup_pairs_incremental(
-        new, old, idx, threshold=0.4, n_planes=4
+        new, old, idx, threshold=0.4, n_planes=4,
+        cache_registry=reg, new_index=nidx,
     )
-    return pairs.select(
+    out = pairs.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
         F.round("cosine", 4).cast("double").alias("cosine_r4"),
     )
+    out._l2f_cache_registry = reg
+    return out
 
 
 def q_stream_windowed_counts(spark, sf_dir):
@@ -3628,6 +3660,10 @@ def q_web_anchor_text_incremental(spark, sf_dir):
         f"{_URL_FIXTURE_SPARK} AS url",
         f"{_ANCHOR_HTML_SPARK} AS html",
     )
+    reg = []
+    # the anchor-extraction battery feeds both the history and the batch
+    # index builds (disjoint doc_id filters of the same frame) — persist
+    # runs it once instead of once per half; results-neutral
     anchors = html_extract_anchors(docs).withColumns(
         {
             "src_host": F.nullif(
@@ -3635,11 +3671,11 @@ def q_web_anchor_text_incremental(spark, sf_dir):
                 F.lit(""),
             )
         }
-    )
+    ).persist()
+    reg.append(anchors)
     hist = anchors.where(F.col("doc_id") % 10 != 0)
     batch = anchors.where(F.col("doc_id") % 10 == 0)
     old_index = build_anchor_index(hist, src_host_col="src_host")
-    reg = []
     out = anchor_text_profile_incremental(
         batch, old_index, src_host_col="src_host", cache_registry=reg
     )

@@ -487,9 +487,18 @@ def minhash_lsh_pairs_incremental(
     threshold: float = 0.7,
     max_bucket: int = 1000,
     cache_registry: list | None = None,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Delta dedup — the operational mode at 100 TB: pair a NEW batch against
     the existing corpus without re-pairing (or re-hashing) the corpus.
+
+    ``new_index`` (optional) is a precomputed :func:`build_lsh_band_index`
+    of the batch — pass it when the caller already has the batch's band
+    rows (e.g. both halves filtered from one shared index build, or the
+    rows about to be appended to the persisted index) so the batch's
+    signature pipeline is not compiled and executed a second time.  The
+    band index is a pure per-document function, so a filtered shared build
+    is bit-identical to an in-place build.
 
     Returns exactly ``minhash_lsh_pairs(old ∪ new)`` RESTRICTED to pairs
     touching at least one new document: old×old pairs were already emitted
@@ -543,9 +552,10 @@ def minhash_lsh_pairs_incremental(
         old_index = build_lsh_band_index(
             old_docs, id_col, text_col, n_gram, n_hashes, bands
         )
-    new_index = build_lsh_band_index(
-        new_docs, id_col, text_col, n_gram, n_hashes, bands
-    )
+    if new_index is None:
+        new_index = build_lsh_band_index(
+            new_docs, id_col, text_col, n_gram, n_hashes, bands
+        )
     newagg = (
         new_index.groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("new_ids"))
@@ -860,6 +870,7 @@ def simhash_near_dups_incremental(
     max_hamming: int = 8,
     max_bucket: int = 1000,
     cache_registry: list | None = None,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Delta SimHash dedup: ``simhash_near_dups(old ∪ new)`` restricted to
     pairs touching a new document — same contract as
@@ -884,7 +895,10 @@ def simhash_near_dups_incremental(
         if old_docs is None:
             raise ValueError("pass old_index (preferred) or old_docs")
         old_index = build_simhash_band_index(old_docs, id_col, text_col)
-    new_index = build_simhash_band_index(new_docs, id_col, text_col)
+    if new_index is None:
+        # optional precomputed batch index — same shared-build contract as
+        # minhash_lsh_pairs_incremental.new_index (pure per-doc function)
+        new_index = build_simhash_band_index(new_docs, id_col, text_col)
     newagg = (
         new_index.groupBy("band", "key")
         .agg(

@@ -277,6 +277,7 @@ def embedding_near_dup_pairs_incremental(
     seed: int = 7,
     max_bucket: int = 1000,
     cache_registry: list | None = None,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Delta embedding near-dup: ``embedding_near_dup_pairs(old ∪ new)``
     restricted to pairs touching a new vector — the fourth delta family,
@@ -294,9 +295,12 @@ def embedding_near_dup_pairs_incremental(
         old_index = build_embedding_bucket_index(
             old_vectors, n_planes, id_col, emb_col, dim, seed
         )
-    new_index = build_embedding_bucket_index(
-        new_vectors, n_planes, id_col, emb_col, dim, seed
-    )
+    if new_index is None:
+        # optional precomputed batch index — same shared-build contract as
+        # minhash_lsh_pairs_incremental.new_index (pure per-row function)
+        new_index = build_embedding_bucket_index(
+            new_vectors, n_planes, id_col, emb_col, dim, seed
+        )
     newagg = (
         new_index.groupBy("bucket")
         .agg(F.sort_array(F.collect_set("vec_id")).alias("new_ids"))
