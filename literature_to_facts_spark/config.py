@@ -45,19 +45,6 @@ def get_spark(
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", cores))
 
     conf = {
-        # Constraint propagation is O(plan^2)-ish optimizer work and this
-        # engine's probe-shaped incremental operators build 100+-operator
-        # plans that are re-optimized per AQE stage; disabling it measured
-        # -26% one-shot / -18% warm across the five heaviest contract
-        # queries (OPTIMIZATION_r07.md) with identical results — the
-        # operators null-filter their join keys explicitly (repo
-        # convention), so the inferred-IsNotNull pushdowns it would add are
-        # already in the plans.  Optimizer-only: cannot change results.
-        # Override with SPARK_GRAFT_CONSTRAINT_PROP=true for workloads with
-        # implicit null-heavy join keys.
-        "spark.sql.constraintPropagation.enabled": os.environ.get(
-            "SPARK_GRAFT_CONSTRAINT_PROP", "false"
-        ),
         # runtime re-planning: skew-join splitting + post-shuffle coalescing
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -632,7 +632,14 @@ def span_dedup_incremental(
                 f"passed window={w}; combined frequencies would mix two "
                 "different window populations"
             )
-    inst = _span_instances(new_docs, id_col, text_col, w, carry_cols)
+    # batch-bounded exploded window instances feed BOTH the frequency count
+    # and the final flag join — persisted so the batch is windowed once per
+    # micro-batch, not once per consumer (the full-mode operator keeps the
+    # recompute trade instead because its instance frame is corpus-sized;
+    # here it is bounded by the batch, like new_freq/matched below)
+    inst = _span_instances(new_docs, id_col, text_col, w, carry_cols).persist()
+    if cache_registry is not None:
+        cache_registry.append(inst)
     new_freq = (
         inst.where(F.col("_wkey").isNotNull())
         .groupBy(F.col("_wkey").alias("win_key"))
