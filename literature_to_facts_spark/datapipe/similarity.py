@@ -387,29 +387,40 @@ def embedding_near_dup_pairs_incremental(
 
 
 def _ivf_assign(base: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment via a map-side aggregate.
+    """Nearest-centroid assignment with ZERO shuffle of the corpus.
 
-    ``groupBy(vec_id).agg(max_by(...))`` keeps the argmax partial
-    (HashAggregate before the exchange: the shuffle carries one row per
-    vec_id per partition, not the n_centroids-expanded cross join a
-    ``Window.partitionBy(vec_id)`` rank would move).  Tie-break matches the
-    previous window form: highest sim, then lowest centroid_id (max of
-    -centroid_id; ids are non-negative, so ANSI negation cannot overflow).
-    """
-    best_key = F.struct(F.col("sim").alias("s"), (-F.col("centroid_id")).alias("nc"))
+    The k-row centroid table collapses to ONE array row (sorted by
+    centroid_id), broadcast-cross-joined, and each vector picks its
+    centroid with a per-row ``array_max`` argmax — no n_centroids-fold row
+    expansion and no ``groupBy(vec_id)`` Exchange (round 7; the previous
+    ``crossJoin + max_by`` shape shuffled one row per vector per
+    assignment pass).  Tie-break is IDENTICAL to the old max_by key
+    ``struct(sim, -centroid_id)``: lexicographic max = highest sim, then
+    lowest centroid_id (ids are non-negative, so ANSI negation cannot
+    overflow), and centroid ids are unique so the argmax key never ties.
+    The dot product is the same ``aggregate(zip_with(...))`` expression in
+    the same order, so similarities are bit-identical.  The
+    ``size(_cents) > 0`` guard reproduces the old crossJoin's
+    empty-centroids behavior (empty output, not NULL assignments)."""
+    cents1 = centroids.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("centroid_id"), F.col("c_emb")))
+        ).alias("_cents")
+    )
+    best = (
+        "array_max(transform(_cents, c -> named_struct("
+        "'s', aggregate(zip_with(embedding, c.c_emb, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v), "
+        "'nc', -c.centroid_id)))"
+    )
     return (
-        base.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", _dot("embedding", "c_emb"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct(F.col("embedding"), F.col("centroid_id")), best_key
-            ).alias("best")
-        )
+        base.crossJoin(F.broadcast(cents1))
+        .where(F.size("_cents") > 0)
+        .withColumn("_best", F.expr(best))
         .select(
             "vec_id",
-            F.col("best.embedding").alias("embedding"),
-            F.col("best.centroid_id").alias("centroid_id"),
+            "embedding",
+            (-F.col("_best.nc")).alias("centroid_id"),
         )
     )
 
