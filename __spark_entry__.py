@@ -4625,7 +4625,81 @@ def _web_triangle_count_oracle() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is the driver correctness gate's sampling order (it
+    # checks the first 50 entries): the 68 operators that never had a
+    # driver row lead, newest lanes first (the round-6 web/kg-query/url
+    # waves land inside the 50-entry window); the long-green original 50
+    # follow.  Oracles and the bench address queries by NAME — the
+    # registry order carries no semantics.
     return {
+        "web_robots_sitemaps": q_web_robots_sitemaps,
+        "crawl_warc_chain": q_crawl_warc_chain,
+        "web_warc_parse": q_web_warc_parse,
+        "web_sitemap_parse": q_web_sitemap_parse,
+        "web_robots_gate": q_web_robots_gate,
+        "web_frontier_rank": q_web_frontier_rank,
+        "web_triangle_count": q_web_triangle_count,
+        "text_line_dedup_grouped": q_text_line_dedup_grouped,
+        "web_extract_gate": q_web_extract_gate,
+        "web_anchor_text_incremental": q_web_anchor_text_incremental,
+        "html_main_content": q_html_main_content,
+        "kg_path_closure": q_kg_path_closure,
+        "kg_triple_provenance": q_kg_triple_provenance,
+        "kg_star_join": q_kg_star_join,
+        "web_anchor_text": q_web_anchor_text,
+        "kg_pattern_join": q_kg_pattern_join,
+        "crawl_ingest_gate": q_crawl_ingest_gate,
+        "kg_charsets_incremental": q_kg_charsets_incremental,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "html_meta_robots": q_html_meta_robots,
+        "kg_cooccurrence_pmi": q_kg_cooccurrence_pmi,
+        "kg_predicate_stats_incremental": q_kg_predicate_stats_incremental,
+        "kg_two_hop": q_kg_two_hop,
+        "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
+        "kg_characteristic_sets": q_kg_characteristic_sets,
+        "kg_predicate_stats": q_kg_predicate_stats,
+        "url_domain_quality": q_url_domain_quality,
+        "url_blocklist": q_url_blocklist,
+        "url_latest_snapshot": q_url_latest_snapshot,
+        "url_dedup": q_url_dedup,
+        "url_normalize": q_url_normalize,
+        "url_parts": q_url_parts,
+        "text_chunk_sliding": q_text_chunk_sliding,
+        "sample_shuffle_shards": q_sample_shuffle_shards,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "semantic_dedup": q_semantic_dedup,
+        "multimodal_features": q_multimodal_features,
+        "sample_mixture_temperature": q_sample_mixture_temperature,
+        "sample_mixture_weights": q_sample_mixture_weights,
+        "text_pii_redact": q_text_pii_redact,
+        "text_tokenize_encode": q_text_tokenize_encode,
+        "text_token_topk": q_text_token_topk,
+        "text_blocklist_filter": q_text_blocklist_filter,
+        "kg_triples_delta": q_kg_triples_delta,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "sample_pack_sequences": q_sample_pack_sequences,
+        "source_quality_stats": q_source_quality_stats,
+        "text_quality_clf": q_text_quality_clf,
+        "web_link_rank": q_web_link_rank,
+        "html_extract_links": q_html_extract_links,
+        "html_extract_text": q_html_extract_text,
+        "graph_pagerank": q_graph_pagerank,
+        "text_lm_perplexity": q_text_lm_perplexity,
+        "text_span_dedup_clean": q_text_span_dedup_clean,
+        "text_span_dedup_incremental": q_text_span_dedup_incremental,
+        "text_span_dedup": q_text_span_dedup,
+        "text_line_dedup_incremental": q_text_line_dedup_incremental,
+        "text_line_dedup": q_text_line_dedup,
+        "decontam_bloom": q_decontam_bloom,
+        "decontam_purge": q_decontam_purge,
+        "decontam_pairs": q_decontam_pairs,
+        "text_repetition": q_text_repetition,
+        "text_fingerprint": q_text_fingerprint,
+        "text_lang_trigram": q_text_lang_trigram,
+        "text_lang_id": q_text_lang_id,
+        "text_quality_report": q_text_quality_report,
+        "text_quality_filter": q_text_quality_filter,
+        "text_quality": q_text_quality,
         "kg_triples_melt": q_kg_triples_melt,
         "kg_dict_view": q_kg_dict_view,
         "kg_valuable_filter": q_kg_valuable_filter,
@@ -4676,74 +4750,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_ivf_incremental": q_emb_ann_ivf_incremental,
         "stream_windowed_counts": q_stream_windowed_counts,
         "text_token_counts": q_text_token_counts,
-        "text_quality": q_text_quality,
-        "text_quality_filter": q_text_quality_filter,
-        "text_quality_report": q_text_quality_report,
-        "text_lang_id": q_text_lang_id,
-        "text_lang_trigram": q_text_lang_trigram,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "decontam_pairs": q_decontam_pairs,
-        "decontam_purge": q_decontam_purge,
-        "decontam_bloom": q_decontam_bloom,
-        "text_line_dedup": q_text_line_dedup,
-        "text_line_dedup_incremental": q_text_line_dedup_incremental,
-        "text_span_dedup": q_text_span_dedup,
-        "text_span_dedup_incremental": q_text_span_dedup_incremental,
-        "text_span_dedup_clean": q_text_span_dedup_clean,
-        "text_lm_perplexity": q_text_lm_perplexity,
-        "graph_pagerank": q_graph_pagerank,
-        "html_extract_text": q_html_extract_text,
-        "html_extract_links": q_html_extract_links,
-        "web_link_rank": q_web_link_rank,
-        "text_quality_clf": q_text_quality_clf,
-        "source_quality_stats": q_source_quality_stats,
-        "sample_pack_sequences": q_sample_pack_sequences,
-        "corpus_snapshot_diff": q_corpus_snapshot_diff,
-        "kg_triples_delta": q_kg_triples_delta,
-        "text_blocklist_filter": q_text_blocklist_filter,
-        "text_token_topk": q_text_token_topk,
-        "text_tokenize_encode": q_text_tokenize_encode,
-        "text_pii_redact": q_text_pii_redact,
-        "sample_mixture_weights": q_sample_mixture_weights,
-        "sample_mixture_temperature": q_sample_mixture_temperature,
-        "multimodal_features": q_multimodal_features,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_incremental": q_semantic_dedup_incremental,
-        "sample_shuffle_shards": q_sample_shuffle_shards,
-        "text_chunk_sliding": q_text_chunk_sliding,
-        "url_parts": q_url_parts,
-        "url_normalize": q_url_normalize,
-        "url_dedup": q_url_dedup,
-        "url_latest_snapshot": q_url_latest_snapshot,
-        "url_blocklist": q_url_blocklist,
-        "url_domain_quality": q_url_domain_quality,
-        "kg_predicate_stats": q_kg_predicate_stats,
-        "kg_characteristic_sets": q_kg_characteristic_sets,
-        "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
-        "kg_two_hop": q_kg_two_hop,
-        "kg_predicate_stats_incremental": q_kg_predicate_stats_incremental,
-        "kg_cooccurrence_pmi": q_kg_cooccurrence_pmi,
-        "html_meta_robots": q_html_meta_robots,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "kg_charsets_incremental": q_kg_charsets_incremental,
-        "crawl_ingest_gate": q_crawl_ingest_gate,
-        "kg_pattern_join": q_kg_pattern_join,
-        "web_anchor_text": q_web_anchor_text,
-        "kg_star_join": q_kg_star_join,
-        "kg_triple_provenance": q_kg_triple_provenance,
-        "kg_path_closure": q_kg_path_closure,
-        "html_main_content": q_html_main_content,
-        "web_anchor_text_incremental": q_web_anchor_text_incremental,
-        "web_extract_gate": q_web_extract_gate,
-        "text_line_dedup_grouped": q_text_line_dedup_grouped,
-        "web_triangle_count": q_web_triangle_count,
-        "web_frontier_rank": q_web_frontier_rank,
-        "web_robots_gate": q_web_robots_gate,
-        "web_sitemap_parse": q_web_sitemap_parse,
-        "web_warc_parse": q_web_warc_parse,
-        "crawl_warc_chain": q_crawl_warc_chain,
-        "web_robots_sitemaps": q_web_robots_sitemaps,
     }
 
 
