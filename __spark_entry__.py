@@ -3041,19 +3041,30 @@ def _kg_rich_triples(spark, sf_dir):
         "CAST(doc_id AS BIGINT) AS subj",
         "stack(3, 'source', source, 'lang', lang, 'n_chars', CAST(n_chars AS STRING)) AS (pred, obj)",
     )
+    # Per-keyword mention counts computed IN-ROW over the fixed 4-word
+    # vocabulary (round 7): size(filter(matches, = kw)) per keyword replaces
+    # the explode -> groupBy(subj, kw) -> count leg, removing that Exchange
+    # from every _kg_rich_triples consumer (the whole triple fixture is now
+    # map-side; the union persist materializes with zero shuffle).  Row set
+    # identical: a (subj, mentions_kw, count) row iff count >= 1, count
+    # rendered via the same int->string text; NULL-text docs drop out of
+    # both shapes (NULL array -> NULL n -> filter false).
+    kws = ", ".join(f"'{k}'" for k in ("spark", "window", "merge", "batch"))
     mentions = (
-        docs.select(
-            F.col("doc_id").cast("bigint").alias("subj"),
-            F.explode(
-                F.regexp_extract_all(F.col("text"), F.lit(_KG_MENTION_RE), F.lit(1))
-            ).alias("kw"),
+        docs.selectExpr(
+            "CAST(doc_id AS BIGINT) AS subj",
+            f"regexp_extract_all(text, '{_KG_MENTION_RE}', 1) AS _kws",
         )
-        .groupBy("subj", "kw")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select(
+        .selectExpr(
             "subj",
-            F.concat(F.lit("mentions_"), F.col("kw")).alias("pred"),
-            F.col("_n").cast("string").alias("obj"),
+            f"explode(filter(transform(array({kws}), "
+            "kw -> named_struct('kw', kw, 'n', size(filter(_kws, x -> x = kw)))), "
+            "c -> c.n > 0)) AS c",
+        )
+        .selectExpr(
+            "subj",
+            "concat('mentions_', c.kw) AS pred",
+            "CAST(c.n AS STRING) AS obj",
         )
     )
     return base.unionByName(mentions)
