@@ -489,20 +489,19 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents"))
     new = docs.where(F.col("doc_id") % 5 == 0)
     old = docs.where(F.col("doc_id") % 5 != 0)
-    # ONE signature-pipeline build over the whole corpus, filtered into the
-    # history index and the batch index (the band index is per-doc
-    # deterministic, so filtered halves == separate builds bit-for-bit).
-    # The old shape compiled and executed the explode/md5/16-min pipeline
-    # twice; the persist stands in for the operational catalog table.
-    full_idx = build_lsh_band_index(
-        docs, n_gram=3, n_hashes=16, bands=4
-    ).persist()
-    idx = full_idx.where(F.col("doc_id") % 5 != 0)
-    nidx = full_idx.where(F.col("doc_id") % 5 == 0)
-    reg = [full_idx]
+    # NOTE (round 7): a shared one-build band index (build over ALL docs,
+    # persist, filter the halves — the q_dedup_simhash_incremental shape)
+    # was tried here and REVERTED: for this operator the two half-pipelines
+    # overlap under AQE and share JIT with the preceding dedup_minhash_lsh
+    # plan, so the persist's serialization cost exceeded the saved compute
+    # (one-shot +0.5 s, warm -0.1 s over interleaved probe runs).  The
+    # operator still accepts new_index= for deployments with a persisted
+    # catalog index.
+    idx = build_lsh_band_index(old, n_gram=3, n_hashes=16, bands=4)
+    reg = []
     pairs = minhash_lsh_pairs_incremental(
         new, old, idx, n_gram=3, n_hashes=16, bands=4, threshold=0.5,
-        cache_registry=reg, new_index=nidx,
+        cache_registry=reg,
     )
     out = pairs.select(
         F.col("id_a").cast("bigint").alias("id_a"),
