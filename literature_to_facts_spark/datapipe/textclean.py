@@ -632,14 +632,13 @@ def span_dedup_incremental(
                 f"passed window={w}; combined frequencies would mix two "
                 "different window populations"
             )
-    # batch-bounded exploded window instances feed BOTH the frequency count
-    # and the final flag join — persisted so the batch is windowed once per
-    # micro-batch, not once per consumer (the full-mode operator keeps the
-    # recompute trade instead because its instance frame is corpus-sized;
-    # here it is bounded by the batch, like new_freq/matched below)
-    inst = _span_instances(new_docs, id_col, text_col, w, carry_cols).persist()
-    if cache_registry is not None:
-        cache_registry.append(inst)
+    # NOTE (round 7): persisting the exploded instance frame (it feeds both
+    # the frequency count and the final flag join) was tried and REVERTED —
+    # AQE overlaps the two consumers' subtrees, so the persist's
+    # materialization barrier cost more than the saved re-windowing at both
+    # 1x and 10x bench scale (one-shot +0.3-0.4 s); the recompute trade
+    # stands, same as the full-mode operator.
+    inst = _span_instances(new_docs, id_col, text_col, w, carry_cols)
     new_freq = (
         inst.where(F.col("_wkey").isNotNull())
         .groupBy(F.col("_wkey").alias("win_key"))
